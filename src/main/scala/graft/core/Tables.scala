@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * The reference engine's "table" is a line-oriented text file in HyDFS
+  * (reference src/Streaming/worker.py:512-517); here the canonical storage is
+  * columnar parquet read through the DataFrame reader so Catalyst gets
+  * pushdown/pruning for free. At 100 TB these reads are partition-parallel
+  * scans with column pruning — verify with `.explain` that `ReadSchema`
+  * carries only referenced columns.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) which Spark reads only as a raw long
+    // (spark.sql.legacy.parquet.nanosAsLong=true, set in the session);
+    // convert to a microsecond TimestampType here. Integer DIV, not double
+    // division — epoch-nanos (~1.7e18) overflows double's 53-bit mantissa.
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` surfaces work too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Numeric helpers shared by the query library and the DuckDB oracles.
+  *
+  * Money/measure columns are doubles in the testdata. A plain `sum(double)`
+  * is order-dependent in the low bits, so a distributed Spark sum and a
+  * single-threaded DuckDB sum can disagree on the last ulp. Casting each
+  * value to an exact decimal first makes the aggregate associative and
+  * bit-identical on both engines; the final cast back to double is a single
+  * deterministic rounding. This is also the right call at 100 TB: decimal
+  * sums stay inside whole-stage codegen and avoid non-reproducible results
+  * across retries/partitionings.
+  */
+object Num {
+  /** Exact, order-independent sum of a ~2-decimal-place double column. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 2))).cast("double")
+
+  /** Exact sum for derived 4-dp products such as price*(1-discount). */
+  def dsum4(c: Column): Column = sum(c.cast(DecimalType(30, 4))).cast("double")
+
+  /** Order-independent mean: exact decimal sum divided as doubles. */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(30, 2))).cast("double") / count(c)).as("avg")
+
+  /** SQL fragment equivalents for the DuckDB oracle. */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,2))) AS DOUBLE)"
+  def sqlDsum4(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,4))) AS DOUBLE)"
+  def sqlDavg(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,2))) AS DOUBLE) / COUNT($expr)"
+}

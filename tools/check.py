@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the same sfDir
+parquet tables, sorts columns by name and rows by all columns, and compares
+values. Dev-loop tool only — the real gate is driver-side.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    rows = [tuple(norm(v) for v in r) for r in df.itertuples(index=False)]
+    return sorted(rows, key=repr)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        g, w = canon(got), canon(want)
+        if sorted(c.lower() for c in got.columns) != sorted(
+                c.lower() for c in want.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} vs "
+                  f"{sorted(want.columns)}")
+            n_fail += 1
+        elif g == w:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {len(g)} vs {len(w)} rows")
+            diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            for a, b in diff:
+                print(f"   spark: {a}\n   duck : {b}")
+            if not diff and len(g) != len(w):
+                only_g = [r for r in g if r not in set(map(tuple, w))][:3]
+                only_w = [r for r in w if r not in set(map(tuple, g))][:3]
+                print(f"   only-spark: {only_g}\n   only-duck : {only_w}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
