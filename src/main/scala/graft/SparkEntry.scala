@@ -15,7 +15,10 @@ object SparkEntry {
                             Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
     (RainStormOps.queries, RainStormOps.oracleSql),
-    (Grep.queries, Grep.oracleSql)
+    (Grep.queries, Grep.oracleSql),
+    (TextAnalysis.queries, TextAnalysis.oracleSql),
+    (Dedup.queries, Dedup.oracleSql),
+    (Similarity.queries, Similarity.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

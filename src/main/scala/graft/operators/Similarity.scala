@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * The reference has no vector machinery at all; this is pipeline-extras
+  * territory (builder brief). Three tiers, by scale:
+  *
+  *  - sim01 brute force: broadcast the (small) query set against every
+  *    vector — one scan, no shuffle of the corpus, per-partition top-k via
+  *    the rank window. Exact; the baseline the approximate tiers are
+  *    measured against. O(Q x N) — fine for Q small even at 100 TB.
+  *  - sim02 sign-LSH: 8 pseudo-random hyperplanes -> 256 buckets computed
+  *    in the scan (no side data); a query probes its own bucket plus the 8
+  *    Hamming-1 neighbors. The corpus shuffles once on bucket id; each
+  *    lookup touches ~9/256 of the data.
+  *  - sim03 IVF: coarse quantizer = per-label centroids (labels stand in
+  *    for a k-means assignment); queries search only their nearest
+  *    centroid's inverted list. Centroid build is one map-side agg.
+  *
+  * sim01 carries a DuckDB oracle (scores ranked on a rounded value with a
+  * vec_id tie-break so double low-bit drift cannot reorder the top-k);
+  * sim02/sim03 are approximate by construction -> rows-only checks, with
+  * recall vs sim01 asserted in the ScalaTest spec instead.
+  */
+object Similarity {
+
+  val K = 5
+  val NQueries = 10
+
+  /** Rank candidates per query on (rounded cosine desc, vec_id) — the
+    * rounding makes cross-engine ordering exact. */
+  private def topkPerQuery(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos_r"))
+  }
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim01_knn_bruteforce" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val scored = e.crossJoin(broadcast(queriesDf(s, d)))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+      topkPerQuery(scored)
+    }),
+
+    "sim02_ann_lsh" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .withColumn("bucket", signBucket(col("embedding"), 8))
+      val q = queriesDf(s, d)
+        .withColumn("qbucket", signBucket(col("qv"), 8))
+        // multi-probe: own bucket + the 8 buckets one bit-flip away
+        .select(col("qid"), col("qv"), explode(array(
+          col("qbucket") +: (0 until 8).map(b =>
+            col("qbucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+      val scored = e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+      topkPerQuery(scored)
+    }),
+
+    "sim03_ivf_knn" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      // Coarse quantizer: mean vector per label (map-side partial agg over
+      // posexploded dims; only (label, dim, sum) crosses the network).
+      val centroids = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+        .select(col("label").as("cl"),
+          expr("transform(pairs, p -> p.cv)").as("cvec"))
+      // Assign each query to its nearest centroid...
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cdist").asc, col("cl").asc)
+      val qAssign = queriesDf(s, d).crossJoin(broadcast(centroids))
+        .withColumn("cdist", l2(col("qv"), col("cvec")))
+        .withColumn("r", row_number().over(wq)).filter(col("r") === 1)
+        .select(col("qid"), col("qv"), col("cl"))
+      // ...and search only that label's inverted list.
+      val scored = e.join(broadcast(qAssign), col("label") === col("cl"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+      topkPerQuery(scored)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sim01_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT qid, vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+         |      6) AS cos_r
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+         |SELECT qid, rank, vec_id, cos_r FROM (
+         |  SELECT qid, vec_id, cos_r, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin
+    // sim02/sim03: approximate — no SQL oracle; recall asserted in tests.
+  )
+}

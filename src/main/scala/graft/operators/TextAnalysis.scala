@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, Num}
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristics, and content fingerprinting.
+  *
+  * The reference's only text machinery is regex search + `split(",")` inside
+  * user operators (reference tests/sample1_op1.py:10, sample1_op2.py:9,
+  * src/LogQuerier/server.py:30-36); this module is the superset a 100 TB
+  * corpus pipeline needs. Everything is Column-expression based (array
+  * lambdas — `transform`/`filter`/`aggregate` — are codegen-friendly and
+  * never leave the JVM), so each query is one scan, one narrow projection,
+  * and at most one tiny aggregate exchange.
+  */
+object TextAnalysis {
+
+  /** Tokenize: lowercase alphanumeric runs ("BPE-ish" regex tokenizer). */
+  val tokensExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  // DuckDB twin: its regexp_extract_all has no group argument.
+  val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: corpus-level stats per language. The per-doc token
+    // count stays in the scan projection; only (lang -> 3 longs) shuffles.
+    "tx01_token_stats" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("lang"), expr(s"size($tokensExpr)").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
+    }),
+
+    // Quality scoring: type-token ratio, stopword ratio, length signal —
+    // the standard cheap pre-filters before expensive dedup/training.
+    // Integer counts + one double division each: bit-identical on both
+    // engines without rounding.
+    "tx02_quality_score" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .withColumn("toks", expr(tokensExpr))
+        .withColumn("n_tok", expr("size(toks)"))
+        .withColumn("n_types", expr("size(array_distinct(toks))"))
+        .withColumn("n_stop",
+          expr("size(filter(toks, t -> t IN ('the', 'a')))"))
+        .filter(col("n_tok") > 0)
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          (col("n_types").cast("double") / col("n_tok")).as("ttr"),
+          (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+          when(col("n_tok") >= 40 and
+            col("n_types").cast("double") / col("n_tok") >= 0.25, "keep")
+            .otherwise("drop").as("verdict"))
+    }),
+
+    // Language-ID heuristic: marker-token votes (the n-gram-frequency
+    // approach compressed to a deterministic rule so the DuckDB oracle can
+    // replicate it bit-for-bit). Output is the confusion matrix against the
+    // labeled lang column.
+    "tx03_langid_confusion" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .withColumn("toks", expr(tokensExpr))
+        .withColumn("n_en",
+          expr("size(filter(toks, t -> t IN ('the', 'a', 'data', 'key')))"))
+        .withColumn("n_tok", expr("size(toks)"))
+        .withColumn("predicted",
+          when(col("n_tok") === 0, "unk")
+            .when(col("n_en").cast("double") / col("n_tok") >= 0.10, "en")
+            .otherwise("unk"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Content fingerprinting: md5 over whitespace-normalized text. Exact-dup
+    // detection joins on this 16-byte key instead of the full document —
+    // at 100 TB the shuffle carries fingerprints, not bodies.
+    "tx04_fingerprint" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+            .cast("binary")).as("fp"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "tx01_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(len($tokensSql)) AS total_tokens,
+         |  CAST(SUM(len($tokensSql)) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    "tx02_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tok,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |  CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
+         |    / len(toks) AS stop_ratio,
+         |  CASE WHEN len(toks) >= 40 AND
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.25
+         |    THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM t WHERE len(toks) > 0""".stripMargin,
+
+    "tx03_langid_confusion" ->
+      s"""WITH t AS (SELECT lang, $tokensSql AS toks FROM documents),
+         |  p AS (SELECT lang,
+         |    CASE WHEN len(toks) = 0 THEN 'unk'
+         |      WHEN CAST(len(list_filter(toks,
+         |        t -> t IN ('the', 'a', 'data', 'key'))) AS DOUBLE)
+         |        / len(toks) >= 0.10 THEN 'en'
+         |      ELSE 'unk' END AS predicted
+         |    FROM t)
+         |SELECT lang, predicted, COUNT(*) AS n_docs
+         |FROM p GROUP BY lang, predicted""".stripMargin,
+
+    "tx04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin
+  )
+}
