@@ -58,18 +58,30 @@ object Similarity {
     }),
 
     "sim02_ann_lsh" -> ((s, d) => {
+      // L independent hash tables of B hyperplanes each; a query probes its
+      // own bucket plus every 1-bit-flip bucket in every table. Expected
+      // touched fraction per table = (1+B)/2^B of the corpus — the knob
+      // that trades recall for scan fraction at 100 TB.
+      val L = 8; val B = 6
       val e = Tables(s, d, "embeddings")
-        .withColumn("bucket", signBucket(col("embedding"), 8))
+        .select(col("vec_id"), col("embedding"), explode(array(
+          (0 until L).map(t => struct(lit(t).as("tbl"),
+            signBucket(col("embedding"), B, t).as("bucket"))): _*)).as("k"))
+        .select(col("vec_id"), col("embedding"),
+          col("k.tbl"), col("k.bucket"))
       val q = queriesDf(s, d)
-        .withColumn("qbucket", signBucket(col("qv"), 8))
-        // multi-probe: own bucket + the 8 buckets one bit-flip away
         .select(col("qid"), col("qv"), explode(array(
-          col("qbucket") +: (0 until 8).map(b =>
-            col("qbucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
-      val scored = e.join(broadcast(q), Seq("bucket"))
+          (0 until L).flatMap { t =>
+            val own = signBucket(col("qv"), B, t)
+            (own +: (0 until B).map(b => own.bitwiseXOR(lit(1L << b))))
+              .map(bk => struct(lit(t).as("tbl"), bk.as("bucket")))
+          }: _*)).as("k"))
+        .select(col("qid"), col("qv"), col("k.tbl"), col("k.bucket"))
+      val scored = e.join(broadcast(q), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+        .distinct()
       topkPerQuery(scored)
     }),
 

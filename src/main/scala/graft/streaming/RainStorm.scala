@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The record model of the reference engine: a (key, value) string pair
+  * (reference src/Streaming/worker.py:52-62 `encode_key_val`/`decode_key_val`,
+  * one JSON object per line). */
+case class KV(key: String, value: String)
+
+/** An operator in a RainStorm pipeline. The reference's contract is a
+  * subprocess that maps `(key, value) -> List[(key, value)] | None`
+  * (reference src/Streaming/framework.py:11-70, dispatch at :60) — i.e.
+  * flatMap with None = filter — optionally holding a `dict` of state
+  * (tests/sample2_op2.py:6-20). Three tiers here, best first:
+  *
+  *  - [[ExprOp]]: a declarative DataFrame transform. Catalyst sees through
+  *    it (pushdown, pruning, codegen) — use for every filter/project/agg
+  *    shape. This is what the reference's opaque executables can never get.
+  *  - [[FlatMapOp]]: the escape hatch for genuinely opaque user logic,
+  *    matching the reference's contract exactly. An optimization barrier,
+  *    same as every reference operator is.
+  *  - [[StatefulCountOp]]: the reference's only stateful shape — running
+  *    count-by-key with one output PER INPUT RECORD, no barrier
+  *    ("we don't use a barrier", reports/Streaming.pdf p.3; state protocol
+  *    framework.py:52-54). Implemented on `flatMapGroupsWithState` so the
+  *    per-update emission cardinality is preserved; state lives in Spark's
+  *    checkpointed state store, which is what replaces the reference's
+  *    HyDFS-log replay recovery (worker.py:327-368).
+  */
+sealed trait RainStormOp
+final case class ExprOp(f: DataFrame => DataFrame) extends RainStormOp
+final case class FlatMapOp(f: KV => IterableOnce[KV]) extends RainStormOp
+final case class StatefulCountOp(keyOf: KV => String) extends RainStormOp
+
+/** A RainStorm job: source -> op chain -> sink, generalized from the
+  * reference's fixed source -> op1 -> op2 -> leader-sink topology
+  * (leader wiring src/Streaming/leader.py:155-208, `get_workers(2 *
+  * num_tasks)` at :182-184) to arbitrary-length chains.
+  *
+  * What the reference builds by hand maps onto Spark primitives:
+  *  - hash shuffle by key (worker.py:256-262)      -> groupByKey exchange;
+  *  - ack/resend transport (worker.py:118-186)     -> task retry + epoch replay;
+  *  - tuple-id dedup for exactly-once (worker.py:446-453, leader.py:241-246)
+  *                                                  -> checkpointed offsets +
+  *                                                     idempotent batch sink;
+  *  - processed-log recovery (worker.py:327-368)   -> state-store checkpoint.
+  *
+  * At scale the source is already split per file/partition (no manual
+  * `sha1(stream_id) % num_tasks` filter like worker.py:513-515 — every
+  * reader reads ONLY its split instead of scanning everything and dropping
+  * (n-1)/n of it).
+  */
+object RainStormJob {
+
+  /** Text-file line source with provenance keys, the analogue of the HyDFS
+    * line source (worker.py:473-520): key = "<file>:<line-id>". */
+  def lineSource(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    import spark.implicits._
+    // Provenance key = file + content hash (monotonically_increasing_id is
+    // not allowed on streams). The reference's "<file>:<lineno>" key exists
+    // to give tuples a dedup identity (worker.py:513-515); in Structured
+    // Streaming that job is done by checkpointed source offsets, so the key
+    // only carries provenance.
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(
+        concat_ws(":", input_file_name(),
+          xxhash64(input_file_name(), col("value"))).as("key"),
+        col("value"))
+  }
+
+  /** Apply one operator to a KV-shaped (streaming) DataFrame. */
+  def applyOp(df: DataFrame, op: RainStormOp): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    op match {
+      case ExprOp(f) => f(df)
+      case FlatMapOp(f) => df.as[KV].flatMap(f).toDF()
+      case StatefulCountOp(keyOf) =>
+        df.as[KV]
+          .groupByKey(keyOf)
+          .flatMapGroupsWithState[Long, KV](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (key: String, rows: Iterator[KV], state: GroupState[Long]) =>
+              var n = state.getOption.getOrElse(0L)
+              // one emission per input record, like tests/sample2_op2.py:17
+              val out = rows.map { _ => n += 1; KV(key, n.toString) }.toList
+              state.update(n)
+              out.iterator
+          }.toDF()
+    }
+  }
+
+  def pipeline(source: DataFrame, ops: Seq[RainStormOp]): DataFrame =
+    ops.foldLeft(source)(applyOp)
+
+  /** Exactly-once text sink, the analogue of the leader's batched
+    * `key:value` flush (src/Streaming/leader.py:248-284): one atomically
+    * renamed file per micro-batch, named by batchId so replays after
+    * failure overwrite instead of duplicating (idempotence replaces the
+    * reference's leader-side dedup, leader.py:241-246). */
+  def textSink(outDir: String)(batch: Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    // Distributed write — records never funnel through the driver the way
+    // every reference record funnels through the leader (leader.py:212-246).
+    // mode=overwrite on a batchId-named directory makes replays idempotent.
+    batch
+      .select(concat_ws(":", batch.columns.map(col): _*).as("value"))
+      .write.mode("overwrite").text(s"$outDir/batch-$batchId")
+  }
+
+  /** Assemble and start the full job. `outputMode` must be Update when the
+    * chain contains a stateful op (per-update emission), Append otherwise. */
+  def start(spark: SparkSession, inputDir: String, ops: Seq[RainStormOp],
+      outputDir: String, checkpoint: String,
+      stateful: Boolean): StreamingQuery = {
+    val out = pipeline(lineSource(spark, inputDir), ops)
+    out.writeStream
+      .outputMode(if (stateful) OutputMode.Update() else OutputMode.Append())
+      .foreachBatch(textSink(outputDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
+
+/** The reference's two demo apps as op chains (BASELINE.md workloads). */
+object RainStormApps {
+  /** "Simple app": regex filter -> project columns (idx1, idx2) of a CSV
+    * value (tests/mp4_demo1.py:8-15). Declarative: the whole thing is one
+    * codegen'd projection, no per-record closure. */
+  def simpleApp(pattern: String, idx1: Int, idx2: Int): Seq[RainStormOp] = Seq(
+    ExprOp(df => df.filter(col("value").rlike(pattern))),
+    ExprOp(df => df
+      .withColumn("cols", split(col("value"), ","))
+      .select(col("cols").getItem(idx1).as("key"),
+        col("cols").getItem(idx2).as("value"))))
+
+  /** "Complex app": equality filter on a CSV column, re-key by another
+    * column, stateful running count (tests/sample2_op{1,2}.py). */
+  def complexApp(filterIdx: Int, filterVal: String,
+      keyIdx: Int): Seq[RainStormOp] = Seq(
+    ExprOp(df => df
+      .withColumn("cols", split(col("value"), ","))
+      .filter(col("cols").getItem(filterIdx) === filterVal)
+      .select(col("cols").getItem(keyIdx).as("key"), col("value"))),
+    StatefulCountOp(_.key))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch operator sanity over the sf0.001 testdata: every registered query
+  * executes and returns a sensible shape, plus cross-operator invariants
+  * (LSH vs exact Jaccard, ANN recall vs brute force, dedup idempotence).
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession()
+  val sf = "/root/testdata/sf0.001"
+
+  test("every query runs and non-pair queries return rows at sf0.001") {
+    // pair-producing dedup queries may legitimately be empty at tiny sf
+    val mayBeEmpty = Set("dd02_jaccard_pairs", "dd03_minhash_lsh",
+      "dd04_simhash_pairs", "q07_anti_join")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("minhash-LSH finds exactly the exact-Jaccard pairs on this corpus") {
+    val exact = SparkEntry.queries("dd02_jaccard_pairs")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dd03_minhash_lsh")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("ANN (LSH) results are a subset of candidates ranked like brute force") {
+    val brute = SparkEntry.queries("sim01_knn_bruteforce")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = SparkEntry.queries("sim02_ann_lsh")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // recall@5 across queries should be well above chance (5/500 = 1%)
+    val recalls = brute.keys.toSeq.map { q =>
+      val hit = ann.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hit.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.2, s"mean recall@5 = $mean")
+  }
+
+  test("exact dedup is idempotent and lossless on distinct content") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val dd = SparkEntry.queries("dd01_exact_dedup")(spark, sf)
+    assert(dd.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
+    // applying dedup to already-distinct keep_ids changes nothing
+    assert(dd.select("keep_id").distinct().count() == dd.count())
+  }
+
+  test("grep count total equals sum of per-source counts") {
+    val counts = SparkEntry.queries("gr02_grep_count")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_matches"))).toMap
+    val total = counts("TOTAL")
+    assert(total == counts.filter(_._1 != "TOTAL").values.sum)
+    assert(total > 0)
+  }
+}
