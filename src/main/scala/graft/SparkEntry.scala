@@ -18,7 +18,9 @@ object SparkEntry {
     (Grep.queries, Grep.oracleSql),
     (TextAnalysis.queries, TextAnalysis.oracleSql),
     (Dedup.queries, Dedup.oracleSql),
-    (Similarity.queries, Similarity.oracleSql)
+    (Similarity.queries, Similarity.oracleSql),
+    (Multimodal.queries, Multimodal.oracleSql),
+    (Events.queries, Events.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

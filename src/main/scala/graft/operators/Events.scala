@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Tables, Num}
+
+/** Event-stream analytics in batch form: sessionization, as-of joins,
+  * pivots, and cardinality estimation over the `events` table.
+  *
+  * The reference's streaming layer has no time semantics at all — no
+  * windows, no watermarks, no event time (SURVEY.md §2.6: "arrival order
+  * only"). These operators are the event-time surface a real pipeline
+  * needs; their streaming twins (watermarked windows, mapGroupsWithState
+  * sessionization) live in [[graft.streaming]].
+  *
+  * Scale notes: every query here shuffles exactly once, on user_id (or on
+  * nothing for the global pivot) — windows and as-of matching ride the same
+  * partitioning. The as-of join is the union+window formulation: instead of
+  * a per-row range probe (quadratic in the worst case), both sides union
+  * into one stream sorted per user, and `last(_, ignoreNulls)` carries the
+  * most recent left-side match forward — one sort per partition, linear
+  * scan, no join fan-out, skew-safe under AQE.
+  */
+object Events {
+
+  import Num._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sessionization: a session breaks after >10 min of inactivity.
+    // lag + conditional cumulative sum = the textbook formulation; one
+    // shuffle on user_id, both windows share it.
+    "ev01_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 600,
+            1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // As-of join: each purchase matched to the same user's most recent
+    // prior-or-simultaneous click (union + last(ignoreNulls) formulation).
+    "ev02_asof_join" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_click", (col("event_type") === "click").cast("int"))
+        .withColumn("click_ts",
+          last(when(col("is_click") === 1, col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("ts").cast("long") - col("click_ts").cast("long"))
+            .as("secs_since_click"))
+    }),
+
+    // Pivot: daily event-type count matrix. Explicit value list keeps the
+    // output schema static (required for both Catalyst and the oracle).
+    "ev03_pivot_daily" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // Exact distinct-user counting (the oracled twin of ev05).
+    "ev04_distinct_users" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+    }),
+
+    // HLL cardinality sketch: approximate, so no SQL oracle — the spec
+    // asserts <2% relative error against ev04 instead. At 100 TB this is
+    // the difference between a sketch merge and a full distinct shuffle.
+    "ev05_approx_distinct_users" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ev01_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL OR
+        |    date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin,
+
+    "ev02_asof_join" ->
+      """WITH cp AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |x AS (
+        |  SELECT *, last_value(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, is_click DESC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        |  FROM cp)
+        |SELECT event_id, user_id,
+        |  date_diff('second', click_ts, ts) AS secs_since_click
+        |FROM x WHERE event_type = 'purchase'""".stripMargin,
+
+    "ev03_pivot_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "ev04_distinct_users" ->
+      s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The reference engine is strings-only (SURVEY.md §1.2); this is the
+  * pipeline-extras tier for a 100 TB multimodal corpus. No media libraries
+  * exist in this environment, so the DECODE KERNELS ARE DETERMINISTIC
+  * STUBS (clearly marked below) — but the Spark-side contract is real and
+  * is the part that matters at scale:
+  *
+  *  - payloads live in a `BinaryType` column, scanned but never parsed by
+  *    Catalyst; metadata lives in a sibling struct so pruning works (a
+  *    metadata-only query never deserializes a payload);
+  *  - decode runs in `mapPartitions` — per-partition imperative batches,
+  *    the Scala analogue of `mapInPandas` batch UDFs: amortized per-batch
+  *    setup (a real decoder would init its codec once per partition, not
+  *    per row), no driver involvement, output schema declared up front;
+  *  - frame sampling is a pure `sequence`/`explode` expression — the
+  *    fan-out happens inside codegen, and the payload column is NOT
+  *    carried through the explode (only frame indices are).
+  */
+object Multimodal {
+
+  /** Synthesize the media catalog from `documents`: payload = utf-8 bytes
+    * of the text (a stand-in blob), kind round-robins image/audio/video,
+    * metadata derived deterministically from doc fields. */
+  def mediaCatalog(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        lit(3).as("channels"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("checksum", LongType),
+    StructField("mean_byte", DoubleType)))
+
+  /** ===== STUB ===== A real implementation would decode the payload with
+    * an image/audio codec here; this deterministic fake just folds over the
+    * raw bytes. The mapPartitions shape (batch iterator in, batch iterator
+    * out, schema fixed) is exactly what a real decoder plugs into. */
+  private def decodeStub(rows: Iterator[Row]): Iterator[Row] =
+    rows.map { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+        bytes.length, sum,
+        if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata-only catalog scan: payload column pruned away entirely.
+    "mm01_media_catalog" -> ((s, d) =>
+      mediaCatalog(s, d).select(
+        col("media_id"), col("kind"),
+        octet_length(col("payload")).as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"))),
+
+    // Decode + feature extraction through the mapPartitions batch kernel.
+    "mm02_media_features" -> ((s, d) => {
+      val cat = mediaCatalog(s, d)
+      val feats = cat.sparkSession.createDataFrame(
+        cat.select("media_id", "kind", "payload").rdd
+          .mapPartitions(decodeStub),
+        featureSchema)
+      feats.groupBy(col("kind")).agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("checksum")).as("total_checksum"))
+    }),
+
+    // Frame sampling: every 10th frame of each "video"; pure expression
+    // fan-out, payload not carried through the explode.
+    "mm03_frame_sample" -> ((s, d) => {
+      mediaCatalog(s, d)
+        .filter(col("kind") === "video")
+        .select(col("media_id"),
+          (octet_length(col("payload")) / lit(10)).cast("int").as("n_frames"))
+        .select(col("media_id"),
+          explode(expr("sequence(0, greatest(n_frames - 1, 0), 10)"))
+            .as("frame_idx"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm01_media_catalog" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  (n_chars % 640)::INT AS width, (n_chars % 480)::INT AS height
+        |FROM documents""".stripMargin,
+
+    // mm02: the byte-checksum stub is SQL-expressible (corpus is ASCII, so
+    // utf-8 byte values == codepoints), which validates the mapPartitions
+    // kernel end-to-end against an independent implementation.
+    "mm02_media_features" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    list_sum(list_transform(string_split_regex(text, ''),
+        |      c -> ord(c))) AS checksum
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n_media,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(checksum) AS BIGINT) AS total_checksum
+        |FROM f GROUP BY kind""".stripMargin,
+
+    "mm03_frame_sample" ->
+      """SELECT doc_id AS media_id, unnest(range(0,
+        |  greatest(octet_length(encode(text)) // 10, 1), 10)) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+  )
+}

@@ -88,7 +88,7 @@ object TextAnalysis {
   def oracleSql: Map[String, String] = Map(
     "tx01_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(len($tokensSql)) AS total_tokens,
+         |  CAST(SUM(len($tokensSql)) AS BIGINT) AS total_tokens,
          |  CAST(SUM(len($tokensSql)) AS DOUBLE) / COUNT(*) AS avg_tokens
          |FROM documents GROUP BY lang""".stripMargin,
 

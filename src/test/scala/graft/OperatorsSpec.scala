@@ -59,6 +59,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dd.select("keep_id").distinct().count() == dd.count())
   }
 
+  test("approx distinct (HLL) within 2% of exact per event_type") {
+    val exact = SparkEntry.queries("ev04_distinct_users")(spark, sf)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_users"))).toMap
+    val approx = SparkEntry.queries("ev05_approx_distinct_users")(spark, sf)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_users_approx"))).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.02, s"$k: approx $a vs $n")
+    }
+  }
+
   test("grep count total equals sum of per-source counts") {
     val counts = SparkEntry.queries("gr02_grep_count")(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_matches"))).toMap
