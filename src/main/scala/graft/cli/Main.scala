@@ -1,0 +1,70 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Grep
+import graft.streaming.{RainStormApps, RainStormJob}
+
+/** CLI verbs mirroring the reference's `run.sh` surface (reference
+  * run.sh:16-27): `dgrep` (LogQuerier, src/LogQuerier/client.py:164-199)
+  * and `rainstorm` (job submission, src/Streaming/Rainstorm.py:9-36).
+  *
+  * The reference submits `<op1> <op2> <input> <output> <num_tasks>
+  * [STATEFUL]`; here operators are named app shapes (the reference's two
+  * demo apps) and parallelism comes from the cluster, not argv.
+  */
+object Main {
+
+  private def session(name: String): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(name)
+      // spark-submit injects the real master on a cluster; default to
+      // local[*] so the CLI also runs standalone.
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    // dgrep <glob> <pattern> [-c]   (per-file lines, or counts + TOTAL)
+    case "dgrep" :: glob :: pattern :: rest =>
+      val spark = session("graft-dgrep")
+      val lines = Grep.grepLogs(spark, glob, pattern)
+      if (rest.contains("-c"))
+        Grep.grepCount(lines).orderBy(col("file")).collect()
+          .foreach(r => println(s"${r.get(0)}: ${r.get(1)}"))
+      else
+        lines.select(concat_ws(": ", col("file"), col("value"))).collect()
+          .foreach(r => println(r.getString(0)))
+      spark.stop()
+
+    // rainstorm simple <pattern> <idx1> <idx2> <in> <out> <ckpt>
+    case "rainstorm" :: "simple" :: p :: i1 :: i2 :: in :: out :: ckpt :: Nil =>
+      val spark = session("graft-rainstorm")
+      RainStormJob.start(spark, in,
+        RainStormApps.simpleApp(p, i1.toInt, i2.toInt), out, ckpt,
+        stateful = false).awaitTermination()
+      spark.stop()
+
+    // rainstorm complex <filterIdx> <filterVal> <keyIdx> <in> <out> <ckpt>
+    case "rainstorm" :: "complex" :: fi :: fv :: ki :: in :: out :: ckpt :: Nil =>
+      val spark = session("graft-rainstorm")
+      RainStormJob.start(spark, in,
+        RainStormApps.complexApp(fi.toInt, fv, ki.toInt), out, ckpt,
+        stateful = true).awaitTermination()
+      spark.stop()
+
+    case _ =>
+      System.err.println(
+        """usage:
+          |  dgrep <glob> <pattern> [-c]
+          |  rainstorm simple <pattern> <idx1> <idx2> <inDir> <outDir> <ckpt>
+          |  rainstorm complex <filterIdx> <filterVal> <keyIdx> <inDir> <outDir> <ckpt>
+          |""".stripMargin)
+      sys.exit(2)
+  }
+}

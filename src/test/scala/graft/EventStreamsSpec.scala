@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, SessionOut}
+
+/** Event-time streaming semantics: watermarked windows drop late data,
+  * dedup-within-watermark drops replays, session windows close on gap. */
+class EventStreamsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession()
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("windowed counts finalize and late data beyond watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    // window [0,10): 2 clicks; then advance watermark far past it
+    in.addData((ts(1), "click", 1.0), (ts(3), "click", 2.0))
+    q.processAllAvailable()
+    in.addData((ts(60), "view", 1.0)) // watermark -> 55min
+    q.processAllAvailable()
+    // too late for [0,10): must be ignored
+    in.addData((ts(2), "click", 100.0))
+    in.addData((ts(80), "view", 1.0)) // watermark 75 > 70: closes [60,70)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc")
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+        r.getLong(2))).toSet
+    assert(rows.contains((0L, "click", 2L))) // late row NOT counted
+    assert(rows.contains((60L, "view", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("event_id", "ts")
+    val q = EventStreams.dedupEvents(df, "5 minutes")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, ts(1)), (2L, ts(2)), (1L, ts(1))) // in-batch dup
+    q.processAllAvailable()
+    in.addData((1L, ts(1)), (3L, ts(3))) // cross-batch replay of id 1
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("session windows close after gap and carry correct bounds/counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(in.toDS(), gapSeconds = 300)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    // user 7: events at minute 10,12,14 (one session), then minute 40.
+    // (Times start past 0 — a row exactly at the initial watermark would
+    // be considered late and dropped.)
+    in.addData(SessionEvent(7, ts(10)), SessionEvent(7, ts(12)),
+      SessionEvent(7, ts(14)))
+    q.processAllAvailable()
+    in.addData(SessionEvent(7, ts(40))) // gap >5min: closes first session
+    q.processAllAvailable()
+    in.addData(SessionEvent(9, ts(60))) // push watermark to time out u7 s2
+    q.processAllAvailable()
+    in.addData(SessionEvent(9, ts(90)))
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("sess").as[SessionOut].collect()
+      .filter(_.user_id == 7).sortBy(_.session_start.getTime)
+    assert(sess.length == 2)
+    assert(sess(0).session_start == ts(10) && sess(0).session_end == ts(14)
+      && sess(0).n_events == 3)
+    assert(sess(1).session_start == ts(40) && sess(1).n_events == 1)
+  }
+}
