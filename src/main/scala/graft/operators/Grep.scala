@@ -30,10 +30,13 @@ object Grep {
       .withColumn("file", input_file_name())
       .filter(col("value").rlike(pattern))
 
-  /** `dgrep -c`: per-file counts plus a TOTAL row, like client.py:151-152. */
+  /** `dgrep -c`: per-file counts plus a TOTAL row, like client.py:151-152.
+    * The total is a separate global aggregate (not a rollup) so a query
+    * with zero matches still reports `TOTAL: 0`, as the reference does. */
   def grepCount(lines: DataFrame): DataFrame =
-    lines.rollup(col("file")).count()
-      .withColumn("file", coalesce(col("file"), lit("TOTAL")))
+    lines.groupBy(col("file")).count()
+      .unionByName(lines.agg(count(lit(1)).as("count"))
+        .select(lit("TOTAL").as("file"), col("count")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Matching-lines mode over the documents corpus, source = "machine".

@@ -74,6 +74,23 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Winnowing fingerprints (native rolling-hash expression,
+    // org.apache.spark.sql.graftx.WinnowFingerprint): doc pairs sharing
+    // >= 10 selected k-gram hashes — substring-level near-dup evidence.
+    // Hash-specific output -> rows-only check; properties in the spec.
+    "tx05_winnow_pairs" -> ((s, d) => {
+      val fp = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graftx.GraftFunctions
+            .winnow_fingerprint(col("text"))).as("f"))
+        .distinct()
+      fp.as("a").join(fp.as("b"),
+          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
+    }),
+
     // Content fingerprinting: md5 over whitespace-normalized text. Exact-dup
     // detection joins on this 16-byte key instead of the full document —
     // at 100 TB the shuffle carries fingerprints, not bodies.

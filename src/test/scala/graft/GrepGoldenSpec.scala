@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Grep
+
+/** Port of the reference's LogQuerier golden-count test strategy
+  * (reference tests/Log Querier/test.py:33-132 over generate_log.py):
+  * synthesize Common-Log-Format logs per "machine" with KNOWN pattern
+  * frequencies, then assert exact per-machine and total match counts for
+  * frequent / medium / rare / regex patterns.
+  */
+class GrepGoldenSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession()
+
+  private val nMachines = 4
+  private val linesPer = 1000
+
+  // deterministic corpus: frequent on ~60% of lines, medium ~30%, rare ~10%
+  // (the reference generator's split, generate_log.py:8-12), plus /product/N
+  // URLs on every 5th line for the regex workload.
+  private lazy val logDir: String = {
+    val dir = Files.createTempDirectory("golden-logs").toFile
+    (1 to nMachines).foreach { m =>
+      val sb = new StringBuilder
+      (0 until linesPer).foreach { i =>
+        val marker =
+          if (i % 10 < 6) "GET_frequent" else if (i % 10 < 9) "PUT_medium"
+          else "DEL_rare"
+        val url = if (i % 5 == 0) s"/product/${i / 5}" else "/home"
+        sb.append(s"""10.0.$m.$i - - [01/Jan/2026:00:00:00] "$marker $url" 200 $i\n""")
+      }
+      Files.write(new java.io.File(dir, s"machine.$m.log").toPath,
+        sb.toString.getBytes("UTF-8"))
+    }
+    dir.getPath
+  }
+
+  private def counts(pattern: String): (Map[String, Long], Long) = {
+    val lines = Grep.grepLogs(spark, s"$logDir/*.log", pattern)
+    val perFile = Grep.grepCount(lines).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("count"))).toMap
+    val total = perFile("TOTAL")
+    (perFile.filter(_._1 != "TOTAL").map { case (f, c) =>
+      f.substring(f.lastIndexOf('/') + 1) -> c
+    }, total)
+  }
+
+  test("frequent pattern: exact per-machine and total counts") {
+    val (per, total) = counts("GET_frequent")
+    assert(per.size == nMachines)
+    assert(per.values.forall(_ == 600L))
+    assert(total == 600L * nMachines)
+  }
+
+  test("medium and rare patterns") {
+    assert(counts("PUT_medium")._2 == 300L * nMachines)
+    assert(counts("DEL_rare")._2 == 100L * nMachines)
+  }
+
+  test("regex pattern /product/<digits>") {
+    val (per, total) = counts("/product/[0-9]+")
+    assert(per.values.forall(_ == 200L))
+    assert(total == 200L * nMachines)
+  }
+
+  test("pattern absent everywhere yields only a zero TOTAL row") {
+    val lines = Grep.grepLogs(spark, s"$logDir/*.log", "NO_SUCH_TOKEN_XYZ")
+    val rows = Grep.grepCount(lines).collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("count") == 0L)
+  }
+
+  test("matching lines carry their source file, scatter/gather style") {
+    val lines = Grep.grepLogs(spark, s"$logDir/*.log", "DEL_rare")
+      .withColumn("machine",
+        regexp_extract(col("file"), "machine\\.(\\d+)\\.log", 1))
+    val perMachine = lines.groupBy("machine").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perMachine == (1 to nMachines).map(m => m.toString -> 100L).toMap)
+  }
+}
