@@ -14,6 +14,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
+    (Relational2.queries, Relational2.oracleSql),
     (RainStormOps.queries, RainStormOps.oracleSql),
     (Grep.queries, Grep.oracleSql),
     (TextAnalysis.queries, TextAnalysis.oracleSql),

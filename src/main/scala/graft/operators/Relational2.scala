@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, Num}
+
+/** Second relational tranche: outer joins, non-equi (range) joins, scalar
+  * subqueries, the scalar-function surface, and the SQL front-end.
+  *
+  * None of these exist in the reference (SURVEY.md §2.4: joins "none",
+  * §2.5: no scalar library) — they complete the engine surface a user
+  * would expect when switching from any real analytics stack.
+  */
+object Relational2 {
+
+  import Num._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Left outer join preserving customers with zero open orders.
+    "q16_left_outer" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_open_orders"))
+    }),
+
+    // Full outer join across two event-type views keyed by user.
+    "q17_full_outer" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val buys = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("bu")).agg(count(lit(1)).as("n_buys"))
+      val errs = e.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("eu")).agg(count(lit(1)).as("n_errors"))
+      buys.join(errs, col("bu") === col("eu"), "full_outer")
+        .select(coalesce(col("bu"), col("eu")).as("user_id"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    }),
+
+    // Range (non-equi) join against an inline band dimension. The band
+    // table is tiny -> broadcast nested-loop, the correct plan: each row
+    // probes the broadcast bands, nothing shuffles.
+    "q18_range_join" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        ("small", 0.0, 1000.0), ("medium", 1000.0, 10000.0),
+        ("large", 10000.0, 100000.0), ("huge", 100000.0, 1e18)))
+        .toDF("band", "lo", "hi")
+      Tables(s, d, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("volume"))
+    }),
+
+    // Correlated scalar subquery, expressed via SQL on registered views —
+    // Catalyst decorrelates it into an aggregate + join.
+    "q19_scalar_subquery" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      // order-independent decimal mean in the subquery: a plain AVG(double)
+      // is partition-order dependent and could flip boundary comparisons
+      s.sql("""
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_retailprice >
+          (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,2))) AS DOUBLE)
+             / COUNT(*)
+           FROM part p2 WHERE p2.p_brand = part.p_brand)
+        GROUP BY p_brand""")
+    }),
+
+    // Scalar-function surface: strings and dates in one projection.
+    "q20_scalar_functions" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          substring(col("o_orderstatus"), 1, 1).as("status1"),
+          length(col("o_orderpriority")).as("prio_len"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
+            .as("tagged"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_2002"))
+    }),
+
+    // UNION ALL with provenance tags (bag semantics, vs q11's set ops).
+    "q21_union_all" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), lit("finished").as("src"))
+        .unionByName(
+          o.filter(col("o_totalprice") > 50000)
+            .select(col("o_custkey"), lit("big").as("src")))
+        .groupBy(col("src")).agg(count(lit(1)).as("n"))
+    }),
+
+    // The SQL front end over registered views (same engine, text surface).
+    "q22_sql_surface" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(s"""
+        SELECT n_name, COUNT(*) AS n_customers,
+          ${sqlDsum("c_acctbal")} AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q16_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_open_orders
+        |FROM customer LEFT JOIN (SELECT * FROM orders
+        |  WHERE o_orderstatus = 'O') o ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q17_full_outer" ->
+      """WITH b AS (SELECT user_id AS bu, COUNT(*) AS n_buys FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |e AS (SELECT user_id AS eu, COUNT(*) AS n_errors FROM events
+        |  WHERE event_type = 'error' GROUP BY user_id)
+        |SELECT COALESCE(bu, eu) AS user_id,
+        |  COALESCE(n_buys, 0) AS n_buys, COALESCE(n_errors, 0) AS n_errors
+        |FROM b FULL OUTER JOIN e ON bu = eu""".stripMargin,
+
+    "q18_range_join" ->
+      s"""WITH bands(band, lo, hi) AS (VALUES
+         |  ('small', 0.0, 1000.0), ('medium', 1000.0, 10000.0),
+         |  ('large', 10000.0, 100000.0), ('huge', 100000.0, 1e18))
+         |SELECT band, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS volume
+         |FROM orders JOIN bands
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band""".stripMargin,
+
+    "q19_scalar_subquery" ->
+      """SELECT p_brand, COUNT(*) AS n_parts
+        |FROM part
+        |WHERE p_retailprice >
+        |  (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,2))) AS DOUBLE)
+        |     / COUNT(*)
+        |   FROM part p2 WHERE p2.p_brand = part.p_brand)
+        |GROUP BY p_brand""".stripMargin,
+
+    "q20_scalar_functions" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  substring(o_orderstatus, 1, 1) AS status1,
+        |  length(o_orderpriority) AS prio_len,
+        |  concat_ws('|', o_orderstatus, o_orderpriority) AS tagged,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    DATE '2002-01-01') AS INT) AS days_to_2002
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+
+    "q21_union_all" ->
+      """SELECT src, COUNT(*) AS n FROM (
+        |  SELECT o_custkey, 'finished' AS src FROM orders
+        |    WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_custkey, 'big' AS src FROM orders
+        |    WHERE o_totalprice > 50000)
+        |GROUP BY src""".stripMargin,
+
+    "q22_sql_surface" ->
+      s"""SELECT n_name, COUNT(*) AS n_customers,
+         |  ${sqlDsum("c_acctbal")} AS total_balance
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin
+  )
+}
