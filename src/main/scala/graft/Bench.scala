@@ -15,7 +15,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink materializes every output column (a count() would let
+      // Catalyst prune the projections being measured)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       finally spark.catalog.clearCache() // drop per-query persisted indexes
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -76,7 +76,7 @@ object TextAnalysis {
 
     // Winnowing fingerprints (native rolling-hash expression,
     // org.apache.spark.sql.graftx.WinnowFingerprint): doc pairs sharing
-    // >= 10 selected k-gram hashes — substring-level near-dup evidence.
+    // >= 5 selected k-gram hashes — substring-level near-dup evidence.
     // Hash-specific output -> rows-only check; properties in the spec.
     "tx05_winnow_pairs" -> ((s, d) => {
       val fp = Tables(s, d, "documents")
@@ -88,7 +88,7 @@ object TextAnalysis {
           col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 10)
+        .filter(col("n_shared") >= 5)
     }),
 
     // Content fingerprinting: md5 over whitespace-normalized text. Exact-dup

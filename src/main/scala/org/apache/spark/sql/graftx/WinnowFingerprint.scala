@@ -21,9 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * projection at I/O speed, where a lambda/UDF formulation would dominate
   * CPU.
   *
-  * Static parameters: K = 8-byte grams, W = 16-gram windows, base 257,
-  * 64-bit wraparound arithmetic (overflow is intentional and identical in
-  * eval and codegen paths).
+  * Static parameters: K = 24-byte grams (short grams on a small-vocabulary
+  * corpus are shared by nearly every document pair and explode the
+  * fingerprint join; ~25-50 bytes is the standard plagiarism-detection
+  * noise threshold), W = 16-gram windows, base 257, 64-bit wraparound
+  * arithmetic (overflow is intentional and identical in eval and codegen
+  * paths).
   */
 case class WinnowFingerprint(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -54,7 +57,7 @@ case class WinnowFingerprint(child: Expression)
 }
 
 object WinnowFingerprint {
-  final val K = 8 // gram length in bytes
+  final val K = 24 // gram length in bytes
   final val W = 16 // window size in grams
   final val Base = 257L
 

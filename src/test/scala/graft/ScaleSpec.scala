@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scale
+
+/** Scale-technique proofs: salted aggregation equals plain aggregation,
+  * and bucketed tables join without an exchange. */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession()
+  val sf = "/root/testdata/sf0.001"
+
+  test("salted aggregation == plain groupBy on a skewed key") {
+    val li = graft.core.Tables(spark, sf, "lineitem")
+    // l_returnflag is the skew archetype: ~3 values over the whole table
+    val plain = li.groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(30,2)")).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2))).toSet
+    val salted = Scale.saltedAgg(li, col("l_returnflag"), salts = 8,
+      (count(lit(1)), "n"),
+      (sum(col("l_quantity").cast("decimal(30,2)")), "q"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val wh = Files.createTempDirectory("bucketed").toFile.getPath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bk LOCATION '$wh'")
+    val li = graft.core.Tables(spark, sf, "lineitem")
+    val o = graft.core.Tables(spark, sf, "orders")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_bk.li_b")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_bk.o_b")
+    // force the non-broadcast path: the point is that co-located,
+    // co-sorted buckets sort-merge-join with NO exchange on the join keys
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bk.li_b")
+        .join(spark.table("graft_bk.o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"unexpected shuffle on join keys:\n$plan")
+      assert(joined.count() == 3)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}

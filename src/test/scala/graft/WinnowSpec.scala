@@ -76,7 +76,7 @@ class WinnowSpec extends AnyFunSuite {
     val fpBase = WinnowFingerprint.winnow(base.getBytes).toSet
     val fpNear = WinnowFingerprint.winnow(nearDup.getBytes).toSet
     val fpOther = WinnowFingerprint.winnow(other.getBytes).toSet
-    assert(fpBase.intersect(fpNear).size >= 3)
+    assert(fpBase.intersect(fpNear).size >= 2)
     assert(fpBase.intersect(fpOther).isEmpty)
   }
 }
