@@ -81,6 +81,19 @@ object Events {
           dsum(col("value")).as("sum_value"))
     }),
 
+    // JSON processing (the reference JSON-encodes every record,
+    // worker.py:52-62; here JSON is a first-class column): parse the props
+    // payload, extract a typed field, aggregate on it.
+    "ev06_json_extract" -> ((s, d) => {
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -132,6 +145,13 @@ object Events {
     "ev04_distinct_users" ->
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
          |  ${sqlDsum("value")} AS sum_value
-         |FROM events GROUP BY event_type""".stripMargin
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev06_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+        |    AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -34,6 +34,28 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's clicks from the preceding `window`. Both sides carry
+    * watermarks so join state is bounded and evicted as time advances —
+    * the streaming twin of the batch as-of join (operators.Events ev02),
+    * and machinery the reference cannot express at all.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", window)
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", window)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,

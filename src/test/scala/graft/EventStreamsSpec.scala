@@ -58,6 +58,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("event_id", "user_id", "ts")
+    val bdf = buys.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.clickToPurchase(cdf, bdf, "10 minutes")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData((100L, 7L, ts(11)), (101L, 7L, ts(14)),
+      (102L, 8L, ts(12)))
+    buys.addData((200L, 7L, ts(15)))   // pairs with clicks 100 and 101
+    buys.addData((201L, 7L, ts(40)))   // out of window: no pairs
+    buys.addData((202L, 9L, ts(16)))   // no clicks for user 9
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    clicks.addData((103L, 1L, ts(90)))
+    buys.addData((203L, 1L, ts(91)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssj")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((200L, 100L)) && pairs.contains((200L, 101L)))
+    assert(!pairs.exists(_._1 == 201L) && !pairs.exists(_._1 == 202L))
+  }
+
   test("session windows close after gap and carry correct bounds/counts") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
