@@ -57,6 +57,29 @@ object Similarity {
       topkPerQuery(scored)
     }),
 
+    // Same answer as sim01 via the typed TopKAggregator: map-side partials
+    // mean each partition forwards <= K candidates per query into the
+    // exchange (vs the window formulation shuffling every scored row).
+    // Checked against the same DuckDB oracle as sim01.
+    "sim04_knn_aggregator" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables(s, d, "embeddings")
+      val scored = e.crossJoin(broadcast(queriesDf(s, d)))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+      val agg = new graft.functions.TopKAggregator(K).toColumn
+      scored.select(col("qid"), col("vec_id"), col("cos_r"))
+        .as[(Long, Long, Double)]
+        .map(t => (t._1, graft.functions.ScoredItem(t._2, t._3)))
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg.name("topk"))
+        .toDF("qid", "topk")
+        .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "item")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("item.vec_id").as("vec_id"), col("item.cos_r").as("cos_r"))
+    }),
+
     "sim02_ann_lsh" -> ((s, d) => {
       // L independent hash tables of B hyperplanes each; a query probes its
       // own bucket plus every 1-bit-flip bucket in every table. Expected
@@ -112,8 +135,7 @@ object Similarity {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
-    "sim01_knn_bruteforce" ->
+  private lazy val sim01Oracle: String =
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |  WHERE vec_id < $NQueries),
          |scored AS (
@@ -132,6 +154,11 @@ object Similarity {
          |    (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "sim01_knn_bruteforce" -> sim01Oracle,
+    // sim04 must produce exactly sim01's rows through the typed Aggregator
+    "sim04_knn_aggregator" -> sim01Oracle
     // sim02/sim03: approximate — no SQL oracle; recall asserted in tests.
   )
 }
