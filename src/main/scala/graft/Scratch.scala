@@ -18,14 +18,19 @@ object Scratch {
       val r = f
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
     }
-    val docs = core.Tables(spark, d, "documents")
-    val fp = docs.select(col("doc_id"),
-      explode(org.apache.spark.sql.graftx.GraftFunctions
-        .winnow_fingerprint(col("text"))).as("f"))
-    t("winnow explode count")(fp.count())
-    t("winnow distinct count")(fp.distinct().count())
-    t("tx05 full")(SparkEntry.queries("tx05_winnow_pairs")(spark, d).count())
-    t("tx05 again")(SparkEntry.queries("tx05_winnow_pairs")(spark, d).count())
+    val sh = core.Tables(spark, d, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftx.WordShinglesFunctions
+          .word_shingles(col("text"), 3).as("sh"))
+    t("native shingles full scan")(sh.agg(sum(size(col("sh")))).collect()(0))
+    t("warm dd02")(SparkEntry.queries("dd02_jaccard_pairs")(spark, d).count())
+    spark.catalog.clearCache()
+    t("dd02 run2")(SparkEntry.queries("dd02_jaccard_pairs")(spark, d).count())
+    spark.catalog.clearCache()
+    t("dd03 run1")(SparkEntry.queries("dd03_minhash_lsh")(spark, d).count())
+    spark.catalog.clearCache()
+    t("dd03 run2")(SparkEntry.queries("dd03_minhash_lsh")(spark, d).count())
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

@@ -84,22 +84,22 @@ object Similarity {
       // L independent hash tables of B hyperplanes each; a query probes its
       // own bucket plus every 1-bit-flip bucket in every table. Expected
       // touched fraction per table = (1+B)/2^B of the corpus — the knob
-      // that trades recall for scan fraction at 100 TB.
+      // that trades recall for scan fraction at 100 TB. Bucket ids for all
+      // tables come from ONE pass over the vector via the native
+      // SignBuckets expression (codegen; the lambda formulation walked the
+      // vector L*B times interpreted).
       val L = 8; val B = 6
+      import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
       val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"), explode(array(
-          (0 until L).map(t => struct(lit(t).as("tbl"),
-            signBucket(col("embedding"), B, t).as("bucket"))): _*)).as("k"))
         .select(col("vec_id"), col("embedding"),
-          col("k.tbl"), col("k.bucket"))
+          posexplode(sign_buckets(col("embedding"), B, L))
+            .as(Seq("tbl", "bucket")))
       val q = queriesDf(s, d)
-        .select(col("qid"), col("qv"), explode(array(
-          (0 until L).flatMap { t =>
-            val own = signBucket(col("qv"), B, t)
-            (own +: (0 until B).map(b => own.bitwiseXOR(lit(1L << b))))
-              .map(bk => struct(lit(t).as("tbl"), bk.as("bucket")))
-          }: _*)).as("k"))
-        .select(col("qid"), col("qv"), col("k.tbl"), col("k.bucket"))
+        .select(col("qid"), col("qv"),
+          posexplode(sign_buckets(col("qv"), B, L)).as(Seq("tbl", "own")))
+        .select(col("qid"), col("qv"), col("tbl"),
+          explode(array(col("own") +: (0 until B).map(b =>
+            col("own").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
       val scored = e.join(broadcast(q), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
