@@ -28,5 +28,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprint].getName,
         "winnow_fingerprint"),
       (children: Seq[Expression]) => WinnowFingerprint(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) =>
+        WordShingles(children(0), intLit(children(1), "word_shingles"))))
+    ext.injectFunction((
+      FunctionIdentifier("sign_buckets"),
+      new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
+      (children: Seq[Expression]) => SignBuckets(children(0),
+        intLit(children(1), "sign_buckets"),
+        intLit(children(2), "sign_buckets"))))
+  }
+
+  /** Static parameters must be integer literals in SQL calls. */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal parameter, got $other")
   }
 }
