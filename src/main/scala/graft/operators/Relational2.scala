@@ -99,6 +99,31 @@ object Relational2 {
         .groupBy(col("src")).agg(count(lit(1)).as("n"))
     }),
 
+    // Exact interpolated percentiles per group (same R-7 interpolation as
+    // DuckDB's quantile_cont over identical inputs).
+    "q23_percentiles" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Moment statistics. Spark's stddev/corr merge partial moments
+    // (partition-order-dependent in the last ulps), so results round to
+    // 4 dp on both sides — drift is ~1e-12 relative, far inside the
+    // rounding guard.
+    "q24_moments" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("qty_price_corr"),
+          round(avg(col("l_discount")), 4).as("avg_disc"))
+    }),
+
     // The SQL front end over registered views (same engine, text surface).
     "q22_sql_surface" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -172,6 +197,20 @@ object Relational2 {
       s"""SELECT n_name, COUNT(*) AS n_customers,
          |  ${sqlDsum("c_acctbal")} AS total_balance
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
-         |GROUP BY n_name""".stripMargin
+         |GROUP BY n_name""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q24_moments" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }
