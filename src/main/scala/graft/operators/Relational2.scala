@@ -124,6 +124,22 @@ object Relational2 {
           round(avg(col("l_discount")), 4).as("avg_disc"))
     }),
 
+    // Data-quality audit: per-column null rates and value ranges in one
+    // scan — the table-health pass a training pipeline runs before
+    // ingesting a new drop. One partial-agg pass, 1-row output.
+    "q25_data_audit" -> ((s, d) => {
+      Tables(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+        sum(col("o_totalprice").isNull.cast("long")).as("null_totalprice"),
+        sum((col("o_totalprice") <= 0).cast("long")).as("nonpos_totalprice"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        min(col("o_orderdate")).cast("date").as("first_date"),
+        max(col("o_orderdate")).cast("date").as("last_date"))
+    }),
+
     // The SQL front end over registered views (same engine, text surface).
     "q22_sql_surface" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -205,6 +221,21 @@ object Relational2 {
         |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q25_data_audit" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_custkey,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_totalprice,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nonpos_totalprice,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        |  CAST(MIN(o_orderdate) AS DATE) AS first_date,
+        |  CAST(MAX(o_orderdate) AS DATE) AS last_date
+        |FROM orders""".stripMargin,
 
     "q24_moments" ->
       """SELECT l_returnflag,

@@ -113,6 +113,31 @@ object RainStormJob {
       .write.mode("overwrite").text(s"$outDir/batch-$batchId")
   }
 
+  /** Small-file compaction for a directory of per-batch outputs — the
+    * analogue of HyDFS's multi-writer append + `merge` protocol
+    * (reference src/FileSystem/file_system.py:286-365): many small
+    * atomically-visible appends are periodically consolidated into few
+    * large files. Here: read every batch-* directory, rewrite as
+    * `targetFiles` parquet files under `<outDir>/compacted`, then (and
+    * only then) delete the consumed batch directories — readers see either
+    * the old small files or the new compacted ones, never neither. At
+    * 100 TB this is the nightly job that keeps scan partition counts sane.
+    */
+  def compact(spark: SparkSession, outDir: String, targetFiles: Int): Long = {
+    val dir = new java.io.File(outDir)
+    val batchDirs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    if (batchDirs.isEmpty) return 0L
+    val df = spark.read.text(batchDirs.map(_.getPath): _*)
+    val n = df.count()
+    df.repartition(targetFiles).write.mode("append")
+      .text(s"$outDir/compacted")
+    batchDirs.foreach { b =>
+      b.listFiles().foreach(_.delete()); b.delete()
+    }
+    n
+  }
+
   /** Assemble and start the full job. `outputMode` must be Update when the
     * chain contains a stateful op (per-update emission), Append otherwise. */
   def start(spark: SparkSession, inputDir: String, ops: Seq[RainStormOp],

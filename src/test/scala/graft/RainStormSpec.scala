@@ -90,6 +90,47 @@ class RainStormSpec extends AnyFunSuite {
     assert(readOut(out).size == (0 until 600).count(_ % 3 == 2))
   }
 
+  test("op chains generalize past the reference's fixed 2-op topology") {
+    val root = Files.createTempDirectory("rs-chain").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val out = new java.io.File(root, "out")
+    writeCsv(in, 0, 200)
+    // 4 operators: regex filter -> flatMap fan-out(2x) -> project -> filter
+    val ops = Seq(
+      ExprOp(df => df.filter(col("value").rlike("Stop|Yield"))),
+      FlatMapOp(kv => Seq(kv, KV(kv.key + "#dup", kv.value))),
+      ExprOp(df => df.withColumn("cols", split(col("value"), ","))
+        .select(col("cols").getItem(0).as("key"),
+          col("cols").getItem(1).as("value"))),
+      ExprOp(df => df.filter(col("value") === "Stop")))
+    val q = RainStormJob.start(spark, in.getPath, ops, out.getPath,
+      new java.io.File(root, "ckpt").getPath, stateful = false)
+    q.awaitTermination()
+    // kinds cycle Stop,Yield,Speed,Warning; Stop|Yield filter keeps i%4<2,
+    // fan-out doubles, final filter keeps only Stop (i%4==0)
+    assert(readOut(out).size == 2 * (0 until 200).count(_ % 4 == 0))
+  }
+
+  test("compaction consolidates batch outputs losslessly (merge analogue)") {
+    val root = Files.createTempDirectory("rs-compact").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val ops = RainStormApps.simpleApp("Stop", 0, 3)
+    // three waves -> three batch-* directories of small files
+    (0 until 3).foreach { w =>
+      writeCsv(in, w * 100, (w + 1) * 100)
+      RainStormJob.start(spark, in.getPath, ops, out.getPath, ckpt,
+        stateful = false).awaitTermination()
+    }
+    val before = readOut(out).sorted
+    assert(out.listFiles().count(_.getName.startsWith("batch-")) == 3)
+    val n = RainStormJob.compact(spark, out.getPath, targetFiles = 1)
+    assert(n == before.size)
+    assert(out.listFiles().count(_.getName.startsWith("batch-")) == 0)
+    assert(readOut(out).sorted == before) // same records, fewer files
+  }
+
   test("flatMapOp escape hatch matches reference flatMap contract") {
     val root = Files.createTempDirectory("rs-flatmap").toFile
     val in = new java.io.File(root, "in"); in.mkdirs()
