@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.DocPipeline
+
+/** Streaming document ingest: quality gate + content dedup across
+  * micro-batches, with whitespace-normalization catching disguised dups. */
+class DocPipelineSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession()
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp((10 + minute) * 60000L)
+
+  private val good =
+    "spark group query row data slow small filter customer line the batch " +
+    "value merge line table data stream join order sort scan hash window " +
+    "vector key part agg big fast column dup"
+
+  test("quality gate drops short/repetitive docs; dedup drops content dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val df = in.toDF().toDF("doc_id", "text", "ts")
+    val q = DocPipeline.ingest(df, minTokens = 20, minTtr = 0.25)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append).start()
+
+    in.addData(
+      (1L, good, ts(0)),
+      (2L, "too short", ts(1)),                      // fails minTokens
+      (3L, Seq.fill(30)("spam").mkString(" "), ts(2)), // fails TTR
+      (4L, good + " ", ts(3)))                       // dup of 1 (normalized)
+    q.processAllAvailable()
+    in.addData((5L, "  " + good, ts(4)),             // cross-batch dup of 1
+      (6L, good.replace("spark", "flink"), ts(5)))   // near-dup but distinct
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("ingest").select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(kept == Seq(1L, 6L))
+  }
+}
