@@ -160,6 +160,22 @@ object Dedup {
         .filter(col("jaccard") >= 0.8)
     }),
 
+    // Embedding-cosine near-dup pairs: all ordered pairs above threshold.
+    // Brute force O(N^2) with the native fused cosine kernel — correct and
+    // CPU-bound; at 100 TB the candidate set comes from sign-LSH buckets
+    // (sim02's machinery) and this exact scoring runs per bucket only.
+    // Oracled bit-exact (same left-to-right double fold as DuckDB).
+    "dd05_embedding_neardup" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(cosine(col("a.embedding"), col("b.embedding")), 6)
+            .as("cos_r"))
+        .filter(col("cos_r") >= 0.45)
+    }),
+
     // SimHash: 64 conditional-sum aggregates over token postings build the
     // 64-bit signature; Hamming<=3 pairs via 16-bit band blocking.
     // No SQL oracle (hash-function specific) — rows-only.
@@ -196,6 +212,25 @@ object Dedup {
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dd02_jaccard_pairs" -> jaccardOracle,
+    "dd05_embedding_neardup" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |    6) AS cos_r
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |    6) >= 0.45""".stripMargin,
     // dd03 finds the same pairs as dd02 for this corpus (see class doc);
     // verified against the same exact-Jaccard oracle.
     "dd03_minhash_lsh" -> jaccardOracle
