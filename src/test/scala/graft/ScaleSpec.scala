@@ -28,6 +28,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    val dir = Files.createTempDirectory("parted").toFile.getPath
+    val ev = graft.core.Tables(spark, sf, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$dir/events")
+    val one = spark.read.parquet(s"$dir/events")
+      .filter(col("day") === "2024-01-03")
+    val scan = one.queryExecution.executedPlan.toString
+    // the date filter must become a PartitionFilter (directory pruning),
+    // not a post-scan row filter over all partitions
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"no partition pruning in:\n$scan")
+    val expected = ev.filter(col("day") === "2024-01-03").count()
+    assert(one.count() == expected && expected > 0)
+  }
+
   test("bucketed tables join with zero exchanges") {
     val wh = Files.createTempDirectory("bucketed").toFile.getPath
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bk LOCATION '$wh'")
