@@ -88,8 +88,10 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
-  private val jaccardOracle =
-    """WITH t AS (
+  /** Shared CTE block (everything after WITH) computing the >= 0.8
+    * Jaccard pairs as relation `jp(d1, d2, jaccard)`. */
+  private val jaccardCtes =
+    """t AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       |  FROM documents),
       |sh AS (
@@ -101,11 +103,29 @@ object Dedup {
       |p AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT d1, d2,
-      |  CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
-      |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-      |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""".stripMargin
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT d1, d2,
+      |    CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+      |  FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8)""".stripMargin
+
+  private val jaccardOracle =
+    s"WITH $jaccardCtes\nSELECT d1, d2, jaccard FROM jp"
+
+  /** Connected components over jp via a recursive transitive closure;
+    * cluster id = min reachable node. */
+  private val clustersOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2, d1 FROM jp),
+       |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT re.node, e.d2 FROM reach re JOIN edges e ON re.r = e.d1)
+       |SELECT rep AS cluster_rep, COUNT(*) AS cluster_size FROM (
+       |  SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
+       |GROUP BY rep""".stripMargin
 
   val NumPerms = 128
   val Bands = 32 // x 4 rows per band
@@ -160,6 +180,44 @@ object Dedup {
         .filter(col("jaccard") >= 0.8)
     }),
 
+    // Near-dup clusters: connected components over the Jaccard pair graph,
+    // then one representative (min doc_id) per cluster — what a dedup
+    // pipeline actually ships. Iterative min-label propagation: each round
+    // every node adopts the smallest label among itself and its neighbors;
+    // converges in O(diameter) rounds (dedup clusters are tiny — pairs and
+    // chains — so 2-4 joins). At 100 TB this is the standard alternating
+    // large-star/small-star connected-components pattern; each round is
+    // one shuffle on the node id.
+    "dd06_dedup_clusters" -> ((s, d) => {
+      val idx = shingleIndex(s, d)
+      val pairs = jaccardFrom(pairCounts(postings(idx)), idx)
+        .select(col("d1"), col("d2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // undirected edge list + every member node
+      val edges = pairs.unionByName(
+        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("d1").as("node"))
+        .distinct().withColumn("label", col("node"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val viaNeighbor = edges
+          .join(labels, edges("d2") === labels("node"))
+          .select(edges("d1").as("node"), col("label"))
+        val next = labels.select(col("node"), col("label"))
+          .unionByName(viaNeighbor)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      labels.groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+    }),
+
     // Embedding-cosine near-dup pairs: all ordered pairs above threshold.
     // Brute force O(N^2) with the native fused cosine kernel — correct and
     // CPU-bound; at 100 TB the candidate set comes from sign-LSH buckets
@@ -212,6 +270,7 @@ object Dedup {
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dd02_jaccard_pairs" -> jaccardOracle,
+    "dd06_dedup_clusters" -> clustersOracle,
     "dd05_embedding_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(
