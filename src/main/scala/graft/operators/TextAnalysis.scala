@@ -91,6 +91,32 @@ object TextAnalysis {
         .filter(col("n_shared") >= 5)
     }),
 
+    // BPE-ish subword pre-tokenizer count (GPT-2-style: space-prefixed
+    // letter runs, digit runs, punctuation runs) — the unit that tracks
+    // real tokenizer budgets far better than whitespace words.
+    "tx06_bpe_token_count" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("source"),
+          expr("size(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0))")
+            .as("n_bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("total_bpe_tokens"),
+          max(col("n_bpe")).as("max_bpe_tokens"))
+    }),
+
+    // Stratified sampling by language (seeded, Spark-deterministic): the
+    // corpus-balancing step of a training-data pipeline. Hash-based
+    // sampling would be engine-portable; Bernoulli sampleBy is the
+    // idiomatic Spark surface -> rows-only check + proportion test.
+    "tx07_stratified_sample" -> ((s, d) => {
+      val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0,
+        "es" -> 1.0, "zh" -> 1.0)
+      Tables(s, d, "documents")
+        .stat.sampleBy("lang", fractions, seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    }),
+
     // Content fingerprinting: md5 over whitespace-normalized text. Exact-dup
     // detection joins on this 16-byte key instead of the full document —
     // at 100 TB the shuffle carries fingerprints, not bodies.
@@ -131,6 +157,16 @@ object TextAnalysis {
          |    FROM t)
          |SELECT lang, predicted, COUNT(*) AS n_docs
          |FROM p GROUP BY lang, predicted""".stripMargin,
+
+    "tx06_bpe_token_count" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(lower(text),
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT)
+        |    AS total_bpe_tokens,
+        |  CAST(MAX(len(regexp_extract_all(lower(text),
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT)
+        |    AS max_bpe_tokens
+        |FROM documents GROUP BY source""".stripMargin,
 
     "tx04_fingerprint" ->
       """SELECT doc_id,

@@ -72,6 +72,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample respects per-stratum fractions") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SparkEntry.queries("tx07_stratified_sample")(spark, sf)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_sampled")))
+      .toMap
+    // non-en strata: fraction 1.0 -> exact; en: ~0.5 within loose bounds
+    totals.filter(_._1 != "en").foreach { case (l, n) =>
+      assert(sampled(l) == n, s"$l: ${sampled(l)} vs $n")
+    }
+    val enFrac = sampled("en").toDouble / totals("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
+  }
+
   test("grep count total equals sum of per-source counts") {
     val counts = SparkEntry.queries("gr02_grep_count")(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_matches"))).toMap
