@@ -24,6 +24,8 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -58,12 +60,31 @@ object Main {
         stateful = true).awaitTermination()
       spark.stop()
 
+    // sql <sfDir> <file.sql | inline SQL>  (views registered, graft
+    // functions available; statements split on ';')
+    case "sql" :: sfDir :: rest if rest.nonEmpty =>
+      val spark = session("graft-sql")
+      org.apache.spark.sql.graftx.GraftExtensions.registerAll(spark)
+      graft.core.Tables.registerAll(spark, sfDir)
+      val text = {
+        val joined = rest.mkString(" ")
+        if (new java.io.File(joined).isFile)
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(joined)), "UTF-8")
+        else joined
+      }
+      text.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+        spark.sql(stmt).show(50, truncate = false)
+      }
+      spark.stop()
+
     case _ =>
       System.err.println(
         """usage:
           |  dgrep <glob> <pattern> [-c]
           |  rainstorm simple <pattern> <idx1> <idx2> <inDir> <outDir> <ckpt>
           |  rainstorm complex <filterIdx> <filterVal> <keyIdx> <inDir> <outDir> <ckpt>
+          |  sql <sfDir> <file.sql | statement>
           |""".stripMargin)
       sys.exit(2)
   }

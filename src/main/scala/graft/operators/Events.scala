@@ -94,6 +94,26 @@ object Events {
           max(col("k")).as("max_k"))
     }),
 
+    // Outlier detection: events more than 3 sigma above their type's mean.
+    // Moments come from order-independent decimal sums (mean and variance
+    // via sum/sumsq), so the 3-sigma threshold is bit-identical across
+    // engines and partitionings — no boundary flapping. One tiny stats
+    // aggregate broadcast back over the scan.
+    "ev07_outliers" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val stats = e.groupBy(col("event_type").as("et")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(30,4)"))
+          .cast("double").as("s2"))
+        .select(col("et"), (col("s1") / col("n")).as("mean"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1)).as("sd"))
+      e.join(broadcast(stats), e("event_type") === stats("et"))
+        .filter(col("value") > col("mean") + lit(3.0) * col("sd"))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -146,6 +166,18 @@ object Events {
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
          |  ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev07_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type AS et, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT et, s1 / n AS mean,
+        |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM st)
+        |SELECT event_id, event_type, value
+        |FROM events JOIN m ON event_type = et
+        |WHERE value > mean + 3.0 * sd""".stripMargin,
 
     "ev06_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

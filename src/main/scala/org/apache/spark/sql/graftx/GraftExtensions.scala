@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftx
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -12,34 +12,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * // then: SELECT cosine_sim(a.embedding, b.embedding), winnow_fingerprint(text) ...
   * }}}
   *
+  * For an already-built session (e.g. the CLI), use
+  * [[GraftExtensions.registerAll]].
+  *
   * Registration-only — per SURVEY.md §4/§7.3 no custom optimizer Rule or
   * SparkStrategy is required for parity with the reference (it has no
   * optimizer at all); the custom surface here is scalar kernels, which is
   * the correct (cheapest) extension tier for these semantics.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("winnow_fingerprint"),
-      new ExpressionInfo(classOf[WinnowFingerprint].getName,
-        "winnow_fingerprint"),
-      (children: Seq[Expression]) => WinnowFingerprint(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("word_shingles"),
-      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (children: Seq[Expression]) =>
-        WordShingles(children(0), intLit(children(1), "word_shingles"))))
-    ext.injectFunction((
-      FunctionIdentifier("sign_buckets"),
-      new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
-      (children: Seq[Expression]) => SignBuckets(children(0),
-        intLit(children(1), "sign_buckets"),
-        intLit(children(2), "sign_buckets"))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("org.apache.spark.sql.graftx", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
 
   /** Static parameters must be integer literals in SQL calls. */
   private def intLit(e: Expression, fn: String): Int = e match {
@@ -47,4 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$fn expects an integer literal parameter, got $other")
   }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> ((es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    "winnow_fingerprint" -> ((es: Seq[Expression]) =>
+      WinnowFingerprint(es.head)),
+    "word_shingles" -> ((es: Seq[Expression]) =>
+      WordShingles(es(0), intLit(es(1), "word_shingles"))),
+    "sign_buckets" -> ((es: Seq[Expression]) => SignBuckets(es(0),
+      intLit(es(1), "sign_buckets"), intLit(es(2), "sign_buckets"))))
+
+  /** Register every graft function on a live session's registry. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
