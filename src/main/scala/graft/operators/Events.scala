@@ -45,20 +45,19 @@ object Events {
     }),
 
     // As-of join: each purchase matched to the same user's most recent
-    // prior-or-simultaneous click (union + last(ignoreNulls) formulation).
+    // prior-or-simultaneous click, through the reusable
+    // [[Joins.asofBackward]] operator (union + last(ignoreNulls)).
     "ev02_asof_join" -> ((s, d) => {
       val e = Tables(s, d, "events")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      e.filter(col("event_type").isin("click", "purchase"))
-        .withColumn("is_click", (col("event_type") === "click").cast("int"))
-        .withColumn("click_ts",
-          last(when(col("is_click") === 1, col("ts")), ignoreNulls = true)
-            .over(w))
-        .filter(col("event_type") === "purchase")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ts").as("click_ts"))
+      Joins.asofBackward(purchases, clicks, key = "user_id", ts = "ts",
+          tieBreak = Seq("event_id"))
         .select(col("event_id"), col("user_id"),
-          (col("ts").cast("long") - col("click_ts").cast("long"))
+          (col("ts").cast("long") - col("click_ts_matched").cast("long"))
             .as("secs_since_click"))
     }),
 
