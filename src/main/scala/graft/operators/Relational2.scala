@@ -140,6 +140,18 @@ object Relational2 {
         max(col("o_orderdate")).cast("date").as("last_date"))
     }),
 
+    // Approximate percentile sketch (no oracle — error bound asserted in
+    // the spec against exact q23). At 100 TB the mergeable sketch replaces
+    // a full sort the same way HLL replaces a distinct shuffle.
+    "q26_approx_percentiles" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)")
+          .as("median_approx"),
+          expr("approx_percentile(o_totalprice, 0.95, 10000)")
+            .as("p95_approx"))
+    }),
+
     // The SQL front end over registered views (same engine, text surface).
     "q22_sql_surface" -> ((s, d) => {
       Tables.registerAll(s, d)

@@ -117,6 +117,39 @@ object TextAnalysis {
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
     }),
 
+    // IDF-weighted shingle cosine pairs — sparse-vector text similarity
+    // via the inverted index: idf weights live on (doc, shingle) postings
+    // (shingles as terms keep document frequency low — raw unigrams on a
+    // small vocabulary make the term self-join quadratic), pair dot
+    // products come from a term self-join with a df cap, norms from a
+    // per-doc aggregate. Scores round to 6 dp so partition-order double
+    // drift (~1e-14) cannot flip the threshold cross-engine.
+    "tx08_tfidf_pairs" -> ((s, d) => {
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
+            .word_shingles(col("text"), 3)).as("t"))
+      val n = Tables(s, d, "documents")
+        .agg(count(lit(1)).cast("double").as("nd"))
+      val df_ = sh.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000) // stop-shingle cap, mirrored in oracle
+      val w = sh.join(df_, "t").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("t"),
+          log(col("nd") / col("df")).as("w"))
+      val norms = w.groupBy("doc_id")
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val dots = w.as("a").join(w.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      dots
+        .join(broadcast(norms).as("n1"), col("d1") === col("n1.doc_id"))
+        .join(broadcast(norms).as("n2"), col("d2") === col("n2.doc_id"))
+        .select(col("d1"), col("d2"),
+          round(col("dot") / (col("n1.nrm") * col("n2.nrm")), 6).as("sim"))
+        .filter(col("sim") >= 0.9)
+    }),
+
     // Content fingerprinting: md5 over whitespace-normalized text. Exact-dup
     // detection joins on this 16-byte key instead of the full document —
     // at 100 TB the shuffle carries fingerprints, not bodies.
@@ -157,6 +190,31 @@ object TextAnalysis {
          |    FROM t)
          |SELECT lang, predicted, COUNT(*) AS n_docs
          |FROM p GROUP BY lang, predicted""".stripMargin,
+
+    "tx08_tfidf_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s AS t FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |    FROM t WHERE len(w) >= 3)),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM sh GROUP BY t
+        |          HAVING COUNT(*) <= 1000),
+        |w AS (SELECT doc_id, sh.t, ln(nd.nd / df) AS w
+        |      FROM sh JOIN dfreq ON sh.t = dfreq.t CROSS JOIN nd),
+        |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w
+        |        GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, round(dot / (n1.nrm * n2.nrm), 6) AS sim
+        |FROM dots JOIN nrm n1 ON d1 = n1.doc_id
+        |JOIN nrm n2 ON d2 = n2.doc_id
+        |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.9""".stripMargin,
 
     "tx06_bpe_token_count" ->
       """SELECT source, COUNT(*) AS n_docs,

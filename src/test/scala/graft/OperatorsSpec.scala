@@ -72,6 +72,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles within 2% of exact") {
+    val exact = SparkEntry.queries("q23_percentiles")(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Double]("median_price"), r.getAs[Double]("p95_price")))
+      .toMap
+    SparkEntry.queries("q26_approx_percentiles")(spark, sf).collect()
+      .foreach { r =>
+        val (m, p95) = exact(r.getAs[String]("o_orderstatus"))
+        assert(math.abs(r.getAs[Double]("median_approx") - m) / m < 0.02)
+        assert(math.abs(r.getAs[Double]("p95_approx") - p95) / p95 < 0.02)
+      }
+  }
+
   test("stratified sample respects per-stratum fractions") {
     val docs = graft.core.Tables(spark, sf, "documents")
     val totals = docs.groupBy("lang").count().collect()
