@@ -113,6 +113,28 @@ object Events {
         .select(col("event_id"), col("event_type"), col("value"))
     }),
 
+    // Funnel analysis: per user, first signup -> first click after it ->
+    // first purchase after that click; output stage-completion counts.
+    // Three conditional-min aggregates over one user_id shuffle — no
+    // sequence scan, no self-join; the standard product-analytics shape.
+    "ev08_funnel" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val stage1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val stage2 = e.filter(col("event_type") === "click")
+        .join(stage1, "user_id")
+        .filter(col("ts") >= col("t_signup"))
+        .groupBy(col("user_id"), col("t_signup"))
+        .agg(min(col("ts")).as("t_click"))
+      val stage3 = e.filter(col("event_type") === "purchase")
+        .join(stage2, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      stage1.agg(count(lit(1)).as("n_signup")).crossJoin(
+        stage2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(stage3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -165,6 +187,24 @@ object Events {
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
          |  ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev08_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t_signup
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+        |       (SELECT COUNT(*) FROM s2) AS n_click_after,
+        |       (SELECT COUNT(*) FROM s3) AS n_purchase_after""".stripMargin,
 
     "ev07_outliers" ->
       """WITH st AS (
