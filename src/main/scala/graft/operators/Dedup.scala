@@ -182,40 +182,58 @@ object Dedup {
 
     // Near-dup clusters: connected components over the Jaccard pair graph,
     // then one representative (min doc_id) per cluster — what a dedup
-    // pipeline actually ships. Iterative min-label propagation: each round
-    // every node adopts the smallest label among itself and its neighbors;
-    // converges in O(diameter) rounds (dedup clusters are tiny — pairs and
-    // chains — so 2-4 joins). At 100 TB this is the standard alternating
-    // large-star/small-star connected-components pattern; each round is
-    // one shuffle on the node id.
+    // pipeline actually ships. The pair graph after thresholding is tiny
+    // relative to the corpus (it scales with the duplicate rate, not the
+    // corpus size), so below a size threshold we union-find on the driver
+    // in one pass; above it, iterative min-label propagation (each round
+    // one shuffle; the standard distributed-CC shape) — same answer, and
+    // the small path avoids paying multi-second Spark-job round-trips per
+    // round on a few hundred edges.
     "dd06_dedup_clusters" -> ((s, d) => {
       val idx = shingleIndex(s, d)
       val pairs = jaccardFrom(pairCounts(postings(idx)), idx)
         .select(col("d1"), col("d2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // undirected edge list + every member node
-      val edges = pairs.unionByName(
-        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("d1").as("node"))
-        .distinct().withColumn("label", col("node"))
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 20) {
-        val viaNeighbor = edges
-          .join(labels, edges("d2") === labels("node"))
-          .select(edges("d1").as("node"), col("label"))
-        val next = labels.select(col("node"), col("label"))
-          .unionByName(viaNeighbor)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+      val nPairs = pairs.count()
+      if (nPairs <= 10_000_000L) {
+        // driver union-find with min-root representatives
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.collect().foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) { val (lo, hi) = (math.min(a, b), math.max(a, b))
+            parent(hi) = lo }
+        }
+        val members = parent.keys.toSeq.map(n => (find(n), 1L))
+        s.createDataFrame(members).toDF("cluster_rep", "one")
+          .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      } else {
+        val edges = pairs.unionByName(
+          pairs.select(col("d2").as("d1"), col("d1").as("d2")))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
-        rounds += 1
+        var labels = edges.select(col("d1").as("node"))
+          .distinct().withColumn("label", col("node"))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val viaNeighbor = edges
+            .join(labels, edges("d2") === labels("node"))
+            .select(edges("d1").as("node"), col("label"))
+          val next = labels.select(col("node"), col("label"))
+            .unionByName(viaNeighbor)
+            .groupBy(col("node")).agg(min(col("label")).as("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(col("label") =!= col("old")).count()
+          labels = next
+          rounds += 1
+        }
+        labels.groupBy(col("label").as("cluster_rep"))
+          .agg(count(lit(1)).as("cluster_size"))
       }
-      labels.groupBy(col("label").as("cluster_rep"))
-        .agg(count(lit(1)).as("cluster_size"))
     }),
 
     // Embedding-cosine near-dup pairs: all ordered pairs above threshold.
