@@ -85,6 +85,41 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 201L) && !pairs.exists(_._1 == 202L))
   }
 
+  test("streaming windowed counts over real events == batch daily counts") {
+    // drive the actual events parquet through the file-stream source
+    val sf = "/root/testdata/sf0.001"
+    // the file-stream source wants a directory: stage the file into one
+    val dir = java.nio.file.Files.createTempDirectory("ev-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = graft.streaming.EventStreams
+      .windowedCounts(stream, "1 day", "0 seconds")
+      .writeStream.format("memory").queryName("rt")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode only finalizes windows behind the watermark; compare the
+    // finalized set against the same-day batch counts
+    val streamed = spark.table("rt")
+      .select(col("window_start").cast("date").as("day"), col("event_type"),
+        col("n_events"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = SparkEntry.queries("q12_events_daily")(spark, sf)
+      .select(col("day"), col("event_type"), col("n_events")).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(streamed.subsetOf(batch))
+    // all but the last (unfinalized) day must be present
+    val days = batch.map(_._1)
+    val finalizedDays = streamed.map(_._1)
+    assert(finalizedDays == days - days.max)
+  }
+
   test("session windows close after gap and carry correct bounds/counts") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
