@@ -12,9 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics match the composable formulation used by the DuckDB oracle:
   * tokens are maximal `[a-z0-9]+` runs of `lower(text)` (the character
-  * class is ASCII-only, so byte-level scanning is exact for any input),
-  * shingles are `n` consecutive tokens joined by a single space,
-  * deduplicated.
+  * class is ASCII-only, so non-ASCII characters act as separators under
+  * both formulations), shingles are `n` consecutive tokens joined by a
+  * single space, deduplicated. Known divergence: the handful of non-ASCII
+  * characters whose case-folding crosses into ASCII via multi-character
+  * expansion (e.g. Turkish dotted I, which lowercases to "i" + combining
+  * mark in full string folding but to plain 'i' per-character) can merge
+  * adjacent tokens here that the regex formulation splits — irrelevant for
+  * ASCII corpora and asserted equivalent on Latin-1/CJK in the spec.
   *
   * The lambda formulation (regexp_extract_all + transform + concat_ws +
   * array_distinct) is interpreted — higher-order functions have no

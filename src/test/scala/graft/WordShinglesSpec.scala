@@ -30,6 +30,31 @@ class WordShinglesSpec extends AnyFunSuite {
     assert(n == l)
   }
 
+  test("unicode: native == lambda on accents, CJK, symbols") {
+    import org.apache.spark.sql.graftx.WordShinglesFunctions
+    val texts = Seq(
+      "café au lait très bon café au lait",
+      "你好 world one two three 世界 four five six",
+      "MIXED Case TOKENS with UPPER and lower and 123 456 789",
+      "emoji 😀 splits one two three four 😀 five six",
+      "Kelvin signs one two three four")
+    val df = spark.createDataFrame(texts.zipWithIndex.map(_.swap))
+      .toDF("doc_id", "text")
+    val lambda = df
+      .withColumn("w", expr(graft.operators.TextAnalysis.tokensExpr))
+      .withColumn("sh",
+        expr("""CASE WHEN size(w) >= 3 THEN
+                 array_distinct(transform(sequence(0, size(w) - 3),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+               ELSE array() END"""))
+      .select(col("doc_id"), col("sh")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1).toSet).toMap
+    val native = df.select(col("doc_id"),
+      WordShinglesFunctions.word_shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toSet).toMap
+    assert(native == lambda)
+  }
+
   test("kernel edge cases") {
     assert(WordShingles.shingle("", 3).isEmpty)
     assert(WordShingles.shingle("one two", 3).isEmpty)
