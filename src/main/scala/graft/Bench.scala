@@ -26,10 +26,13 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink materializes every output column (a count() would let
       // Catalyst prune the projections being measured)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      finally spark.catalog.clearCache() // drop per-query persisted indexes
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        finally spark.catalog.clearCache() // drop per-query persisted indexes
+      // failed queries report -1, never a bogus near-zero "great" time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

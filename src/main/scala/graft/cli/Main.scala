@@ -73,12 +73,51 @@ object Main {
             java.nio.file.Paths.get(joined)), "UTF-8")
         else joined
       }
-      text.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+      splitSql(text).foreach { stmt =>
         spark.sql(stmt).show(50, truncate = false)
       }
       spark.stop()
 
     case _ =>
+      usage()
+  }
+
+  /** Split a script on top-level ';' only — semicolons inside quoted
+    * strings, quoted identifiers, or line comments stay intact. */
+  private[graft] def splitSql(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var state: Char = 'n' // n=normal, s='string', d="ident", c=comment
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      state match {
+        case 'n' =>
+          if (ch == ';') { out += cur.toString; cur.clear() }
+          else {
+            if (ch == '\'') state = 's'
+            else if (ch == '"') state = 'd'
+            else if (ch == '-' && i + 1 < text.length &&
+              text.charAt(i + 1) == '-') state = 'c'
+            cur.append(ch)
+          }
+        case 's' =>
+          if (ch == '\'') state = 'n'
+          cur.append(ch)
+        case 'd' =>
+          if (ch == '"') state = 'n'
+          cur.append(ch)
+        case 'c' =>
+          if (ch == '\n') state = 'n'
+          cur.append(ch)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def usage(): Unit = {
       System.err.println(
         """usage:
           |  dgrep <glob> <pattern> [-c]

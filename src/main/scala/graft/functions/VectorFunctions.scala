@@ -40,21 +40,10 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Random-hyperplane (sign) LSH bucket for cosine similarity: bit p of
-    * the result is the sign of the projection onto pseudo-random plane p.
-    * Planes are derived from `xxhash64(seed, p, dim)` so the "random"
-    * matrix is deterministic, reproducible, and needs no broadcast side
-    * data — every executor recomputes its slice of the matrix inline.
-    * `seed` selects an independent hash table (standard multi-table LSH).
-    */
-  def signBucket(vec: Column, planes: Int, seed: Int = 0): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(63)), (x, d) =>
-          x.cast("double") *
-            when(xxhash64(lit(seed), lit(p), d).bitwiseAND(lit(1L)) === 1L,
-              1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, expr(s"CAST(1 AS BIGINT) << $p")).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  /** Sign-LSH bucket ids: delegates to the native single-pass
+    * [[org.apache.spark.sql.graftx.SignBuckets]] expression (splitmix64-
+    * derived hyperplanes, no broadcast side data). */
+  def signBuckets(vec: Column, planes: Int, tables: Int): Column =
+    org.apache.spark.sql.graftx.SignBucketsFunctions
+      .sign_buckets(vec, planes, tables)
 }

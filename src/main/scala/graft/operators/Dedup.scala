@@ -100,9 +100,11 @@ object Dedup {
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       |    FROM t WHERE len(w) >= 3)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      |shp AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok ON sh.s = ok.s),
       |p AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |jp AS (
       |  SELECT d1, d2,
@@ -195,8 +197,9 @@ object Dedup {
         .select(col("d1"), col("d2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nPairs = pairs.count()
-      if (nPairs <= 10_000_000L) {
-        // driver union-find with min-root representatives
+      if (nPairs <= 1_000_000L) {
+        // driver union-find with min-root representatives (1M edges ≈ tens
+        // of MB on the driver; anything larger takes the distributed path)
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           val p = parent.getOrElseUpdate(x, x)
@@ -218,7 +221,8 @@ object Dedup {
           .distinct().withColumn("label", col("node"))
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 20) {
+        val maxRounds = 64
+        while (changed > 0 && rounds < maxRounds) {
           val viaNeighbor = edges
             .join(labels, edges("d2") === labels("node"))
             .select(edges("d1").as("node"), col("label"))
@@ -231,6 +235,10 @@ object Dedup {
           labels = next
           rounds += 1
         }
+        // never return silently-wrong clusters: a component with diameter
+        // beyond the round cap must fail loudly, not fragment
+        require(changed == 0,
+          s"dedup clustering did not converge within $maxRounds rounds")
         labels.groupBy(col("label").as("cluster_rep"))
           .agg(count(lit(1)).as("cluster_size"))
       }

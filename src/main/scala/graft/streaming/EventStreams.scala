@@ -88,7 +88,10 @@ object EventStreams {
             ts.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // a late-but-admitted event may precede the current
+                  // session start — extend both bounds
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(user, new Timestamp(s.start),
                     new Timestamp(s.last), s.n)

@@ -117,24 +117,47 @@ object RainStormJob {
     * analogue of HyDFS's multi-writer append + `merge` protocol
     * (reference src/FileSystem/file_system.py:286-365): many small
     * atomically-visible appends are periodically consolidated into few
-    * large files. Here: read every batch-* directory, rewrite as
-    * `targetFiles` parquet files under `<outDir>/compacted`, then (and
-    * only then) delete the consumed batch directories — readers see either
-    * the old small files or the new compacted ones, never neither. At
-    * 100 TB this is the nightly job that keeps scan partition counts sane.
+    * large text files. At 100 TB this is the nightly job that keeps scan
+    * partition counts sane.
+    *
+    * Crash-safe by manifest: the consolidated output is written to a
+    * dot-prefixed staging dir (invisible to `batch-*` readers), a
+    * `_consumed` manifest naming the input dirs is placed inside, and the
+    * staging dir is atomically renamed to `compacted-<n>` BEFORE the
+    * consumed inputs are deleted. A rerun after a crash first deletes any
+    * input dir named by an existing manifest (its data already lives in a
+    * committed compacted dir), so records are never duplicated.
     */
   def compact(spark: SparkSession, outDir: String, targetFiles: Int): Long = {
     val dir = new java.io.File(outDir)
-    val batchDirs = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    def list(prefix: String): Array[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    // recovery: drop inputs already committed into a compacted dir
+    val consumed = list("compacted-").flatMap { c =>
+      val m = new java.io.File(c, "_consumed")
+      if (m.isFile)
+        new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+      else Array.empty[String]
+    }.toSet
+    list("batch-").filter(b => consumed(b.getName)).foreach { b =>
+      b.listFiles().foreach(_.delete()); b.delete()
+    }
+    val batchDirs = list("batch-")
     if (batchDirs.isEmpty) return 0L
     val df = spark.read.text(batchDirs.map(_.getPath): _*)
     val n = df.count()
-    df.repartition(targetFiles).write.mode("append")
-      .text(s"$outDir/compacted")
-    batchDirs.foreach { b =>
-      b.listFiles().foreach(_.delete()); b.delete()
-    }
+    val gen = list("compacted-").map(_.getName.stripPrefix("compacted-").toLong)
+      .foldLeft(0L)(math.max) + 1
+    val staging = new java.io.File(dir, s".compact-staging-$gen")
+    df.repartition(targetFiles).write.mode("overwrite").text(staging.getPath)
+    java.nio.file.Files.write(new java.io.File(staging, "_consumed").toPath,
+      batchDirs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    val target = new java.io.File(dir, s"compacted-$gen")
+    if (!staging.renameTo(target))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    batchDirs.foreach { b => b.listFiles().foreach(_.delete()); b.delete() }
     n
   }
 

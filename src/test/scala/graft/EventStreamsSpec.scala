@@ -85,6 +85,27 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 201L) && !pairs.exists(_._1 == 202L))
   }
 
+  test("sessionize extends session start for admitted late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(in.toDS(), gapSeconds = 300)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    in.addData(SessionEvent(3, ts(10)))
+    q.processAllAvailable()
+    // late event 2 min earlier: within gap AND within watermark
+    in.addData(SessionEvent(3, ts(8)))
+    q.processAllAvailable()
+    in.addData(SessionEvent(9, ts(60)), SessionEvent(9, ts(90))) // advance wm
+    q.processAllAvailable()
+    q.stop()
+    val s = spark.table("sess_late").as[SessionOut].collect()
+      .filter(_.user_id == 3)
+    assert(s.length == 1)
+    assert(s(0).session_start == ts(8) && s(0).session_end == ts(10)
+      && s(0).n_events == 2)
+  }
+
   test("streaming windowed counts over real events == batch daily counts") {
     // drive the actual events parquet through the file-stream source
     val sf = "/root/testdata/sf0.001"

@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Main
+
+class SqlSplitSpec extends AnyFunSuite {
+  test("splits on top-level semicolons only") {
+    assert(Main.splitSql("SELECT 1; SELECT 2") ==
+      Seq("SELECT 1", "SELECT 2"))
+    assert(Main.splitSql("SELECT ';' AS sep FROM nation") ==
+      Seq("SELECT ';' AS sep FROM nation"))
+    assert(Main.splitSql("SELECT \"a;b\" FROM t; SELECT 2") ==
+      Seq("SELECT \"a;b\" FROM t", "SELECT 2"))
+    assert(Main.splitSql("SELECT 1 -- trailing; comment\n; SELECT 2") ==
+      Seq("SELECT 1 -- trailing; comment", "SELECT 2"))
+    assert(Main.splitSql("  ;; SELECT 1 ;  ") == Seq("SELECT 1"))
+    assert(Main.splitSql("SELECT 'it''s; fine'") ==
+      Seq("SELECT 'it''s; fine'"))
+  }
+}
