@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.{Tables, Num}
 
 /** Second relational tranche: outer joins, non-equi (range) joins, scalar
@@ -152,6 +153,41 @@ object Relational2 {
             .as("p95_approx"))
     }),
 
+    // Moving window frame: 7-day trailing average of daily revenue.
+    // Daily totals are exact decimal sums first, so the frame average is
+    // arithmetic over identical doubles; rounded to absorb any frame
+    // accumulation-order differences between engines.
+    "q27_moving_avg" -> ((s, d) => {
+      val daily = Tables(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(col("day"), col("revenue"),
+        round(avg(col("revenue")).over(w), 4).as("ma7"))
+    }),
+
+    // Ranking into quantile buckets: customers by total spend.
+    "q28_customer_quartiles" -> ((s, d) => {
+      val spend = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+      spend.withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("spend")).as("quartile_spend"))
+    }),
+
+    // Ordered string aggregation: alphabetical nation roster per region.
+    "q29_string_agg" -> ((s, d) => {
+      val n = Tables(s, d, "nation")
+      val r = Tables(s, d, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"))
+    }),
+
     // The SQL front end over registered views (same engine, text surface).
     "q22_sql_surface" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -226,6 +262,34 @@ object Relational2 {
          |  ${sqlDsum("c_acctbal")} AS total_balance
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q27_moving_avg" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${sqlDsum("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT day, revenue,
+         |  round(AVG(revenue) OVER (ORDER BY day
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         |FROM daily""".stripMargin,
+
+    "q28_customer_quartiles" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${sqlDsum("o_totalprice")} AS spend
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT quartile, COUNT(*) AS n_customers,
+         |  ${sqlDsum("spend")} AS quartile_spend
+         |FROM (SELECT o_custkey, spend,
+         |        NTILE(4) OVER (ORDER BY spend DESC, o_custkey ASC)
+         |          AS quartile
+         |      FROM spend)
+         |GROUP BY quartile""".stripMargin,
+
+    "q29_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT o_orderstatus,
