@@ -88,7 +88,8 @@ object Main {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0
-    var state: Char = 'n' // n=normal, s='string', d="ident", c=comment
+    // n=normal, s='string', d="ident", c=line comment, b=block comment
+    var state: Char = 'n'
     while (i < text.length) {
       val ch = text.charAt(i)
       state match {
@@ -99,6 +100,8 @@ object Main {
             else if (ch == '"') state = 'd'
             else if (ch == '-' && i + 1 < text.length &&
               text.charAt(i + 1) == '-') state = 'c'
+            else if (ch == '/' && i + 1 < text.length &&
+              text.charAt(i + 1) == '*') state = 'b'
             cur.append(ch)
           }
         case 's' =>
@@ -109,6 +112,10 @@ object Main {
           cur.append(ch)
         case 'c' =>
           if (ch == '\n') state = 'n'
+          cur.append(ch)
+        case 'b' =>
+          if (ch == '/' && i > 0 && text.charAt(i - 1) == '*' &&
+            cur.nonEmpty && !cur.endsWith("/*")) state = 'n'
           cur.append(ch)
       }
       i += 1

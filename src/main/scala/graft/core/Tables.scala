@@ -46,6 +46,18 @@ object Tables {
   * sums stay inside whole-stage codegen and avoid non-reproducible results
   * across retries/partitionings.
   */
+/** Content identity shared by batch dedup (dd01), fingerprint queries
+  * (tx04), and the streaming ingest (DocPipeline): md5 over
+  * whitespace-normalized lowercased text. One definition — stream/batch
+  * dedup parity depends on these staying bit-identical. */
+object Fingerprints {
+  def content(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " ").cast("binary"))
+  /** DuckDB twin for the oracles. */
+  def sqlContent(expr: String): String =
+    s"md5(regexp_replace(trim(lower($expr)), '\\s+', ' ', 'g'))"
+}
+
 object Num {
   /** Exact, order-independent sum of a ~2-decimal-place double column. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 2))).cast("double")

@@ -136,8 +136,7 @@ object Dedup {
     // Exact dedup: representative (min doc_id) per content fingerprint.
     "dd01_exact_dedup" -> ((s, d) => {
       Tables(s, d, "documents")
-        .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-          .cast("binary")).as("fp"))
+        .groupBy(graft.core.Fingerprints.content(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
@@ -199,11 +198,19 @@ object Dedup {
       val nPairs = pairs.count()
       if (nPairs <= 1_000_000L) {
         // driver union-find with min-root representatives (1M edges ≈ tens
-        // of MB on the driver; anything larger takes the distributed path)
+        // of MB on the driver; anything larger takes the distributed path).
+        // find() is iterative — union-by-min can build O(n) parent chains
+        // on duplicate series, which would blow the stack recursively.
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
+          var root = x
+          while (parent.getOrElseUpdate(root, root) != root)
+            root = parent(root)
+          var cur = x // second pass: path compression
+          while (parent(cur) != root) {
+            val nxt = parent(cur); parent(cur) = root; cur = nxt
+          }
+          root
         }
         pairs.collect().foreach { r =>
           val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
@@ -232,6 +239,7 @@ object Dedup {
             .persist(StorageLevel.MEMORY_AND_DISK)
           changed = next.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(col("label") =!= col("old")).count()
+          labels.unpersist(blocking = false) // superseded snapshot
           labels = next
           rounds += 1
         }
@@ -292,7 +300,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "dd01_exact_dedup" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      s"""SELECT ${graft.core.Fingerprints.sqlContent("text")} AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dd02_jaccard_pairs" -> jaccardOracle,

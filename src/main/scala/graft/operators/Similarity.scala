@@ -47,15 +47,18 @@ object Similarity {
     Tables(s, d, "embeddings").filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
+  /** Broadcast query set scored against every vector — shared by sim01 and
+    * sim04, which are verified against the same oracle and must stay in
+    * lockstep. */
+  private def scoredCandidates(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").crossJoin(broadcast(queriesDf(s, d)))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim01_knn_bruteforce" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings")
-      val scored = e.crossJoin(broadcast(queriesDf(s, d)))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
-      topkPerQuery(scored)
-    }),
+    "sim01_knn_bruteforce" -> ((s, d) =>
+      topkPerQuery(scoredCandidates(s, d))),
 
     // Same answer as sim01 via the typed TopKAggregator: map-side partials
     // mean each partition forwards <= K candidates per query into the
@@ -63,13 +66,8 @@ object Similarity {
     // Checked against the same DuckDB oracle as sim01.
     "sim04_knn_aggregator" -> ((s, d) => {
       import s.implicits._
-      val e = Tables(s, d, "embeddings")
-      val scored = e.crossJoin(broadcast(queriesDf(s, d)))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
       val agg = new graft.functions.TopKAggregator(K).toColumn
-      scored.select(col("qid"), col("vec_id"), col("cos_r"))
+      scoredCandidates(s, d).select(col("qid"), col("vec_id"), col("cos_r"))
         .as[(Long, Long, Double)]
         .map(t => (t._1, graft.functions.ScoredItem(t._2, t._3)))
         .groupByKey(_._1).mapValues(_._2)

@@ -156,8 +156,7 @@ object TextAnalysis {
     "tx04_fingerprint" -> ((s, d) => {
       Tables(s, d, "documents")
         .select(col("doc_id"),
-          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-            .cast("binary")).as("fp"))
+          graft.core.Fingerprints.content(col("text")).as("fp"))
     })
   )
 
@@ -227,8 +226,8 @@ object TextAnalysis {
         |FROM documents GROUP BY source""".stripMargin,
 
     "tx04_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      s"""SELECT doc_id,
+        |  ${graft.core.Fingerprints.sqlContent("text")} AS fp
         |FROM documents""".stripMargin
   )
 }

@@ -35,9 +35,7 @@ object DocPipeline {
     * store. */
   def dedupByContent(docs: DataFrame, lateness: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("fp",
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-          .cast("binary")))
+      .withColumn("fp", graft.core.Fingerprints.content(col("text")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")

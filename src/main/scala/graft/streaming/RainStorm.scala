@@ -133,6 +133,15 @@ object RainStormJob {
     def list(prefix: String): Array[java.io.File] =
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    // Manifests record content identity (name|fileCount|totalBytes), not
+    // just names — a rebuilt stream (fresh checkpoint, same outDir) reuses
+    // batch ids, and deleting its NEW batch-0 because an old manifest
+    // mentions "batch-0" would silently lose data.
+    def dirIdentity(b: java.io.File): String = {
+      val files = Option(b.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile)
+      s"${b.getName}|${files.length}|${files.map(_.length()).sum}"
+    }
     // recovery: drop inputs already committed into a compacted dir
     val consumed = list("compacted-").flatMap { c =>
       val m = new java.io.File(c, "_consumed")
@@ -141,7 +150,7 @@ object RainStormJob {
           .split("\n").filter(_.nonEmpty)
       else Array.empty[String]
     }.toSet
-    list("batch-").filter(b => consumed(b.getName)).foreach { b =>
+    list("batch-").filter(b => consumed(dirIdentity(b))).foreach { b =>
       b.listFiles().foreach(_.delete()); b.delete()
     }
     val batchDirs = list("batch-")
@@ -153,7 +162,7 @@ object RainStormJob {
     val staging = new java.io.File(dir, s".compact-staging-$gen")
     df.repartition(targetFiles).write.mode("overwrite").text(staging.getPath)
     java.nio.file.Files.write(new java.io.File(staging, "_consumed").toPath,
-      batchDirs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+      batchDirs.map(dirIdentity).mkString("\n").getBytes("UTF-8"))
     val target = new java.io.File(dir, s"compacted-$gen")
     if (!staging.renameTo(target))
       throw new java.io.IOException(s"rename $staging -> $target failed")

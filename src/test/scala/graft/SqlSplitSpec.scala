@@ -16,5 +16,9 @@ class SqlSplitSpec extends AnyFunSuite {
     assert(Main.splitSql("  ;; SELECT 1 ;  ") == Seq("SELECT 1"))
     assert(Main.splitSql("SELECT 'it''s; fine'") ==
       Seq("SELECT 'it''s; fine'"))
+    assert(Main.splitSql("SELECT 1 /* note; more */; SELECT 2") ==
+      Seq("SELECT 1 /* note; more */", "SELECT 2"))
+    assert(Main.splitSql("/* header;\n spanning; lines */ SELECT 1") ==
+      Seq("/* header;\n spanning; lines */ SELECT 1"))
   }
 }
