@@ -44,4 +44,57 @@ object DocPipeline {
   def ingest(docs: DataFrame, minTokens: Int = 40, minTtr: Double = 0.25,
       lateness: String = "10 minutes"): DataFrame =
     dedupByContent(qualityFilter(docs, minTokens, minTtr), lateness)
+
+  /** Streaming NEAR-dup detection: MinHash signatures computed per row in
+    * the scan (shingles via the native kernel, 128 mins as one nested
+    * array expression — no stateful aggregation needed, so the only state
+    * is the join's), LSH band buckets exploded, and candidate pairs found
+    * by a watermarked stream-stream self-join on (band, bucket-hash)
+    * bounded to `horizon` — band-bucket state evicts as time advances.
+    * Candidates verify with exact shingle Jaccard before emission.
+    *
+    * This is the streaming twin of the batch dd03 pipeline: same
+    * signature/banding scheme, with the batch groupBy-join machinery
+    * replaced by bounded-state streaming joins.
+    */
+  def nearDupPairs(docs: DataFrame, horizon: String = "10 minutes",
+      threshold: Double = 0.8): DataFrame = {
+    val bands = 32
+    val sig = docs
+      .withColumn("sh", org.apache.spark.sql.graftx.WordShinglesFunctions
+        .word_shingles(col("text"), 3))
+      .filter(size(col("sh")) >= 1)
+      .withColumn("sig", expr(
+        """transform(sequence(0, 127),
+          |  i -> array_min(transform(sh, x -> xxhash64(CAST(i AS BIGINT), x))))"""
+          .stripMargin))
+      .withColumn("bk", expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> hash(slice(sig, b * 4 + 1, 4), b))""".stripMargin))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        posexplode(col("bk")).as(Seq("band", "bh")))
+    val a = sig.toDF("a_doc", "a_ts", "a_sh", "a_band", "a_bh")
+      .withWatermark("a_ts", horizon)
+    val b = sig.toDF("b_doc", "b_ts", "b_sh", "b_band", "b_bh")
+      .withWatermark("b_ts", horizon)
+    // NOTE: the doc-id ordering must NOT be a </> predicate in the join
+    // condition — Spark's streaming state-watermark extraction tries to
+    // interpret every less-than as a time bound and fails on non-time
+    // attributes. Use =!= and canonicalize (least, greatest) after.
+    a.join(b,
+        col("a_band") === col("b_band") && col("a_bh") === col("b_bh") &&
+          col("a_doc") =!= col("b_doc") &&
+          col("b_ts").between(
+            col("a_ts") - expr(s"INTERVAL $horizon"),
+            col("a_ts") + expr(s"INTERVAL $horizon")))
+      .select(least(col("a_doc"), col("b_doc")).as("d1"),
+        greatest(col("a_doc"), col("b_doc")).as("d2"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      // A pair colliding in multiple bands (or seen in both join orders)
+      // emits multiple times; consumers dedup on (d1, d2). (A chained
+      // streaming dropDuplicates after a stream-stream join trips planner
+      // limitations here.)
+  }
 }

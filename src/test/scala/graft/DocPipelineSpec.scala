@@ -43,4 +43,32 @@ class DocPipelineSpec extends AnyFunSuite {
       .collect().sorted.toSeq
     assert(kept == Seq(1L, 6L))
   }
+
+  test("streaming minhash-LSH finds near-dup pairs within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val df = in.toDF().toDF("doc_id", "text", "ts")
+    val q = DocPipeline.nearDupPairs(df, horizon = "10 minutes")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+
+    val nearDup = good.replace("slow", "fast") // one word differs
+    val unrelated = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    in.addData((1L, good, ts(0)), (10L, unrelated, ts(1)))
+    q.processAllAvailable()
+    in.addData((2L, nearDup, ts(4)))          // within horizon of doc 1
+    q.processAllAvailable()
+    in.addData((3L, good + " extra", ts(40))) // beyond horizon of doc 1
+    // advance watermark far enough to close all join state
+    in.addData((99L, unrelated + " tail words here", ts(90)))
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.table("neardup").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))      // near-dup within horizon
+    assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L)) // unrelated
+    assert(!pairs.contains((1L, 3L)))     // same content, outside horizon
+  }
 }
