@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Clustering
+
+/** Lloyd's k-means: monotone improvement, determinism, full assignment. */
+class ClusteringSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession()
+  val sf = "/root/testdata/sf0.001"
+
+  private def embeddings = graft.core.Tables(spark, sf, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  test("more iterations never worsen WSS, every vector assigned") {
+    val e = embeddings
+    val (a1, c1) = Clustering.kmeans(e, k = 8, iters = 1)
+    val (a5, c5) = Clustering.kmeans(e, k = 8, iters = 5)
+    val w1 = Clustering.wss(e, a1, c1)
+    val w5 = Clustering.wss(e, a5, c5)
+    assert(w5 <= w1 + 1e-9, s"wss got worse: $w1 -> $w5")
+    assert(a5.count() == e.count())
+    assert(a5.select("cl").distinct().count() <= 8)
+  }
+
+  test("deterministic across runs") {
+    val e = embeddings
+    val r1 = Clustering.kmeans(e, k = 4, iters = 3)._1
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val r2 = Clustering.kmeans(e, k = 4, iters = 3)._1
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(r1 == r2)
+  }
+}
