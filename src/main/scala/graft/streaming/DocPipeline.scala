@@ -46,36 +46,46 @@ object DocPipeline {
     dedupByContent(qualityFilter(docs, minTokens, minTtr), lateness)
 
   /** Streaming NEAR-dup detection: MinHash signatures computed per row in
-    * the scan (shingles via the native kernel, 128 mins as one nested
+    * the scan (shingles via the native kernel, NumPerms mins as one nested
     * array expression — no stateful aggregation needed, so the only state
     * is the join's), LSH band buckets exploded, and candidate pairs found
     * by a watermarked stream-stream self-join on (band, bucket-hash)
     * bounded to `horizon` — band-bucket state evicts as time advances.
-    * Candidates verify with exact shingle Jaccard before emission.
     *
-    * This is the streaming twin of the batch dd03 pipeline: same
-    * signature/banding scheme, with the batch groupBy-join machinery
-    * replaced by bounded-state streaming joins.
+    * Join state carries only the compact signature (NumPerms longs), never
+    * document content: Jaccard is ESTIMATED as the fraction of agreeing
+    * signature slots (the standard unbiased MinHash estimator,
+    * std-err ~ sqrt(j(1-j)/NumPerms) ≈ 0.035 at j=0.8) — calibrate
+    * `threshold` accordingly. Bit-compatible with batch dd03: identical
+    * permutation hashes (xxhash64(int-perm, shingle)) and identical band
+    * keys (hash over the 4 slot values + band id).
+    *
+    * The per-row signature expression is interpreted (HOF) and evaluated
+    * once per join side — acceptable for intake-rate streams; the batch
+    * dd03 path remains the high-throughput formulation.
     */
   def nearDupPairs(docs: DataFrame, horizon: String = "10 minutes",
       threshold: Double = 0.8): DataFrame = {
-    val bands = 32
+    import graft.operators.Dedup.{Bands, NumPerms}
+    val rowsPerBand = NumPerms / Bands
     val sig = docs
       .withColumn("sh", org.apache.spark.sql.graftx.WordShinglesFunctions
         .word_shingles(col("text"), 3))
       .filter(size(col("sh")) >= 1)
       .withColumn("sig", expr(
-        """transform(sequence(0, 127),
-          |  i -> array_min(transform(sh, x -> xxhash64(CAST(i AS BIGINT), x))))"""
+        s"""transform(sequence(0, ${NumPerms - 1}),
+           |  i -> array_min(transform(sh, x -> xxhash64(i, x))))"""
           .stripMargin))
       .withColumn("bk", expr(
-        s"""transform(sequence(0, ${bands - 1}),
-           |  b -> hash(slice(sig, b * 4 + 1, 4), b))""".stripMargin))
-      .select(col("doc_id"), col("ts"), col("sh"),
+        s"""transform(sequence(0, ${Bands - 1}), b -> hash(
+           |  ${(1 to rowsPerBand).map(r =>
+                 s"element_at(sig, b * $rowsPerBand + $r)").mkString(", ")},
+           |  b))""".stripMargin))
+      .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(col("bk")).as(Seq("band", "bh")))
-    val a = sig.toDF("a_doc", "a_ts", "a_sh", "a_band", "a_bh")
+    val a = sig.toDF("a_doc", "a_ts", "a_sig", "a_band", "a_bh")
       .withWatermark("a_ts", horizon)
-    val b = sig.toDF("b_doc", "b_ts", "b_sh", "b_band", "b_bh")
+    val b = sig.toDF("b_doc", "b_ts", "b_sig", "b_band", "b_bh")
       .withWatermark("b_ts", horizon)
     // NOTE: the doc-id ordering must NOT be a </> predicate in the join
     // condition — Spark's streaming state-watermark extraction tries to
@@ -89,9 +99,9 @@ object DocPipeline {
             col("a_ts") + expr(s"INTERVAL $horizon")))
       .select(least(col("a_doc"), col("b_doc")).as("d1"),
         greatest(col("a_doc"), col("b_doc")).as("d2"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        (expr("size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v))")
+          .cast("double") / NumPerms).as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
       // A pair colliding in multiple bands (or seen in both join orders)
       // emits multiple times; consumers dedup on (d1, d2). (A chained
       // streaming dropDuplicates after a stream-stream join trips planner

@@ -48,7 +48,9 @@ class DocPipelineSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
     val df = in.toDF().toDF("doc_id", "text", "ts")
-    val q = DocPipeline.nearDupPairs(df, horizon = "10 minutes")
+    // threshold below the true jaccard (~0.82) minus ~3 estimator std errs
+    val q = DocPipeline.nearDupPairs(df, horizon = "10 minutes",
+        threshold = 0.6)
       .writeStream.format("memory").queryName("neardup")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
 
