@@ -83,7 +83,10 @@ object Main {
   }
 
   /** Split a script on top-level ';' only — semicolons inside quoted
-    * strings, quoted identifiers, or line comments stay intact. */
+    * strings, quoted identifiers, or line comments stay intact. Inside
+    * quotes, both backslash escapes (Spark's default
+    * escapedStringLiterals=false dialect: 'it\'s') and doubled quotes
+    * ('it''s', "a""b") are consumed without ending the quoted state. */
   private[graft] def splitSql(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -104,12 +107,17 @@ object Main {
               text.charAt(i + 1) == '*') state = 'b'
             cur.append(ch)
           }
-        case 's' =>
-          if (ch == '\'') state = 'n'
-          cur.append(ch)
-        case 'd' =>
-          if (ch == '"') state = 'n'
-          cur.append(ch)
+        case 's' | 'd' =>
+          val quote = if (state == 's') '\'' else '"'
+          if (ch == '\\' && i + 1 < text.length) {
+            cur.append(ch).append(text.charAt(i + 1)); i += 1
+          } else if (ch == quote && i + 1 < text.length &&
+            text.charAt(i + 1) == quote) {
+            cur.append(ch).append(quote); i += 1
+          } else {
+            if (ch == quote) state = 'n'
+            cur.append(ch)
+          }
         case 'c' =>
           if (ch == '\n') state = 'n'
           cur.append(ch)

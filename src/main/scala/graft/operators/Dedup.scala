@@ -169,16 +169,19 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      // Exact verify on the candidate set only.
-      cand
-        .join(idx.as("p"), col("d1") === col("p.doc_id"))
-        .withColumnRenamed("sh", "sh1")
-        .join(idx.as("q"), col("d2") === col("q.doc_id"))
-        .withColumnRenamed("sh", "sh2")
-        .select(col("d1"), col("d2"),
-          (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Exact verify on the candidate set only, and through the SAME
+      // capped-postings kernel as dd02 (postings of candidate docs only,
+      // stop-shingles pruned identically), so the MaxPostings df-cap can
+      // never make dd02, dd03, and the shared oracle diverge. Candidate
+      // docs are a small fraction of the corpus, so the pair join stays
+      // LSH-sized rather than corpus-sized.
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val candCounts = pairCounts(postings(idx)
+          .join(candDocs, Seq("doc_id"), "left_semi"))
+        .join(cand, Seq("d1", "d2"), "left_semi")
+      jaccardFrom(candCounts, idx)
     }),
 
     // Near-dup clusters: connected components over the Jaccard pair graph,

@@ -23,7 +23,11 @@ object EventStreams {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // decimal-cast sum, same as the batch twin (q12_events_daily): a
+      // plain sum(double) is partition-order dependent in the last ulp,
+      // which can flap the batch/stream convergence check
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Num.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

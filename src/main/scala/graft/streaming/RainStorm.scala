@@ -127,20 +127,40 @@ object RainStormJob {
     * consumed inputs are deleted. A rerun after a crash first deletes any
     * input dir named by an existing manifest (its data already lives in a
     * committed compacted dir), so records are never duplicated.
+    *
+    * Known window: if the process crashes between the rename and the input
+    * deletion, readers see BOTH the compacted dir and the consumed inputs
+    * (duplicates) until the next compact() run cleans them up — same
+    * read-uncommitted window the reference's merge has between replica
+    * pushes (file_system.py:286-365). Exactly-once readers should read
+    * only `compacted-*` plus batches newer than the latest manifest.
     */
   def compact(spark: SparkSession, outDir: String, targetFiles: Int): Long = {
     val dir = new java.io.File(outDir)
     def list(prefix: String): Array[java.io.File] =
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-    // Manifests record content identity (name|fileCount|totalBytes), not
-    // just names — a rebuilt stream (fresh checkpoint, same outDir) reuses
-    // batch ids, and deleting its NEW batch-0 because an old manifest
-    // mentions "batch-0" would silently lose data.
+    // Manifests record content identity, not just names — a rebuilt stream
+    // (fresh checkpoint, same outDir) reuses batch ids, and deleting its
+    // NEW batch-0 because an old manifest mentions "batch-0" would silently
+    // lose data. Identity = name | file count | total bytes | MD5 over each
+    // file's (name, length, first 64 bytes), so "same count and byte total
+    // but different data" rebuilds are still distinguished.
     def dirIdentity(b: java.io.File): String = {
       val files = Option(b.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile)
-      s"${b.getName}|${files.length}|${files.map(_.length()).sum}"
+        .filter(_.isFile).sortBy(_.getName)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach { f =>
+        md.update(s"${f.getName}:${f.length()}:".getBytes("UTF-8"))
+        val in = new java.io.FileInputStream(f)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          if (n > 0) md.update(buf, 0, n)
+        } finally in.close()
+      }
+      val hash = md.digest().map("%02x".format(_)).mkString
+      s"${b.getName}|${files.length}|${files.map(_.length()).sum}|$hash"
     }
     // recovery: drop inputs already committed into a compacted dir
     val consumed = list("compacted-").flatMap { c =>

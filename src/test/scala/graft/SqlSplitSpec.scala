@@ -21,4 +21,17 @@ class SqlSplitSpec extends AnyFunSuite {
     assert(Main.splitSql("/* header;\n spanning; lines */ SELECT 1") ==
       Seq("/* header;\n spanning; lines */ SELECT 1"))
   }
+
+  test("backslash-escaped quotes do not end the string state") {
+    // Spark's default dialect (escapedStringLiterals=false): 'it\'s'
+    assert(Main.splitSql("SELECT 'it\\'s; fine'; SELECT 2") ==
+      Seq("SELECT 'it\\'s; fine'", "SELECT 2"))
+    assert(Main.splitSql("SELECT \"a\\\";b\" FROM t; SELECT 2") ==
+      Seq("SELECT \"a\\\";b\" FROM t", "SELECT 2"))
+    // backslash at the very end of the text must not read past the input
+    assert(Main.splitSql("SELECT '\\") == Seq("SELECT '\\"))
+    // escaped backslash then a real closing quote
+    assert(Main.splitSql("SELECT 'a\\\\'; SELECT 2") ==
+      Seq("SELECT 'a\\\\'", "SELECT 2"))
+  }
 }
