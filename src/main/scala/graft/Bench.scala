@@ -48,14 +48,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (a count() would let
-      // Catalyst prune the projections being measured)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        finally spark.catalog.clearCache() // drop per-query persisted indexes
-      // failed queries report -1, never a bogus near-zero "great" time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // Catalyst prune the projections being measured).
+      // failed queries report -1, never a bogus near-zero "great" time;
+      // elapsed is captured before clearCache so cache teardown is not
+      // billed to the query
+      var elapsed = -1.0
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        elapsed = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      finally spark.catalog.clearCache() // drop per-query persisted indexes
+      name -> elapsed
     }
 
     // Streaming throughput in BASELINE.md's own units (output rec/s on the

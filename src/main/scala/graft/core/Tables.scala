@@ -19,20 +19,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) which Spark reads only as a raw long
-    // (spark.sql.legacy.parquet.nanosAsLong=true, set in the session);
-    // convert to a microsecond TimestampType here. Integer DIV, not double
-    // division — epoch-nanos (~1.7e18) overflows double's 53-bit mantissa.
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
-  }
+  // `spark.read.parquet` eagerly lists files and reads a footer for schema
+  // inference — driver-side metadata work that costs 50-300 ms per table
+  // and is pure fixed overhead when repeated per query. The analyzed plan
+  // is immutable, so reuse it per (session, dir, table). (This caches the
+  // PLAN, not data — nothing is pinned in executor memory.)
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 
-  /** Register every table as a temp view so `spark.sql` surfaces work too. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    planCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name), _ => {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        // events.ts is TIMESTAMP(NANOS) which Spark reads only as a raw long
+        // (spark.sql.legacy.parquet.nanosAsLong=true, set in the session);
+        // convert to a microsecond TimestampType here. Integer DIV, not double
+        // division — epoch-nanos (~1.7e18) overflows double's 53-bit mantissa.
+        if (name == "events")
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        else df
+      })
+
+  /** Register every table as a temp view so `spark.sql` surfaces work too.
+    * Idempotent per (session, dir): re-registering 10 views costs seconds
+    * of driver metadata work and SQL-surface queries call this on every
+    * invocation. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = "graft.views.registered.dir"
+    if (!spark.conf.getOption(key).contains(dir)) {
+      names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(key, dir)
+    }
+  }
 }
 
 /** Numeric helpers shared by the query library and the DuckDB oracles.

@@ -149,8 +149,12 @@ object Dedup {
     // MinHash + LSH banding -> candidates -> exact-Jaccard verify.
     "dd03_minhash_lsh" -> ((s, d) => {
       val idx = shingleIndex(s, d)
+      // exploded once, shared by the signature aggregate AND the verify
+      // step's capped postings (a second explode over the corpus costs more
+      // than everything downstream of it)
       val expl = idx.filter(size(col("sh")) > 0)
         .select(col("doc_id"), explode(col("sh")).as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // 128 codegen'd min(xxhash64) aggregate columns in one grouped pass.
       val mins = (0 until NumPerms).map(i =>
         min(xxhash64(lit(i), col("s"))).as(s"m$i"))
@@ -164,11 +168,12 @@ object Dedup {
           explode(array(bandStructs: _*)).as("k"))
         .select(col("doc_id"), col("k.band"), col("k.bh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // band-bucket collisions; no distinct — the downstream left-semi
+      // joins dedupe, and a distinct here is one more shuffle
       val cand = buckets.as("x").join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       // Exact verify on the candidate set only, and through the SAME
       // capped-postings kernel as dd02 (postings of candidate docs only,
@@ -178,8 +183,12 @@ object Dedup {
       // LSH-sized rather than corpus-sized.
       val candDocs = cand.select(col("d1").as("doc_id"))
         .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-      val candCounts = pairCounts(postings(idx)
-          .join(candDocs, Seq("doc_id"), "left_semi"))
+      val dfOk = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, MaxPostings))
+        .select(col("s"))
+      val candPost = expl.join(candDocs, Seq("doc_id"), "left_semi")
+        .join(dfOk, "s")
+      val candCounts = pairCounts(candPost)
         .join(cand, Seq("d1", "d2"), "left_semi")
       jaccardFrom(candCounts, idx)
     }),
@@ -256,18 +265,26 @@ object Dedup {
     }),
 
     // Embedding-cosine near-dup pairs: all ordered pairs above threshold.
-    // Brute force O(N^2) with the native fused cosine kernel — correct and
-    // CPU-bound; at 100 TB the candidate set comes from sign-LSH buckets
-    // (sim02's machinery) and this exact scoring runs per bucket only.
-    // Oracled bit-exact (same left-to-right double fold as DuckDB).
+    // Brute force O(N^2) — correct and CPU-bound; at 100 TB the candidate
+    // set comes from sign-LSH buckets (sim02's machinery) and this exact
+    // scoring runs per bucket only. Each vector's L2 norm is computed ONCE
+    // in the scan projection (N ops), so the O(N^2) pair kernel is a dot
+    // product + one divide instead of the fused 3-accumulator cosine —
+    // same bits (identical left-to-right folds, dot/(n1*n2) ==
+    // dot/(sqrt(na)*sqrt(nb))), one third the pair-stage flops.
+    // Oracled bit-exact (same fold order as DuckDB's list_sum).
     "dd05_embedding_neardup" -> ((s, d) => {
-      import graft.functions.VectorFunctions.cosine
+      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+      // persist so projection collapse cannot re-inline l2_norm into the
+      // per-pair projection (which would silently undo the precompute)
       val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          l2_norm(col("embedding")).as("nrm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          round(cosine(col("a.embedding"), col("b.embedding")), 6)
-            .as("cos_r"))
+          round(dot_product(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")), 6).as("cos_r"))
         .filter(col("cos_r") >= 0.45)
     }),
 

@@ -188,6 +188,20 @@ object Relational2 {
           .as("nations"))
     }),
 
+    // Top-k per group through the custom whole-operator plan (logical node
+    // + strategy + partial/final physical operator, graftx.TopKPerGroup):
+    // the exchange carries at most k rows per (group x input partition)
+    // instead of every row, and nothing is fully sorted. Total order
+    // (price DESC, orderkey ASC tie-break) makes output deterministic and
+    // row-identical to the window-rank oracle.
+    "q30_topk_per_group" -> ((s, d) => {
+      Scale.topKPerGroup(
+        Tables(s, d, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderstatus"), 3,
+        col("o_totalprice").desc, col("o_orderkey").asc)
+    }),
+
     // The SQL front end over registered views (same engine, text surface).
     "q22_sql_surface" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -200,6 +214,14 @@ object Relational2 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q30_topk_per_group" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
     "q16_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_open_orders
         |FROM customer LEFT JOIN (SELECT * FROM orders

@@ -39,4 +39,15 @@ object Scale {
         }: _*)
       .withColumnRenamed("__key", "key")
   }
+
+  /** Top-k rows per group via the custom whole-operator plan
+    * ([[org.apache.spark.sql.graftx.TopKPerGroup]]): bounded per-group
+    * heaps inside each input partition, then a shuffle carrying at most
+    * k rows per (group x partition) — vs the window formulation's
+    * shuffle-everything + full per-group sort. Supply a total order
+    * (unique tie-break column last) for deterministic output. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], k: Int,
+      orderBy: Column*): DataFrame =
+    org.apache.spark.sql.graftx.TopKFunctions
+      .topKPerGroup(df, groupCols, k, orderBy: _*)
 }

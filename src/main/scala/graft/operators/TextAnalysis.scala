@@ -133,9 +133,12 @@ object TextAnalysis {
         .agg(count(lit(1)).cast("double").as("nd"))
       val df_ = sh.groupBy("t").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 1000) // stop-shingle cap, mirrored in oracle
+      // Materialized once: three consumers below (norms + both sides of the
+      // pair join) would otherwise each re-run the shingle explode + df join.
       val w = sh.join(df_, "t").crossJoin(broadcast(n))
         .select(col("doc_id"), col("t"),
           log(col("nd") / col("df")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val norms = w.groupBy("doc_id")
         .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       val dots = w.as("a").join(w.as("b"),

@@ -41,6 +41,8 @@ object GraftExtensions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> ((es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    "dot_product" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    "l2_norm" -> ((es: Seq[Expression]) => L2Norm(es.head)),
     "winnow_fingerprint" -> ((es: Seq[Expression]) =>
       WinnowFingerprint(es.head)),
     "word_shingles" -> ((es: Seq[Expression]) =>

@@ -88,9 +88,119 @@ case class CosineSim(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native left-to-right double dot product over two `array<float>` columns.
+  * Same fold order as [[CosineSim]]'s dot accumulator, so
+  * `dot_product(a,b) / (l2_norm(a) * l2_norm(b))` is bit-identical to
+  * `cosine_sim(a,b)` — the decomposition that lets all-pairs scoring
+  * precompute each vector's norm ONCE instead of re-deriving both norms
+  * inside every pair (3x the flops at O(N^2) pairs). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        |final int $n = $x.numElements();
+        |if ($n != $y.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+        |  }
+        |  ${ev.value} = $dot;
+        |}
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Native L2 norm of an `array<float>` column: sqrt of the left-to-right
+  * double sum of squares — exactly [[CosineSim]]'s per-side accumulator. */
+case class L2Norm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      s += xi * xi
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val xi = ctx.freshName("xi")
+      s"""
+        |final int $n = $x.numElements();
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $xi = (double) $x.getFloat($i);
+        |  $s += $xi * $xi;
+        |}
+        |${ev.value} = java.lang.Math.sqrt($s);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object functions {
   /** Column-API entry point for [[CosineSim]]. */
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API entry point for [[DotProduct]]. */
+  def dot_product(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API entry point for [[L2Norm]]. */
+  def l2_norm(a: Column): Column =
+    ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
 }
