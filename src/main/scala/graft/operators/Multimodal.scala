@@ -64,6 +64,26 @@ object Multimodal {
         if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
     }
 
+  private val embedSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("emb", ArrayType(FloatType))))
+
+  /** ===== STUB ===== A real encoder would batch decoded media through a
+    * vision/audio model (the per-partition iterator is where the model
+    * loads once and serves the whole batch); this deterministic fake folds
+    * raw bytes into 8 chunked sums so the downstream similarity plumbing
+    * is real and testable. */
+  private def encodeStub(rows: Iterator[Row]): Iterator[Row] =
+    rows.map { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      val emb = new Array[Float](8)
+      var i = 0
+      while (i < bytes.length) { emb(i % 8) += (bytes(i) & 0xff); i += 1 }
+      Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+        emb.toIndexedSeq)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata-only catalog scan: payload column pruned away entirely.
     "mm01_media_catalog" -> ((s, d) =>
@@ -83,6 +103,32 @@ object Multimodal {
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("checksum")).as("total_checksum"))
+    }),
+
+    // The full multimodal pipeline shape: decode -> embed (stub model in
+    // the mapPartitions batch kernel) -> nearest neighbor per media within
+    // its kind, scored by cosine over the embedding and selected by the
+    // custom TopKPerGroup operator. Brute-force within kind here; at
+    // corpus scale the pair source is sim02's LSH buckets. Stub-encoder
+    // output -> rows-only check; invariants asserted in the spec.
+    "mm04_media_embed_knn" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+      val cat = mediaCatalog(s, d)
+      val emb = cat.sparkSession.createDataFrame(
+        cat.select("media_id", "kind", "payload").rdd
+          .mapPartitions(encodeStub),
+        embedSchema)
+      val e = emb.withColumn("nrm", l2_norm(col("emb")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.kind") === col("b.kind") &&
+            col("a.media_id") =!= col("b.media_id"))
+        .select(col("a.media_id").as("media_id"), col("a.kind").as("kind"),
+          col("b.media_id").as("neighbor_id"),
+          round(dot_product(col("a.emb"), col("b.emb")) /
+            (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      Scale.topKPerGroup(pairs, Seq("media_id"), 1,
+        col("sim").desc, col("neighbor_id").asc)
     }),
 
     // Frame sampling: every 10th frame of each "video"; pure expression

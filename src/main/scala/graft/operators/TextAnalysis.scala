@@ -153,6 +153,75 @@ object TextAnalysis {
         .filter(col("sim") >= 0.9)
     }),
 
+    // Profile-based language ID via character trigrams — the real n-gram
+    // method (tx03 is the compressed marker-word heuristic): per-language
+    // profiles = top-200 trigrams by frequency (built with the custom
+    // TopKPerGroup operator — bounded heaps, not a full window sort),
+    // classification = largest distinct-trigram overlap with a profile,
+    // ties broken by language name. Profiles are tiny (langs x 200) and
+    // broadcast; the per-doc work is one explode + one broadcast join, so
+    // the shape holds at corpus scale.
+    "tx09_charngram_langid" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      val tri = docs.filter(length(col("t")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+            .as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = tri.groupBy(col("lang"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val prof = Scale.topKPerGroup(counts, Seq("lang"), 200,
+          col("cnt").desc, col("g").asc)
+        .select(col("lang").as("cand"), col("g"))
+      val ovl = tri.select(col("doc_id"), col("g")).distinct()
+        .join(broadcast(prof), "g")
+        .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("ov"))
+      val pred = Scale.topKPerGroup(ovl, Seq("doc_id"), 1,
+          col("ov").desc, col("cand").asc)
+        .select(col("doc_id"), col("cand").as("predicted"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"), "left_outer")
+        .select(col("lang"),
+          coalesce(col("predicted"), lit("unk")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Exact token heavy hitters: tokens carrying >= 1% of all token
+    // occurrences. One explode + one groupBy; the total is a broadcast
+    // scalar. The exact twin of the tx11 sketch.
+    "tx10_token_heavy_hitters" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(explode(expr(tokensExpr)).as("t"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") >= col("n_total") * 0.01)
+        .select(col("t"), col("n"))
+    }),
+
+    // Count-min-sketch estimates for the exact heavy hitters — the
+    // mergeable-sketch path that replaces a full groupBy at 100 TB the way
+    // HLL replaces distinct. The sketch build is distributed (tree-
+    // aggregated partials); only the bounded heavy-hitter set is estimated
+    // driver-side. Sketch-specific output -> rows-only check; the
+    // overcount bound (exact <= est <= exact + eps*N) is asserted in the
+    // spec.
+    "tx11_cms_token_counts" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(explode(expr(tokensExpr)).as("t"))
+      val sketch = tok.stat.countMinSketch(col("t"),
+        eps = 0.0001, confidence = 0.99, seed = 42)
+      val hh = queries("tx10_token_heavy_hitters")(s, d)
+        .collect() // bounded: only tokens above 1% of the corpus
+      import s.implicits._
+      hh.toSeq.map(r => (r.getString(0), r.getLong(1),
+          sketch.estimateCount(r.getString(0))))
+        .toDF("t", "n_exact", "n_est")
+    }),
+
     // Content fingerprinting: md5 over whitespace-normalized text. Exact-dup
     // detection joins on this 16-byte key instead of the full document —
     // at 100 TB the shuffle carries fingerprints, not bodies.
@@ -231,6 +300,38 @@ object TextAnalysis {
     "tx04_fingerprint" ->
       s"""SELECT doc_id,
         |  ${graft.core.Fingerprints.sqlContent("text")} AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // duckdb range(a, b) is exclusive-stop => 1..len-2, matching Spark's
+    // inclusive sequence(1, len-2); substr/substring are both 1-based and
+    // character-oriented.
+    "tx09_charngram_langid" ->
+      """WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, length(t) - 1),
+        |      i -> substr(t, i, 3))) AS g
+        |  FROM docs WHERE length(t) >= 3),
+        |cnts AS (SELECT lang, g, COUNT(*) AS cnt FROM tri GROUP BY 1, 2),
+        |prof AS (SELECT lang AS cand, g FROM (
+        |  SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, g ASC) AS rn FROM cnts) WHERE rn <= 200),
+        |dtri AS (SELECT DISTINCT doc_id, g FROM tri),
+        |ovl AS (SELECT doc_id, cand, COUNT(*) AS ov
+        |        FROM dtri JOIN prof USING (g) GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, cand AS predicted FROM (
+        |  SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY ov DESC, cand ASC) AS rn FROM ovl) WHERE rn = 1)
+        |SELECT d.lang, COALESCE(p.predicted, 'unk') AS predicted,
+        |  COUNT(*) AS n_docs
+        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "tx10_token_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($tokensSql) AS t FROM documents)
+         |SELECT t, COUNT(*) AS n FROM tok GROUP BY t
+         |HAVING COUNT(*) >= (SELECT COUNT(*) FROM tok) * 0.01""".stripMargin
+    // tx11_cms_token_counts: intentionally no oracle (sketch-specific).
   )
 }
