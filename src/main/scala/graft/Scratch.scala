@@ -22,12 +22,27 @@ object Scratch {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q05_broadcast_join", "q15_star_join",
         "dd02_jaccard_pairs", "dd03_minhash_lsh", "sim01_knn_bruteforce")
+    // SCRATCH_WARMUP=1 replicates Bench's all-queries sf0.001 warmup pass;
+    // SCRATCH_SINK=noop replicates its noop-write materialization — so a
+    // Scratch number is comparable to the BENCH number for the same query.
+    if (sys.env.get("SCRATCH_WARMUP").contains("1")) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        finally spark.catalog.clearCache()
+      }
+      println("========== warmup done ==========")
+    }
+    val useNoop = sys.env.get("SCRATCH_SINK").contains("noop")
     names.foreach { n =>
       println(s"========== $n ==========")
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, d)
       val tBuild = (System.nanoTime() - t0) / 1e9
-      val rows = df.count()
+      val rows = if (useNoop) {
+        df.write.format("noop").mode("overwrite").save(); -1L
+      } else df.count()
       val tTotal = (System.nanoTime() - t0) / 1e9
       println(f"--> $rows rows; build $tBuild%.2f s, total $tTotal%.2f s")
       spark.catalog.clearCache()

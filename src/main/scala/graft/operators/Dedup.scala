@@ -149,19 +149,25 @@ object Dedup {
     // MinHash + LSH banding -> candidates -> exact-Jaccard verify.
     "dd03_minhash_lsh" -> ((s, d) => {
       val idx = shingleIndex(s, d)
-      // exploded once, shared by the signature aggregate AND the verify
-      // step's capped postings (a second explode over the corpus costs more
-      // than everything downstream of it)
+      // postings exploded once, for the verify step only (global df cap +
+      // candidate postings) — signatures no longer need them
       val expl = idx.filter(size(col("sh")) > 0)
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // 128 codegen'd min(xxhash64) aggregate columns in one grouped pass.
-      val mins = (0 until NumPerms).map(i =>
-        min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-      val sig = expl.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      // Per-row single-pass signature via the native MinHashSig kernel —
+      // bit-identical to the old 128-column min(xxhash64) aggregate (same
+      // hash chain) and to the streaming formulation (DocPipeline), but
+      // born in the scan projection: no corpus explode, no 128-column-wide
+      // exchange, no grouped aggregate at all.
+      val rowsPerBand = NumPerms / Bands
+      val sig = idx.filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftx.NGramFunctions
+            .minhash_sig(col("sh"), NumPerms).as("sig"))
       val bandStructs = (0 until Bands).map { b =>
         struct(lit(b).as("band"),
-          hash((b * 4 until b * 4 + 4).map(i => col(s"m$i")) :+ lit(b): _*)
+          hash((0 until rowsPerBand).map(i =>
+              element_at(col("sig"), b * rowsPerBand + i + 1)) :+ lit(b): _*)
             .as("bh"))
       }
       val buckets = sig.select(col("doc_id"),

@@ -48,7 +48,11 @@ object GraftExtensions {
     "word_shingles" -> ((es: Seq[Expression]) =>
       WordShingles(es(0), intLit(es(1), "word_shingles"))),
     "sign_buckets" -> ((es: Seq[Expression]) => SignBuckets(es(0),
-      intLit(es(1), "sign_buckets"), intLit(es(2), "sign_buckets"))))
+      intLit(es(1), "sign_buckets"), intLit(es(2), "sign_buckets"))),
+    "char_ngram_counts" -> ((es: Seq[Expression]) =>
+      CharNGramCounts(es(0), intLit(es(1), "char_ngram_counts"))),
+    "minhash_sig" -> ((es: Seq[Expression]) =>
+      MinHashSig(es(0), intLit(es(1), "minhash_sig"))))
 
   /** Register every graft function on a live session's registry. */
   def registerAll(spark: SparkSession): Unit =
