@@ -32,17 +32,31 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    // dgrep <glob> <pattern> [-c]   (per-file lines, or counts + TOTAL)
-    case "dgrep" :: glob :: pattern :: rest =>
-      val spark = session("graft-dgrep")
-      val lines = Grep.grepLogs(spark, glob, pattern)
-      if (rest.contains("-c"))
-        Grep.grepCount(lines).orderBy(col("file")).collect()
-          .foreach(r => println(s"${r.get(0)}: ${r.get(1)}"))
-      else
-        lines.select(concat_ws(": ", col("file"), col("value"))).collect()
-          .foreach(r => println(r.getString(0)))
-      spark.stop()
+    // dgrep <glob> [flags] <pattern> [flags]
+    // Flags mirror the grep argv the reference client forwards verbatim
+    // (client.py:164-199): -c counts, -i ignore case, -v invert, -F fixed
+    // string, -E accepted as a no-op (the engine is ERE-shaped already).
+    // Combined short flags (-ic, -vi, ...) are accepted like grep's.
+    case "dgrep" :: glob :: rest if rest.nonEmpty =>
+      val known = Set('c', 'i', 'v', 'F', 'E')
+      val (flagArgs, patArgs) = rest.partition(a =>
+        a.length > 1 && a.startsWith("-") &&
+          a.drop(1).forall(known.contains))
+      patArgs match {
+        case pattern :: Nil =>
+          val flags = flagArgs.flatMap(_.drop(1)).toSet
+          val spark = session("graft-dgrep")
+          val lines = Grep.grepLogs(spark, glob, pattern,
+            ignoreCase = flags('i'), invert = flags('v'), fixed = flags('F'))
+          if (flags('c'))
+            Grep.grepCount(lines).orderBy(col("file")).collect()
+              .foreach(r => println(s"${r.get(0)}: ${r.get(1)}"))
+          else
+            lines.select(concat_ws(": ", col("file"), col("value"))).collect()
+              .foreach(r => println(r.getString(0)))
+          spark.stop()
+        case _ => usage()
+      }
 
     // rainstorm simple <pattern> <idx1> <idx2> <in> <out> <ckpt>
     case "rainstorm" :: "simple" :: p :: i1 :: i2 :: in :: out :: ckpt :: Nil =>
@@ -135,7 +149,7 @@ object Main {
   private def usage(): Unit = {
       System.err.println(
         """usage:
-          |  dgrep <glob> <pattern> [-c]
+          |  dgrep <glob> <pattern> [-c] [-i] [-v] [-E] [-F]
           |  rainstorm simple <pattern> <idx1> <idx2> <inDir> <outDir> <ckpt>
           |  rainstorm complex <filterIdx> <filterVal> <keyIdx> <inDir> <outDir> <ckpt>
           |  sql <sfDir> <file.sql | statement>

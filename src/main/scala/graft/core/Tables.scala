@@ -23,22 +23,38 @@ object Tables {
   // inference — driver-side metadata work that costs 50-300 ms per table
   // and is pure fixed overhead when repeated per query. The analyzed plan
   // is immutable, so reuse it per (session, dir, table). (This caches the
-  // PLAN, not data — nothing is pinned in executor memory.)
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  // PLAN, not data — nothing is pinned in executor memory.) Keyed on the
+  // session OBJECT via a weak-keyed identity map — identityHashCode is not
+  // unique (two live sessions could collide and one would silently get a
+  // plan bound to the other), and weak keys let stopped sessions and their
+  // plans be GC'd instead of pinning every session ever seen.
+  // Assumption (by design): the cached plan freezes the parquet file
+  // listing — a dataset dir REWRITTEN in place mid-session would serve
+  // stale file handles. Testdata dirs are immutable; external rewrites
+  // must use a fresh dir or session.
+  private val planCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    planCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name), _ => {
-        val df = spark.read.parquet(s"$dir/$name.parquet")
-        // events.ts is TIMESTAMP(NANOS) which Spark reads only as a raw long
-        // (spark.sql.legacy.parquet.nanosAsLong=true, set in the session);
-        // convert to a microsecond TimestampType here. Integer DIV, not double
-        // division — epoch-nanos (~1.7e18) overflows double's 53-bit mantissa.
-        if (name == "events")
-          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        else df
-      })
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // WeakHashMap matches on equals(); SparkSession does not override it,
+    // so keys compare by identity as required. Guard the (rare) map
+    // mutation; per-session lookups then go through the concurrent inner
+    // map without contention.
+    val perSession = planCache.synchronized {
+      planCache.computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+    }
+    perSession.computeIfAbsent((dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // events.ts is TIMESTAMP(NANOS) which Spark reads only as a raw long
+      // (spark.sql.legacy.parquet.nanosAsLong=true, set in the session);
+      // convert to a microsecond TimestampType here. Integer DIV, not double
+      // division — epoch-nanos (~1.7e18) overflows double's 53-bit mantissa.
+      if (name == "events")
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else df
+    })
+  }
 
   /** Register every table as a temp view so `spark.sql` surfaces work too.
     * Idempotent per (session, dir): re-registering 10 views costs seconds

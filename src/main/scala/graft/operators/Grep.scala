@@ -24,11 +24,32 @@ import graft.core.Tables
 object Grep {
 
   /** `dgrep <pattern>` over a directory of text logs (the literal
-    * LogQuerier surface, SURVEY.md §3.2). */
-  def grepLogs(spark: SparkSession, glob: String, pattern: String): DataFrame =
+    * LogQuerier surface, SURVEY.md §3.2), with the grep flags the
+    * reference's client passes through verbatim to the remote grep
+    * (reference src/LogQuerier/client.py:164-199 forwards ALL argv):
+    *
+    *  - `ignoreCase` (-i): case-insensitive match,
+    *  - `invert` (-v): emit NON-matching lines,
+    *  - `fixed` (-F): pattern is a literal string, not a regex,
+    *  - `-E` is accepted upstream as a no-op — the match engine here is
+    *    Java regex, which is ERE-shaped already.
+    *
+    * Dialect delta (documented per SURVEY §7.4(6)): the reference executes
+    * GNU grep, so un-flagged patterns get BRE semantics (`+ ? | ( )` are
+    * LITERAL unless backslashed) while this engine always applies Java
+    * regex (ERE-shaped) semantics. Patterns using only the common subset
+    * (literals, `.` `*` `[...]` `^` `$`) behave identically; use `-F` for
+    * exact-string behavior of metacharacter-bearing patterns.
+    */
+  def grepLogs(spark: SparkSession, glob: String, pattern: String,
+      ignoreCase: Boolean = false, invert: Boolean = false,
+      fixed: Boolean = false): DataFrame = {
+    val re = if (fixed) java.util.regex.Pattern.quote(pattern) else pattern
+    val matched = col("value").rlike(if (ignoreCase) s"(?i)$re" else re)
     spark.read.textFile(glob).toDF("value")
       .withColumn("file", input_file_name())
-      .filter(col("value").rlike(pattern))
+      .filter(if (invert) !matched else matched)
+  }
 
   /** `dgrep -c`: per-file counts plus a TOTAL row, like client.py:151-152.
     * The total is a separate global aggregate (not a rollup) so a query

@@ -106,25 +106,45 @@ object Multimodal {
     }),
 
     // The full multimodal pipeline shape: decode -> embed (stub model in
-    // the mapPartitions batch kernel) -> nearest neighbor per media within
-    // its kind, scored by cosine over the embedding and selected by the
-    // custom TopKPerGroup operator. Brute-force within kind here; at
-    // corpus scale the pair source is sim02's LSH buckets. Stub-encoder
-    // output -> rows-only check; invariants asserted in the spec.
+    // the mapPartitions batch kernel) -> approximate nearest neighbor per
+    // media within its kind: candidate pairs from sign-LSH bucket
+    // collisions within (kind, table, bucket) with Hamming-1 multiprobe
+    // (sim02's machinery — no all-pairs join), exact cosine rescore of
+    // candidates only, winner per media via the custom TopKPerGroup
+    // operator. Zero-norm embeddings (empty payloads) are filtered before
+    // ranking — sim would be 0/0 = NaN, which Spark sorts above every
+    // real double and would leak a NaN winner. A media whose probed
+    // buckets hold no same-kind neighbor emits no row (ANN contract).
+    // Stub-encoder output -> rows-only check; invariants in the spec.
     "mm04_media_embed_knn" -> ((s, d) => {
       import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+      import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
+      val B = 6; val L = 4
       val cat = mediaCatalog(s, d)
       val emb = cat.sparkSession.createDataFrame(
         cat.select("media_id", "kind", "payload").rdd
           .mapPartitions(encodeStub),
         embedSchema)
       val e = emb.withColumn("nrm", l2_norm(col("emb")))
+        .filter(col("nrm") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.kind") === col("b.kind") &&
-            col("a.media_id") =!= col("b.media_id"))
-        .select(col("a.media_id").as("media_id"), col("a.kind").as("kind"),
-          col("b.media_id").as("neighbor_id"),
+      val own = e.select(col("media_id"), col("kind"),
+        posexplode(sign_buckets(col("emb"), B, L)).as(Seq("tbl", "bucket")))
+      val probe = own.select(col("media_id"), col("kind"), col("tbl"),
+        explode(array(col("bucket") +: (0 until B).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+      val cand = probe.as("x").join(own.as("y"),
+          col("x.kind") === col("y.kind") && col("x.tbl") === col("y.tbl") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.media_id") =!= col("y.media_id"))
+        .select(col("x.media_id").as("media_id"),
+          col("y.media_id").as("neighbor_id"))
+        .distinct()
+      val pairs = cand.as("c")
+        .join(e.as("a"), col("c.media_id") === col("a.media_id"))
+        .join(e.as("b"), col("c.neighbor_id") === col("b.media_id"))
+        .select(col("c.media_id").as("media_id"), col("a.kind").as("kind"),
+          col("c.neighbor_id").as("neighbor_id"),
           round(dot_product(col("a.emb"), col("b.emb")) /
             (col("a.nrm") * col("b.nrm")), 6).as("sim"))
       Scale.topKPerGroup(pairs, Seq("media_id"), 1,

@@ -19,9 +19,9 @@ import graft.functions.VectorFunctions._
   *    in the scan (no side data); a query probes its own bucket plus the 8
   *    Hamming-1 neighbors. The corpus shuffles once on bucket id; each
   *    lookup touches ~9/256 of the data.
-  *  - sim03 IVF: coarse quantizer = per-label centroids (labels stand in
-  *    for a k-means assignment); queries search only their nearest
-  *    centroid's inverted list. Centroid build is one map-side agg.
+  *  - sim03 IVF: coarse quantizer = Lloyd's k-means over the vectors
+  *    (Clustering.kmeans, deterministic); queries search only their
+  *    nearest centroid's inverted list (nprobe=1).
   *
   * sim01 carries a DuckDB oracle (scores ranked on a rounded value with a
   * vec_id tie-break so double low-bit drift cannot reorder the top-k);
@@ -108,24 +108,25 @@ object Similarity {
 
     "sim03_ivf_knn" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
-      // Coarse quantizer: mean vector per label (map-side partial agg over
-      // posexploded dims; only (label, dim, sum) crosses the network).
-      val centroids = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
-        .groupBy("label")
-        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
-        .select(col("label").as("cl"),
-          expr("transform(pairs, p -> p.cv)").as("cvec"))
-      // Assign each query to its nearest centroid...
+      // Coarse quantizer: Lloyd's k-means over the vectors themselves
+      // (Clustering.kmeans — deterministic init/ties, decimal-sum means);
+      // the inverted lists are the k-means cells. Queries probe their
+      // nearest centroid's cell only (nprobe=1) — the assignment metric
+      // (L2, lower-cl tie-break) is exactly the one the cells were built
+      // with, so a query lands in the cell whose members were assigned to
+      // its centroid.
+      val (assigned, centroids) =
+        Clustering.kmeans(e.select(col("vec_id"), col("embedding")),
+          k = 8, iters = 4)
       val wq = Window.partitionBy(col("qid"))
         .orderBy(col("cdist").asc, col("cl").asc)
       val qAssign = queriesDf(s, d).crossJoin(broadcast(centroids))
         .withColumn("cdist", l2(col("qv"), col("cvec")))
         .withColumn("r", row_number().over(wq)).filter(col("r") === 1)
         .select(col("qid"), col("qv"), col("cl"))
-      // ...and search only that label's inverted list.
-      val scored = e.join(broadcast(qAssign), col("label") === col("cl"))
+      // search only the probed cell's inverted list
+      val scored = e.join(assigned, "vec_id")
+        .join(broadcast(qAssign), "cl")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))

@@ -105,15 +105,19 @@ object TextAnalysis {
           max(col("n_bpe")).as("max_bpe_tokens"))
     }),
 
-    // Stratified sampling by language (seeded, Spark-deterministic): the
-    // corpus-balancing step of a training-data pipeline. Hash-based
-    // sampling would be engine-portable; Bernoulli sampleBy is the
-    // idiomatic Spark surface -> rows-only check + proportion test.
+    // Stratified sampling by language — the corpus-balancing step of a
+    // training-data pipeline. Keep-decision = md5(doc_id) bucket < the
+    // stratum's percentage: hash-based deterministic sampling, so the
+    // sample is reproducible across runs, partitionings, AND engines
+    // (unlike Bernoulli sampleBy(seed), whose stream of draws is
+    // Spark-internal) — which also makes it exactly DuckDB-oracled. At
+    // 100 TB this is one scan with a codegen'd predicate, no state.
     "tx07_stratified_sample" -> ((s, d) => {
-      val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0,
-        "es" -> 1.0, "zh" -> 1.0)
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 100")
       Tables(s, d, "documents")
-        .stat.sampleBy("lang", fractions, seed = 42L)
+        .filter(col("lang") =!= "en" || bucket < 50)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
     }),
 
@@ -361,7 +365,16 @@ object TextAnalysis {
       s"""WITH tok AS (
          |  SELECT unnest($tokensSql) AS t FROM documents)
          |SELECT t, COUNT(*) AS n FROM tok GROUP BY t
-         |HAVING COUNT(*) >= (SELECT COUNT(*) FROM tok) * 0.01""".stripMargin
+         |HAVING COUNT(*) >= (SELECT COUNT(*) FROM tok) * 0.01""".stripMargin,
+
+    // md5 hex is engine-identical; '0x'-prefixed cast is DuckDB's hex
+    // parse, conv(..,16,10) is Spark's. Same 32-bit prefix, same bucket.
+    "tx07_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_sampled FROM documents
+        |WHERE lang <> 'en' OR
+        |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |    % 100) < 50
+        |GROUP BY lang""".stripMargin
     // tx11_cms_token_counts: intentionally no oracle (sketch-specific).
   )
 }

@@ -154,14 +154,28 @@ object RainStormJob {
         md.update(s"${f.getName}:${f.length()}:".getBytes("UTF-8"))
         val in = new java.io.FileInputStream(f)
         try {
+          // loop: a single read() may legally return fewer than 64 bytes,
+          // which would make the identity depend on IO chunking
           val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          if (n > 0) md.update(buf, 0, n)
+          var off = 0
+          var n = in.read(buf, off, buf.length - off)
+          while (n > 0) {
+            off += n
+            n = if (off < buf.length) in.read(buf, off, buf.length - off)
+                else -1
+          }
+          if (off > 0) md.update(buf, 0, off)
         } finally in.close()
       }
       val hash = md.digest().map("%02x".format(_)).mkString
       s"${b.getName}|${files.length}|${files.map(_.length()).sum}|$hash"
     }
+    // manifests written before the md5 segment was added carry only
+    // `name|count|bytes` — accept that prefix as a match, or an upgraded
+    // compactor would treat already-committed inputs as unconsumed and
+    // re-compact them (duplicating records)
+    def legacyIdentity(id: String): String =
+      id.split('|').take(3).mkString("|")
     // recovery: drop inputs already committed into a compacted dir
     val consumed = list("compacted-").flatMap { c =>
       val m = new java.io.File(c, "_consumed")
@@ -170,7 +184,10 @@ object RainStormJob {
           .split("\n").filter(_.nonEmpty)
       else Array.empty[String]
     }.toSet
-    list("batch-").filter(b => consumed(dirIdentity(b))).foreach { b =>
+    list("batch-").filter { b =>
+      val id = dirIdentity(b)
+      consumed(id) || consumed(legacyIdentity(id))
+    }.foreach { b =>
       b.listFiles().foreach(_.delete()); b.delete()
     }
     val batchDirs = list("batch-")
@@ -212,18 +229,27 @@ object RainStormApps {
     * codegen'd projection, no per-record closure. */
   def simpleApp(pattern: String, idx1: Int, idx2: Int): Seq[RainStormOp] = Seq(
     ExprOp(df => df.filter(col("value").rlike(pattern))),
+    // get() (not getItem) tolerates rows with too few naive-split fields —
+    // e.g. continuation fragments of quoted embedded newlines in
+    // Traffic_Signs.csv — as NULL instead of an ANSI index error (the
+    // reference's row[idx] would kill the worker on those lines,
+    // tests/sample1_op2.py:11; a crashed stream is the one semantics not
+    // worth reproducing)
     ExprOp(df => df
       .withColumn("cols", split(col("value"), ","))
-      .select(col("cols").getItem(idx1).as("key"),
-        col("cols").getItem(idx2).as("value"))))
+      .select(expr(s"get(cols, $idx1)").as("key"),
+        expr(s"get(cols, $idx2)").as("value"))))
 
   /** "Complex app": equality filter on a CSV column, re-key by another
     * column, stateful running count (tests/sample2_op{1,2}.py). */
   def complexApp(filterIdx: Int, filterVal: String,
       keyIdx: Int): Seq[RainStormOp] = Seq(
+    // get(): a row without the filter field compares NULL === v -> false
+    // and is dropped, matching the guarded replica semantics (see
+    // simpleApp note on the reference's crash behavior)
     ExprOp(df => df
       .withColumn("cols", split(col("value"), ","))
-      .filter(col("cols").getItem(filterIdx) === filterVal)
-      .select(col("cols").getItem(keyIdx).as("key"), col("value"))),
+      .filter(expr(s"get(cols, $filterIdx)") === filterVal)
+      .select(expr(s"get(cols, $keyIdx)").as("key"), col("value"))),
     StatefulCountOp(_.key))
 }

@@ -61,6 +61,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     val groupExprsB = groupExprs
     val sortOrderB = sortOrder
     val kB = k
+    val partialB = partial
     val childOutput = child.output
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(groupExprsB, childOutput)
@@ -71,24 +72,68 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
       val rank = RowOrdering.create(sortOrderB, childOutput)
       val keep = rank.reverse
       val heaps = new java.util.HashMap[UnsafeRow, BoundedPriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new BoundedPriorityQueue[UnsafeRow](kB)(
-            keep.asInstanceOf[Ordering[UnsafeRow]])
-          heaps.put(key.copy(), heap)
-        }
-        heap += row.copy()
-      }
+      // Memory bound for the PARTIAL pass: at most MaxPartialGroups heaps
+      // (~ MaxPartialGroups * k retained rows) per input partition. Rows
+      // of further groups PASS THROUGH un-pruned — the partial pass is an
+      // exchange-volume optimization, never required for correctness (the
+      // final pass re-prunes every group), so degradation is graceful
+      // where Spark's hash aggregate would have to spill. The final pass
+      // takes no such cap: its retained state is its own output (<= k rows
+      // per group of its exchange-assigned groups), the irreducible
+      // result size.
+      val maxGroups = if (partialB) TopKPerGroupExec.maxPartialGroups(kB)
+                      else Int.MaxValue
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      // Lazy pump: overflow rows are STREAMED out the moment they appear
+      // (no buffering — that would just re-create the unbounded map), the
+      // retained heaps flush after the input is exhausted.
+      new Iterator[InternalRow] {
+        private var flush: Iterator[InternalRow] = null
+        private var pending: InternalRow = null
+        private def pump(): Unit = {
+          while (pending == null && iter.hasNext) {
+            val row = iter.next().asInstanceOf[UnsafeRow]
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null && heaps.size() >= maxGroups) {
+              // cap reached, unseen group: forward un-pruned (no copy — the
+              // row is handed downstream before the next input is pulled)
+              pending = row
+            } else {
+              if (heap == null) {
+                heap = new BoundedPriorityQueue[UnsafeRow](kB)(
+                  keep.asInstanceOf[Ordering[UnsafeRow]])
+                heaps.put(key.copy(), heap)
+              }
+              heap += row.copy()
+            }
+          }
+          if (pending == null && flush == null)
+            flush = heaps.values().iterator().asScala.flatMap(_.iterator)
+        }
+        override def hasNext: Boolean = {
+          pump(); pending != null || flush.hasNext
+        }
+        override def next(): InternalRow = {
+          pump()
+          if (pending != null) { val r = pending; pending = null; r }
+          else flush.next()
+        }
+      }
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Retained-row budget for one partial-pass partition: heaps hold at most
+    * ~MaxPartialRows rows total, so the per-group cap adapts to k
+    * (k=1 -> 4M groups, k=100 -> 40k groups). Beyond it, new groups stream
+    * through unpruned rather than grow the map. */
+  val MaxPartialRows: Int = 4 << 20
+  def maxPartialGroups(k: Int): Int = math.max(1, MaxPartialRows / k)
 }
 
 /** Plans [[TopKPerGroup]] as partial -> (exchange via EnsureRequirements)
@@ -132,7 +177,17 @@ object TopKFunctions {
       child.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${child.output.map(_.name).mkString(",")}"))
+    // Catalyst's NormalizeFloatingNumbers rule only rewrites Aggregate/
+    // Window/Join keys, not custom nodes — normalize float/double group
+    // keys here or 0.0 / -0.0 and distinct NaN bit patterns would land in
+    // different groups AND different hash partitions.
+    def normalized(a: Attribute): Expression = a.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(a)
+      case _ => a
+    }
     org.apache.spark.sql.classic.Dataset.ofRows(spark,
-      TopKPerGroup(groupCols.map(attr), so, k, child))
+      TopKPerGroup(groupCols.map(c => normalized(attr(c))), so, k, child))
   }
 }

@@ -72,6 +72,33 @@ class GrepGoldenSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getAs[Long]("count") == 0L)
   }
 
+  test("-i: case-insensitive matches regardless of pattern case") {
+    val lines = Grep.grepLogs(spark, s"$logDir/*.log", "get_FREQUENT",
+      ignoreCase = true)
+    assert(lines.count() == 600L * nMachines)
+    // and without -i the same pattern matches nothing
+    assert(Grep.grepLogs(spark, s"$logDir/*.log", "get_FREQUENT").count() == 0)
+  }
+
+  test("-v: inverted match returns exactly the complement") {
+    val n = Grep.grepLogs(spark, s"$logDir/*.log", "GET_frequent",
+      invert = true).count()
+    assert(n == (linesPer - 600L) * nMachines)
+    // -v -i compose: invert of the case-folded match
+    val ni = Grep.grepLogs(spark, s"$logDir/*.log", "get_FREQUENT",
+      ignoreCase = true, invert = true).count()
+    assert(ni == (linesPer - 600L) * nMachines)
+  }
+
+  test("-F: metacharacters are literal; ERE path treats them as syntax") {
+    // "/product/[0-9]+" as a FIXED string appears on no line...
+    assert(Grep.grepLogs(spark, s"$logDir/*.log", "/product/[0-9]+",
+      fixed = true).count() == 0)
+    // ...but a literal bracket-free fragment matches as plain text
+    assert(Grep.grepLogs(spark, s"$logDir/*.log", "/product/10",
+      fixed = true).count() > 0)
+  }
+
   test("matching lines carry their source file, scatter/gather style") {
     val lines = Grep.grepLogs(spark, s"$logDir/*.log", "DEL_rare")
       .withColumn("machine",

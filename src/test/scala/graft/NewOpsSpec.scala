@@ -60,6 +60,26 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd07: LSH near-dup pairs are an exact-verified subset of dd05 with " +
+      "bounded recall loss") {
+    val exact = SparkEntry.queries("dd05_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val lsh = SparkEntry.queries("dd07_embedding_neardup_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // precision 1 by construction: every candidate is exact-rescored, so
+    // the LSH path can only MISS pairs, never invent them
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted non-pairs: ${(lsh -- exact).take(5)}")
+    // recall floor: the corpus's >= 0.45 pairs are marginal (63 deg), the
+    // hardest regime for sign-LSH; measured 1.00 at sf0.001, 0.93 at
+    // sf0.01, 0.74 at sf0.1 with B=8, L=8, Hamming-1 multiprobe
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall below floor (|lsh|=${lsh.size}, " +
+      s"|exact|=${exact.size})")
+  }
+
   test("mm04: knn output is deterministic, kind-consistent, self-excluding") {
     val df1 = SparkEntry.queries("mm04_media_embed_knn")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),

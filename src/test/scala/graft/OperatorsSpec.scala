@@ -51,6 +51,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mean > 0.2, s"mean recall@5 = $mean")
   }
 
+  test("IVF (k-means cells, nprobe=1) recall@5 is well above chance") {
+    val brute = SparkEntry.queries("sim01_knn_bruteforce")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = SparkEntry.queries("sim03_ivf_knn")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hit.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // one of 8 cells searched (~12% of the corpus); chance recall ~1%
+    assert(mean > 0.2, s"mean recall@5 = $mean")
+  }
+
   test("exact dedup is idempotent and lossless on distinct content") {
     val docs = graft.core.Tables(spark, sf, "documents")
     val dd = SparkEntry.queries("dd01_exact_dedup")(spark, sf)

@@ -26,6 +26,17 @@ class TopKPlanSpec extends AnyFunSuite {
         Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)))
       .filter(col("rn") <= k).drop("rn")
 
+  test("float group keys: 0.0 and -0.0 (and NaN bit patterns) are ONE group") {
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L))
+      .toDF("gk", "id")
+    val got = Scale.topKPerGroup(df, Seq("gk"), 2,
+      col("id").asc)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    // one normalized 0.0-group contributes its top-2 (ids 1,2), not
+    // separate +0/-0 groups contributing three rows
+    assert(got == Set((0.0, 1L), (0.0, 2L), (1.5, 4L)))
+  }
+
   test("equals the window row_number formulation on a total order") {
     val df = sample()
     val got = Scale.topKPerGroup(df, Seq("g"), 5,
