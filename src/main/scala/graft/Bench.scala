@@ -65,17 +65,18 @@ object Bench {
     // Streaming throughput in BASELINE.md's own units (output rec/s on the
     // reference's two canonical 10k-row apps; reference: ~84 rec/s simple).
     val streaming =
-      try Some(streamingRates(spark))
+      try streamingRates(spark).filter(_._1 != "warmup")
       catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming bench failed: ${e.getMessage}"); None }
+        System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
+        Seq.empty }
 
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => s"\"$k\":${jnum(v)}" }
       .mkString("{", ",", "}")
-    val streamJson = streaming.map { case (simple, complex) =>
-      s""","streaming_rec_s":{"simple_app":${jnum(simple)},"complex_app":${jnum(complex)}}"""
-    }.getOrElse("")
+    val streamJson = if (streaming.isEmpty) "" else
+      streaming.map { case (k, v) => s"\"$k\":${jnum(v)}" }
+        .mkString(""","streaming_rec_s":{""", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","failures":$failures,"n_queries":${results.size},"queries":$fullQs$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -88,11 +89,23 @@ object Bench {
     spark.stop()
   }
 
-  /** Measure the reference's two canonical apps end-to-end (10k-row CSV →
-    * streaming job → text sink), returning (simpleRecPerSec, complexRecPerSec).
-    * Mirrors ThroughputSpec but sized for the bench harness. */
-  private def streamingRates(spark: SparkSession): (Double, Double) = {
-    import graft.streaming.{RainStormApps, RainStormJob}
+  /** Measure BASELINE.md's four streaming rows end-to-end (10k-row CSV →
+    * streaming job → text sink), in output rec/s, the reference's metric
+    * (reports/Streaming.pdf p.2-3):
+    *
+    *  - Traffic Signs simple/complex run on the reference's OWN
+    *    `TrafficSigns_10000` fixture with the published workloads (pattern
+    *    `Unpunched Telespar` → project(OBJECTID, Sign_Type); filter
+    *    Sign_Type=Stop → count by Category), so the comparison shares the
+    *    exact input bytes with the published charts (ref ~84 / ~0.101).
+    *  - Customer Churn simple/complex run on a synthesized 10k CSV in the
+    *    Kaggle churn schema (the fixture is not in the repo) with the
+    *    published workloads: pattern France → project(CustomerId,
+    *    Surname); filter Gender=Female → count by IsActiveMember
+    *    (ref ~330 / ~0.128).
+    */
+  private def streamingRates(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.streaming.{RainStormApps, RainStormJob, RainStormOp}
     import java.nio.file.Files
     val root = Files.createTempDirectory("bench-stream").toFile
 
@@ -106,43 +119,49 @@ object Bench {
         }.sum
     }
 
+    def run(name: String, write: java.io.File => Unit,
+        ops: Seq[RainStormOp], stateful: Boolean): (String, Double) = {
+      val in = new java.io.File(root, s"in-$name"); in.mkdirs()
+      write(in)
+      val out = new java.io.File(root, s"out-$name")
+      val t0 = System.nanoTime()
+      RainStormJob.start(spark, in.getPath, ops, out.getPath,
+        new java.io.File(root, s"ckpt-$name").getPath, stateful)
+        .awaitTermination()
+      name -> countOut(out) / ((System.nanoTime() - t0) / 1e9)
+    }
+
     // Warm the streaming machinery (class loading, codegen) off the clock.
-    val win = new java.io.File(root, "win"); win.mkdirs()
-    Files.write(new java.io.File(win, "w.csv").toPath,
-      "0,sign,Unpunched Telespar,cat0".getBytes("UTF-8"))
-    RainStormJob.start(spark, win.getPath,
-      RainStormApps.simpleApp("Unpunched Telespar", 0, 3),
-      new java.io.File(root, "wout").getPath,
-      new java.io.File(root, "wckpt").getPath, stateful = false)
-      .awaitTermination()
+    run("warmup", in => Files.write(new java.io.File(in, "w.csv").toPath,
+        "0,sign,Unpunched Telespar,cat0".getBytes("UTF-8")),
+      RainStormApps.simpleApp("Unpunched Telespar", 0, 3), stateful = false)
 
-    val in1 = new java.io.File(root, "in1"); in1.mkdirs()
-    Files.write(new java.io.File(in1, "signs.csv").toPath,
-      (0 until 10000).map { i =>
-        val kind = if (i % 10 < 6) "Unpunched Telespar" else "Wood post"
-        s"$i,sign_$i,$kind,cat${i % 7}"
-      }.mkString("\n").getBytes("UTF-8"))
-    val out1 = new java.io.File(root, "out1")
-    val t1 = System.nanoTime()
-    RainStormJob.start(spark, in1.getPath,
-      RainStormApps.simpleApp("Unpunched Telespar", 0, 3), out1.getPath,
-      new java.io.File(root, "ckpt1").getPath, stateful = false)
-      .awaitTermination()
-    val simple = countOut(out1) / ((System.nanoTime() - t1) / 1e9)
+    def copyFixture(in: java.io.File): Unit =
+      Files.copy(java.nio.file.Paths.get(
+          "/root/reference/test_files/TrafficSigns_10000"),
+        new java.io.File(in, "signs.csv").toPath)
 
-    val in2 = new java.io.File(root, "in2"); in2.mkdirs()
-    Files.write(new java.io.File(in2, "signs.csv").toPath,
-      (0 until 10000).map { i =>
-        val post = if (i % 3 == 0) "Punched Telespar" else "Wood post"
-        s"$i,kind${i % 4},$post,cat${i % 7}"
-      }.mkString("\n").getBytes("UTF-8"))
-    val out2 = new java.io.File(root, "out2")
-    val t2 = System.nanoTime()
-    RainStormJob.start(spark, in2.getPath,
-      RainStormApps.complexApp(2, "Punched Telespar", 3), out2.getPath,
-      new java.io.File(root, "ckpt2").getPath, stateful = true)
-      .awaitTermination()
-    val complex = countOut(out2) / ((System.nanoTime() - t2) / 1e9)
-    (simple, complex)
+    // Kaggle churn schema: RowNumber,CustomerId,Surname,CreditScore,
+    // Geography(4),Gender(5),...,IsActiveMember(11),...
+    def writeChurn(in: java.io.File): Unit =
+      Files.write(new java.io.File(in, "churn.csv").toPath,
+        (0 until 10000).map { i =>
+          val geo = Seq("France", "Spain", "Germany")(i % 3)
+          val gender = if (i % 2 == 0) "Female" else "Male"
+          s"$i,${15600000 + i},Surname$i,${500 + i % 350},$geo,$gender," +
+            s"${20 + i % 60},${i % 10},${i * 37 % 100000}.5,${1 + i % 4}," +
+            s"${i % 2},${(i / 2) % 2},${40000 + i % 60000}.1,${i % 5 == 0}"
+        }.mkString("\n").getBytes("UTF-8"))
+
+    Seq(
+      run("simple_app", copyFixture,
+        RainStormApps.simpleApp("Unpunched Telespar", 2, 3),
+        stateful = false),
+      run("complex_app", copyFixture,
+        RainStormApps.complexApp(3, "Stop", 8), stateful = true),
+      run("churn_simple", writeChurn,
+        RainStormApps.simpleApp("France", 1, 2), stateful = false),
+      run("churn_complex", writeChurn,
+        RainStormApps.complexApp(5, "Female", 11), stateful = true))
   }
 }
