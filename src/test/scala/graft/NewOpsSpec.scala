@@ -80,6 +80,27 @@ class NewOpsSpec extends AnyFunSuite {
       s"|exact|=${exact.size})")
   }
 
+  test("dd07/mm04: physical plans contain no all-pairs join") {
+    // the point of the LSH rewires: candidate generation must plan as
+    // equi-joins on (table, bucket), never a nested-loop over N^2 pairs.
+    // dd05 (the exact baseline) by contrast IS the nested-loop shape.
+    Seq("dd07_embedding_neardup_lsh", "mm04_media_embed_knn").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+      // the only BNL joins allowed are broadcast of the tiny mean/centroid
+      // side (inner equi-joins plan as hash/sort-merge)
+      assert(!plan.contains("NestedLoop") ||
+        q == "mm04_media_embed_knn" && plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: unexpected nested loop\n$plan")
+      spark.catalog.clearCache()
+    }
+    val exact = SparkEntry.queries("dd05_embedding_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("NestedLoop") || exact.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("mm04: knn output is deterministic, kind-consistent, self-excluding") {
     val df1 = SparkEntry.queries("mm04_media_embed_knn")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
