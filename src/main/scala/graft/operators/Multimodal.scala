@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.core.Tables
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
@@ -25,6 +24,13 @@ import graft.core.Tables
   *    fan-out happens inside codegen, and the payload column is NOT
   *    carried through the explode (only frame indices are).
   */
+/** Typed output rows of the decode/encode stub kernels — case classes so
+  * the mapPartitions stages run through `Dataset` encoders
+  * (SerializeFromObject keeps Tungsten rows; no RDD[Row] round-trip). */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+  checksum: Long, mean_byte: Double)
+case class MediaEmb(media_id: Long, kind: String, emb: Array[Float])
+
 object Multimodal {
 
   /** Synthesize the media catalog from `documents`: payload = utf-8 bytes
@@ -42,47 +48,43 @@ object Multimodal {
         lit(3).as("channels"),
         lit(16000).as("sample_rate")).as("meta"))
 
-  private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("kind", StringType),
-    StructField("n_bytes", IntegerType),
-    StructField("checksum", LongType),
-    StructField("mean_byte", DoubleType)))
-
   /** ===== STUB ===== A real implementation would decode the payload with
     * an image/audio codec here; this deterministic fake just folds over the
     * raw bytes. The mapPartitions shape (batch iterator in, batch iterator
-    * out, schema fixed) is exactly what a real decoder plugs into. */
-  private def decodeStub(rows: Iterator[Row]): Iterator[Row] =
-    rows.map { r =>
-      val bytes = r.getAs[Array[Byte]]("payload")
+    * out, schema fixed by the case-class encoder) is exactly what a real
+    * decoder plugs into — per-partition setup amortized, Tungsten rows in
+    * and out (SerializeFromObject, no RDD[Row] detour). */
+  private def decodeStub(
+      rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] =
+    rows.map { case (mediaId, kind, bytes) =>
       var sum = 0L
       var i = 0
       while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-      Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-        bytes.length, sum,
+      MediaFeatures(mediaId, kind, bytes.length, sum,
         if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
     }
-
-  private val embedSchema = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("kind", StringType),
-    StructField("emb", ArrayType(FloatType))))
 
   /** ===== STUB ===== A real encoder would batch decoded media through a
     * vision/audio model (the per-partition iterator is where the model
     * loads once and serves the whole batch); this deterministic fake folds
     * raw bytes into 8 chunked sums so the downstream similarity plumbing
     * is real and testable. */
-  private def encodeStub(rows: Iterator[Row]): Iterator[Row] =
-    rows.map { r =>
-      val bytes = r.getAs[Array[Byte]]("payload")
+  private def encodeStub(
+      rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaEmb] =
+    rows.map { case (mediaId, kind, bytes) =>
       val emb = new Array[Float](8)
       var i = 0
       while (i < bytes.length) { emb(i % 8) += (bytes(i) & 0xff); i += 1 }
-      Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-        emb.toIndexedSeq)
+      MediaEmb(mediaId, kind, emb)
     }
+
+  /** (media_id, kind, payload) as a typed Dataset for the stub kernels. */
+  private def payloads(cat: DataFrame) = {
+    val spark = cat.sparkSession
+    import spark.implicits._
+    cat.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata-only catalog scan: payload column pruned away entirely.
@@ -94,11 +96,9 @@ object Multimodal {
 
     // Decode + feature extraction through the mapPartitions batch kernel.
     "mm02_media_features" -> ((s, d) => {
-      val cat = mediaCatalog(s, d)
-      val feats = cat.sparkSession.createDataFrame(
-        cat.select("media_id", "kind", "payload").rdd
-          .mapPartitions(decodeStub),
-        featureSchema)
+      import s.implicits._
+      val feats = payloads(mediaCatalog(s, d))
+        .mapPartitions(decodeStub).toDF()
       feats.groupBy(col("kind")).agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
@@ -124,11 +124,9 @@ object Multimodal {
       // buckets at sf0.1) under ANY plane count, so more planes only add
       // hashing cost. L=2 tables bound the candidate multiplier.
       val B = 8; val L = 2
-      val cat = mediaCatalog(s, d)
-      val emb = cat.sparkSession.createDataFrame(
-        cat.select("media_id", "kind", "payload").rdd
-          .mapPartitions(encodeStub),
-        embedSchema)
+      import s.implicits._
+      val emb = payloads(mediaCatalog(s, d))
+        .mapPartitions(encodeStub).toDF()
       val e = emb.withColumn("nrm", l2_norm(col("emb")))
         .filter(col("nrm") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
