@@ -65,7 +65,7 @@ object Bench {
     // Streaming throughput in BASELINE.md's own units (output rec/s on the
     // reference's two canonical 10k-row apps; reference: ~84 rec/s simple).
     val streaming =
-      try streamingRates(spark).filter(_._1 != "warmup")
+      try streamingRates(spark)
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         Seq.empty }

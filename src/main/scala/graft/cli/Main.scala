@@ -36,12 +36,16 @@ object Main {
     // Flags mirror the grep argv the reference client forwards verbatim
     // (client.py:164-199): -c counts, -i ignore case, -v invert, -F fixed
     // string, -E accepted as a no-op (the engine is ERE-shaped already).
-    // Combined short flags (-ic, -vi, ...) are accepted like grep's.
+    // Combined short flags (-ic, -vi, ...) are accepted like grep's, and
+    // like grep, `--` ends flag parsing so a flag-shaped LITERAL pattern
+    // stays searchable: `dgrep logs/ -- -c` greps for the string "-c".
     case "dgrep" :: glob :: rest if rest.nonEmpty =>
       val known = Set('c', 'i', 'v', 'F', 'E')
-      val (flagArgs, patArgs) = rest.partition(a =>
+      val (beforeSep, afterSep) = rest.span(_ != "--")
+      val (flagArgs, patBefore) = beforeSep.partition(a =>
         a.length > 1 && a.startsWith("-") &&
           a.drop(1).forall(known.contains))
+      val patArgs = patBefore ++ afterSep.drop(1)
       patArgs match {
         case pattern :: Nil =>
           val flags = flagArgs.flatMap(_.drop(1)).toSet

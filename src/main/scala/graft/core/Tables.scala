@@ -24,10 +24,13 @@ object Tables {
   // and is pure fixed overhead when repeated per query. The analyzed plan
   // is immutable, so reuse it per (session, dir, table). (This caches the
   // PLAN, not data — nothing is pinned in executor memory.) Keyed on the
-  // session OBJECT via a weak-keyed identity map — identityHashCode is not
-  // unique (two live sessions could collide and one would silently get a
-  // plan bound to the other), and weak keys let stopped sessions and their
-  // plans be GC'd instead of pinning every session ever seen.
+  // session OBJECT — identityHashCode is not unique (two live sessions
+  // could collide and one would silently get a plan bound to the other).
+  // Weak keys alone would NOT reclaim stopped sessions here: a cached
+  // DataFrame strongly references its own SparkSession (the key), which
+  // is exactly the value->key cycle the WeakHashMap javadoc warns never
+  // gets expunged — so stopped sessions are purged EXPLICITLY on access
+  // instead (the map stays a weak identity map only for key semantics).
   // Assumption (by design): the cached plan freezes the parquet file
   // listing — a dataset dir REWRITTEN in place mid-session would serve
   // stale file handles. Testdata dirs are immutable; external rewrites
@@ -41,6 +44,9 @@ object Tables {
     // mutation; per-session lookups then go through the concurrent inner
     // map without contention.
     val perSession = planCache.synchronized {
+      // purge plans of stopped sessions — see the leak note above
+      val it = planCache.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       planCache.computeIfAbsent(spark, _ =>
         new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
     }

@@ -107,11 +107,11 @@ object Multimodal {
 
     // The full multimodal pipeline shape: decode -> embed (stub model in
     // the mapPartitions batch kernel) -> approximate nearest neighbor per
-    // media within its kind: candidate pairs from sign-LSH bucket
-    // collisions within (kind, table, bucket) with Hamming-1 multiprobe
-    // (sim02's machinery — no all-pairs join), exact cosine rescore of
-    // candidates only, winner per media via the custom TopKPerGroup
-    // operator. Zero-norm embeddings (empty payloads) are filtered before
+    // media within its kind: candidate pairs from OWN-bucket sign-LSH
+    // collisions within (kind, table, bucket) across L independent tables
+    // (sim02's machinery — no all-pairs join, no multiprobe: see the
+    // candidate-volume note below), exact cosine rescore of candidates
+    // only, winner per media via the custom TopKPerGroup operator. Zero-norm embeddings (empty payloads) are filtered before
     // ranking — sim would be 0/0 = NaN, which Spark sorts above every
     // real double and would leak a NaN winner. A media whose probed
     // buckets hold no same-kind neighbor emits no row (ANN contract).
@@ -138,8 +138,14 @@ object Multimodal {
       // while rescoring stays on the original vectors. Near-identical
       // pairs remain near-identical after the shift, so co-bucketing of
       // true near-dups survives.
+      // decimal-sum mean (same pattern as Clustering.kmeans): a plain
+      // avg(double) merges partials in shuffle-fetch order and a low-bit
+      // difference could flip a hyperplane sign -> different buckets ->
+      // the determinism spec flakes
       val mean = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
-        .groupBy(col("dim")).agg(avg(col("v")).as("mv"))
+        .groupBy(col("dim"))
+        .agg((sum(col("v").cast("decimal(30,10)")).cast("double") /
+          count(lit(1))).as("mv"))
         .groupBy().agg(array_sort(collect_list(struct(col("dim"),
           col("mv")))).as("p"))
         .select(expr("transform(p, x -> CAST(x.mv AS FLOAT))").as("mean"))

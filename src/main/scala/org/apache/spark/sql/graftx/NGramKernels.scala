@@ -62,17 +62,29 @@ case class CharNGramCounts(child: Expression, n: Int)
 }
 
 object CharNGramCounts {
-  /** Codegen entry point: distinct n-grams with counts as Catalyst rows. */
+  /** Codegen entry point: distinct n-grams with counts as Catalyst rows.
+    * Gram boundaries are CODE POINTS, not UTF-16 units — Spark's
+    * `substring` and DuckDB's `substr` are both code-point based, and a
+    * supplementary character (emoji etc.) split across a surrogate pair
+    * would otherwise shift every downstream gram and break the oracle. */
   def countsArrayData(text: String, n: Int): GenericArrayData = {
-    val len = text.length
-    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val nCp = text.codePointCount(0, text.length)
+    if (nCp < n) return new GenericArrayData(Array.empty[Any])
     val counts = new java.util.LinkedHashMap[String, Long]()
+    // sliding window over UTF-16 offsets of code-point boundaries:
+    // start = offset of cp i, end = offset of cp i+n
+    var start = 0
+    var end = text.offsetByCodePoints(0, n)
     var i = 0
-    while (i <= len - n) {
-      val g = text.substring(i, i + n)
+    while (i <= nCp - n) {
+      val g = text.substring(start, end)
       val cur = counts.get(g)
       counts.put(g, if (cur == null) 1L else cur + 1L)
       i += 1
+      if (i <= nCp - n) {
+        start = text.offsetByCodePoints(start, 1)
+        end = text.offsetByCodePoints(end, 1)
+      }
     }
     val out = new Array[Any](counts.size)
     val it = counts.entrySet().iterator()

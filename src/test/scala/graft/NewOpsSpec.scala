@@ -45,6 +45,27 @@ class NewOpsSpec extends AnyFunSuite {
       s"overall accuracy $correct/$total below the 0.45 calibrated floor")
   }
 
+  test("char_ngram_counts: code-point grams match the composable formulation," +
+      " including supplementary characters") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "😀" is U+1F600 (a surrogate pair in UTF-16): UTF-16-unit slicing
+    // would split it and shift every later gram
+    val docs = Seq("a😀b😀c", "hello", "ab", "ñçé züm", "").toDF("t")
+    val kernel = docs.select(explode(
+        org.apache.spark.sql.graftx.NGramFunctions
+          .char_ngram_counts(col("t"), 3)).as("e"))
+      .groupBy(col("e.g").as("g")).agg(sum(col("e.cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val composable = docs.filter(length(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+        .as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(kernel.toSeq == composable.toSeq)
+  }
+
   test("tx10/tx11: CMS estimates bound the exact heavy-hitter counts") {
     val rows = SparkEntry.queries("tx11_cms_token_counts")(spark, sf)
       .collect()
