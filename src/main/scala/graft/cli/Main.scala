@@ -40,15 +40,8 @@ object Main {
     // like grep, `--` ends flag parsing so a flag-shaped LITERAL pattern
     // stays searchable: `dgrep logs/ -- -c` greps for the string "-c".
     case "dgrep" :: glob :: rest if rest.nonEmpty =>
-      val known = Set('c', 'i', 'v', 'F', 'E')
-      val (beforeSep, afterSep) = rest.span(_ != "--")
-      val (flagArgs, patBefore) = beforeSep.partition(a =>
-        a.length > 1 && a.startsWith("-") &&
-          a.drop(1).forall(known.contains))
-      val patArgs = patBefore ++ afterSep.drop(1)
-      patArgs match {
-        case pattern :: Nil =>
-          val flags = flagArgs.flatMap(_.drop(1)).toSet
+      parseDgrep(rest) match {
+        case Some((flags, pattern)) =>
           val spark = session("graft-dgrep")
           val lines = Grep.grepLogs(spark, glob, pattern,
             ignoreCase = flags('i'), invert = flags('v'), fixed = flags('F'))
@@ -59,7 +52,7 @@ object Main {
             lines.select(concat_ws(": ", col("file"), col("value"))).collect()
               .foreach(r => println(r.getString(0)))
           spark.stop()
-        case _ => usage()
+        case None => usage()
       }
 
     // rainstorm simple <pattern> <idx1> <idx2> <in> <out> <ckpt>
@@ -98,6 +91,21 @@ object Main {
 
     case _ =>
       usage()
+  }
+
+  /** dgrep argv after the glob: grep-style short flags anywhere, `--`
+    * ends flag parsing (a flag-shaped literal pattern stays searchable),
+    * exactly one pattern. Returns (flag set, pattern) or None. */
+  private[graft] def parseDgrep(rest: List[String]): Option[(Set[Char], String)] = {
+    val known = Set('c', 'i', 'v', 'F', 'E')
+    val (beforeSep, afterSep) = rest.span(_ != "--")
+    val (flagArgs, patBefore) = beforeSep.partition(a =>
+      a.length > 1 && a.startsWith("-") &&
+        a.drop(1).forall(known.contains))
+    patBefore ++ afterSep.drop(1) match {
+      case pattern :: Nil => Some((flagArgs.flatMap(_.drop(1)).toSet, pattern))
+      case _ => None
+    }
   }
 
   /** Split a script on top-level ';' only — semicolons inside quoted

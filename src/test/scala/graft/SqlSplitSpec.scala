@@ -4,6 +4,24 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.cli.Main
 
 class SqlSplitSpec extends AnyFunSuite {
+
+  test("dgrep argv: flags anywhere, combos, and -- literal escape") {
+    assert(Main.parseDgrep(List("pat")) == Some((Set.empty[Char], "pat")))
+    assert(Main.parseDgrep(List("-c", "pat")) == Some((Set('c'), "pat")))
+    assert(Main.parseDgrep(List("pat", "-i", "-v")) ==
+      Some((Set('i', 'v'), "pat")))
+    assert(Main.parseDgrep(List("-ivE", "pat")) ==
+      Some((Set('i', 'v', 'E'), "pat")))
+    // grep-style --: a flag-shaped literal pattern stays searchable
+    assert(Main.parseDgrep(List("--", "-c")) == Some((Set.empty[Char], "-c")))
+    assert(Main.parseDgrep(List("-i", "--", "-vc")) ==
+      Some((Set('i'), "-vc")))
+    // unknown flag chars are treated as the pattern, not silently eaten
+    assert(Main.parseDgrep(List("-x", "pat")) == None)
+    assert(Main.parseDgrep(List("-c")) == None) // no pattern
+    assert(Main.parseDgrep(List("a", "b")) == None) // two patterns
+  }
+
   test("splits on top-level semicolons only") {
     assert(Main.splitSql("SELECT 1; SELECT 2") ==
       Seq("SELECT 1", "SELECT 2"))
