@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan-quality audit: the properties that decide whether these
+  * operators survive a 100 TB scale-up are STRUCTURAL (filters reaching the
+  * scan, pruned read schemas, map-side partial aggregation, broadcast dims,
+  * no unbroadcast cartesian products) — so they are asserted here, not
+  * eyeballed in `.explain` output once and forgotten.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession()
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    p
+  }
+
+  test("q02: filter is pushed into the parquet scan and columns are pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), " +
+      "EqualTo(o_orderstatus,O)]"), p)
+    // projection pruning: the scan must not read the other 6 orders columns
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("o_comment") && !p.contains("o_orderdate"), p)
+  }
+
+  test("q01: map-side partial aggregation precedes the (6-group) exchange") {
+    val p = plan("q01_pricing_summary")
+    val iPartial = p.indexOf("partial_sum")
+    val iExchange = p.indexOf("Exchange hashpartitioning")
+    assert(iPartial > 0 && iExchange > 0, p)
+    // plans print top-down: the exchange node appears above (before) the
+    // partial aggregate feeding it
+    assert(iExchange < iPartial, p)
+    assert(!p.contains("o_comment"), p)
+  }
+
+  test("q15: star join builds broadcast hash joins, fact side streamed") {
+    val p = plan("q15_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q03_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("no query anywhere plans an unbroadcast cartesian product") {
+    // CartesianProduct = both sides materialized and looped, the one join
+    // shape with no 100 TB story. BroadcastNestedLoopJoin is acceptable
+    // ONLY because every occurrence here has a broadcast (small) build
+    // side — brute-force baselines (dd05, sim01) and tiny-side cross
+    // joins (scalar totals, centroid tables, query sets).
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+}
