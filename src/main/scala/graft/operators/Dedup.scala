@@ -59,22 +59,28 @@ object Dedup {
           .word_shingles(col("text"), 3).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** Exploded postings (doc_id, s), stop-shingles pruned. */
-  private def postings(idx: DataFrame): DataFrame = {
-    val expl = idx.select(col("doc_id"), explode(col("sh")).as("s"))
-    val ok = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, MaxPostings))
-      .select(col("s"))
-    expl.join(ok, "s")
-  }
+  /** Exploded postings (doc_id, s). */
+  private def explPostings(idx: DataFrame): DataFrame =
+    idx.select(col("doc_id"), explode(col("sh")).as("s"))
 
-  /** (d1 < d2, c = shared-item count) from a postings relation — one
-    * codegen'd self-equi-join + aggregate; both sides read the same
-    * persisted index so the exchange is reused, not recomputed. */
+  /** (d1 < d2, c = shared-item count) from a postings relation, inverted-
+    * index style: ONE shuffle groups postings into per-shingle doc lists
+    * (bounded by the MaxPostings df cap, so list size and pair fan-out per
+    * shingle are both bounded — stop-shingles never reach pair
+    * generation), then ordered pairs are emitted by a narrow double
+    * explode within each list and counted. Replaces the earlier
+    * formulation (df-count shuffle + join back + self-equi-join shuffle on
+    * the shingle string) with a single exchange of the postings — at
+    * 100 TB the difference between shuffling the exploded corpus three
+    * times and once. Callers that pre-filter df (dd03's candidate verify)
+    * are unaffected by the cap re-check: candidate df <= full df. */
   private def pairCounts(post: DataFrame): DataFrame =
-    post.as("a").join(post.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    post.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, MaxPostings))
+      .select(explode(col("ds")).as("d1"), col("ds"))
+      .select(col("d1"), explode(col("ds")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("c"))
 
   private def jaccardFrom(pairs: DataFrame, idx: DataFrame): DataFrame = {
@@ -143,7 +149,7 @@ object Dedup {
     // Exact shingle-Jaccard near-dup pairs (the verification kernel).
     "dd02_jaccard_pairs" -> ((s, d) => {
       val idx = shingleIndex(s, d)
-      jaccardFrom(pairCounts(postings(idx)), idx)
+      jaccardFrom(pairCounts(explPostings(idx)), idx)
     }),
 
     // MinHash + LSH banding -> candidates -> exact-Jaccard verify.
@@ -218,7 +224,7 @@ object Dedup {
     // round on a few hundred edges.
     "dd06_dedup_clusters" -> ((s, d) => {
       val idx = shingleIndex(s, d)
-      val pairs = jaccardFrom(pairCounts(postings(idx)), idx)
+      val pairs = jaccardFrom(pairCounts(explPostings(idx)), idx)
         .select(col("d1"), col("d2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nPairs = pairs.count()

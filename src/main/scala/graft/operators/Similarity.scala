@@ -119,7 +119,7 @@ object Similarity {
       // this query entry measures build+probe together. 3 Lloyd
       // iterations: WSS is flat beyond that on this corpus.)
       val (assigned, centroids) =
-        Clustering.kmeans(e.select(col("vec_id"), col("embedding")),
+        Clustering.kmeansFull(e.select(col("vec_id"), col("embedding")),
           k = 8, iters = 3)
       val wq = Window.partitionBy(col("qid"))
         .orderBy(col("cdist").asc, col("cl").asc)
@@ -127,8 +127,9 @@ object Similarity {
         .withColumn("cdist", l2(col("qv"), col("cvec")))
         .withColumn("r", row_number().over(wq)).filter(col("r") === 1)
         .select(col("qid"), col("qv"), col("cl"))
-      // search only the probed cell's inverted list
-      val scored = e.join(assigned, "vec_id")
+      // search only the probed cell's inverted list (`assigned` keeps the
+      // embedding column, so no join back to the corpus)
+      val scored = assigned
         .join(broadcast(qAssign), "cl")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),

@@ -135,20 +135,30 @@ object TextAnalysis {
             .word_shingles(col("text"), 3)).as("t"))
       val n = Tables(s, d, "documents")
         .agg(count(lit(1)).cast("double").as("nd"))
-      val df_ = sh.groupBy("t").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 1000) // stop-shingle cap, mirrored in oracle
-      // Materialized once: three consumers below (norms + both sides of the
-      // pair join) would otherwise each re-run the shingle explode + df join.
-      val w = sh.join(df_, "t").crossJoin(broadcast(n))
-        .select(col("doc_id"), col("t"),
-          log(col("nd") / col("df")).as("w"))
+      // Inverted-index formulation: ONE shuffle groups postings into
+      // per-term doc lists; df is the list size (no separate df aggregate,
+      // no join back) and — because the weight is pure idf, identical for
+      // both docs of a pair — each shared term contributes exactly w^2 to
+      // the dot product, so pairs fall out of a narrow double explode
+      // within each (df-capped, hence bounded) list. Replaces a df-count
+      // shuffle + postings join + self-equi-join on the term string with a
+      // single exchange of the postings. Materialized once: norms and the
+      // pair path both read it.
+      val grouped = sh.groupBy("t").agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) <= 1000) // stop-shingle cap, mirrored in oracle
+        .crossJoin(broadcast(n))
+        .select(col("ds"),
+          log(col("nd") / size(col("ds"))).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val norms = w.groupBy("doc_id")
-        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      val dots = w.as("a").join(w.as("b"),
-          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      val norms = grouped
+        .select(explode(col("ds")).as("doc_id"), (col("w") * col("w")).as("w2"))
+        .groupBy("doc_id").agg(sqrt(sum(col("w2"))).as("nrm"))
+      val dots = grouped
+        .select(explode(col("ds")).as("d1"), col("ds"), (col("w") * col("w")).as("ww"))
+        .select(col("d1"), explode(col("ds")).as("d2"), col("ww"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(sum(col("ww")).as("dot"))
       dots
         .join(broadcast(norms).as("n1"), col("d1") === col("n1.doc_id"))
         .join(broadcast(norms).as("n2"), col("d2") === col("n2.doc_id"))
