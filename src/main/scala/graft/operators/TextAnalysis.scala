@@ -199,22 +199,51 @@ object TextAnalysis {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lc = dc.groupBy(col("lang"), col("g")).agg(sum(col("cnt")).as("cnt"))
       val ltot = lc.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
-      val prof = lc.join(ltot, "lang")
-        .select(col("lang").as("cand"), col("g"),
+      // The language set and per-language unseen-gram floors are tiny —
+      // collect them (one small job over the persisted dc) and pivot the
+      // profiles into one lp column PER LANGUAGE. Scoring is then a single
+      // broadcast join of dc against the pivoted profile plus one grouped
+      // aggregate with |langs| sum columns, and argmax is a projection
+      // (greatest over (ll, -idx) structs — same "ll desc, cand asc"
+      // tie-break as before). The previous shape crossJoined dc with the
+      // language list (|langs|-fold fanout of the corpus-side rows) and
+      // ran a (doc, cand)-grouped aggregate plus a top-k exchange — this
+      // one never fans out and shuffles only (doc, lang) groups.
+      val langTots = ltot.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val langNames = langTots.map(_._1)
+      // Spark's round() is HALF_UP via BigDecimal — replicate exactly
+      // (scala math.round is floor(x+0.5): differs on negative ties)
+      def halfUp(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val flp = langTots.map { case (_, tot) =>
+        halfUp(math.log(0.5 / tot) * 1e6) }
+      val profWide = lc.join(broadcast(ltot), "lang")
+        .select(col("lang"), col("g"),
           round(log(col("cnt").cast("double") / col("tot")) * 1e6)
             .cast("long").as("lp"))
-      val langs = ltot.select(col("lang").as("cand"),
-        round(log(lit(0.5) / col("tot")) * 1e6).cast("long").as("flp"))
-      val score = dc.select(col("doc_id"), col("g"), col("cnt"))
-        .crossJoin(broadcast(langs))
-        .join(broadcast(prof), Seq("cand", "g"), "left_outer")
-        .groupBy(col("doc_id"), col("cand"))
-        .agg(sum(col("cnt") * coalesce(col("lp"), col("flp"))).as("ll"))
-      val pred = Scale.topKPerGroup(score, Seq("doc_id"), 1,
-          col("ll").desc, col("cand").asc)
-        .select(col("doc_id"), col("cand").as("predicted"))
+        .groupBy(col("g")).pivot("lang", langNames).agg(first(col("lp")))
+      val score = dc.select(col("doc_id"), col("lang"), col("g"), col("cnt"))
+        .join(broadcast(profWide), Seq("g"), "left_outer")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(langNames.zipWithIndex.map { case (ln, i) =>
+          sum(col("cnt") * coalesce(col(ln), lit(flp(i)))).as(s"ll_$i")
+        }.head, langNames.zipWithIndex.tail.map { case (ln, i) =>
+          sum(col("cnt") * coalesce(col(ln), lit(flp(i)))).as(s"ll_$i")
+        }: _*)
+      val bestStructs = langNames.indices.map(i =>
+        struct(col(s"ll_$i").as("ll"), lit(-i).as("ni")))
+      val pred = score.withColumn("best",
+          if (bestStructs.size > 1) greatest(bestStructs: _*)
+          else bestStructs.head)
+        .select(col("doc_id"), col("lang"),
+          element_at(typedLit(langNames.toSeq), -col("best.ni") + 1)
+            .as("predicted"))
+      // per-doc relation: NOT broadcast — at scale this is a co-shuffled
+      // doc_id join (only docs with zero trigrams need the reinstated row)
       docs.select(col("doc_id"), col("lang"))
-        .join(pred, Seq("doc_id"), "left_outer")
+        .join(pred.select(col("doc_id"), col("predicted")),
+          Seq("doc_id"), "left_outer")
         .select(col("lang"),
           coalesce(col("predicted"), lit("unk")).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
