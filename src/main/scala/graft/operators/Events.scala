@@ -102,9 +102,8 @@ object Events {
       val e = Tables(s, d, "events")
       val stats = e.groupBy(col("event_type").as("et")).agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(30,2)")).cast("double").as("s1"),
-        sum((col("value") * col("value")).cast("decimal(30,4)"))
-          .cast("double").as("s2"))
+        dsum(col("value")).as("s1"),
+        dsum4(col("value") * col("value")).as("s2"))
         .select(col("et"), (col("s1") / col("n")).as("mean"),
           sqrt((col("s2") - col("s1") * col("s1") / col("n"))
             / (col("n") - 1)).as("sd"))
@@ -207,10 +206,10 @@ object Events {
         |       (SELECT COUNT(*) FROM s3) AS n_purchase_after""".stripMargin,
 
     "ev07_outliers" ->
-      """WITH st AS (
+      s"""WITH st AS (
         |  SELECT event_type AS et, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2
+        |    ${sqlDsum("value")} AS s1,
+        |    ${sqlDsum4("value * value")} AS s2
         |  FROM events GROUP BY event_type),
         |m AS (SELECT et, s1 / n AS mean,
         |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM st)

@@ -138,14 +138,18 @@ object Multimodal {
       // while rescoring stays on the original vectors. Near-identical
       // pairs remain near-identical after the shift, so co-bucketing of
       // true near-dups survives.
-      // decimal-sum mean (same pattern as Clustering.kmeans): a plain
-      // avg(double) merges partials in shuffle-fetch order and a low-bit
-      // difference could flip a hyperplane sign -> different buckets ->
-      // the determinism spec flakes
+      // exact scaled-long mean (same pattern as Clustering.kmeans): a
+      // plain avg(double) merges partials in shuffle-fetch order and a
+      // low-bit difference could flip a hyperplane sign -> different
+      // buckets -> the determinism spec flakes. 1e6 scaling is exact far
+      // beyond float's resolution at the stub's ~1e5 magnitudes (the mean
+      // is cast to FLOAT below anyway) and each scaled value stays far
+      // inside long range.
       val mean = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("dim"))
-        .agg((sum(col("v").cast("decimal(30,10)")).cast("double") /
-          count(lit(1))).as("mv"))
+        .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+          .cast("double") / 1e6 / count(lit(1))).as("mv"))
         .groupBy().agg(array_sort(collect_list(struct(col("dim"),
           col("mv")))).as("p"))
         .select(expr("transform(p, x -> CAST(x.mv AS FLOAT))").as("mean"))

@@ -156,7 +156,9 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
       Tables(s, d, "orders")
         .withColumn("cavg",
-          sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double")
+          sum(floor(col("o_totalprice") * 100 + 0.5)
+              .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+            .over(w).cast("double") / 100.0
             / count(lit(1)).over(w))
         .filter(col("o_totalprice") > col("cavg"))
         .groupBy(col("o_orderstatus"))
@@ -255,8 +257,8 @@ object Relational {
     "q14_above_avg_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n_above_avg FROM (
         |  SELECT o_orderstatus, o_totalprice,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER
-        |      (PARTITION BY o_custkey) AS DOUBLE)
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+        |      (PARTITION BY o_custkey) AS DOUBLE) / 100
         |      / COUNT(*) OVER (PARTITION BY o_custkey) AS cavg
         |  FROM orders)
         |WHERE o_totalprice > cavg GROUP BY o_orderstatus""".stripMargin,
