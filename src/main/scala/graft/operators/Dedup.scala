@@ -138,6 +138,77 @@ object Dedup {
   val NumPerms = 128
   val Bands = 32 // x 4 rows per band
 
+  /** Connected components over the >= 0.8 Jaccard pair graph as a
+    * (node, rep) membership relation (rep = min doc_id in the component;
+    * docs in no pair are absent). Shared by dd06 (cluster census) and dd08
+    * (the deduplicated corpus). The pair graph is built through the SAME
+    * kernel as dd02 (shingleIndex/pairCounts — one code path, verified
+    * once). The thresholded graph is tiny relative to the corpus (it
+    * scales with the duplicate rate, not the corpus size), so below a size
+    * threshold we union-find on the driver in one pass; above it,
+    * iterative min-label propagation (each round one shuffle; the standard
+    * distributed-CC shape) — same answer, and the small path avoids paying
+    * multi-second Spark-job round-trips per round on a few hundred edges. */
+  private def clusterMembers(s: SparkSession, d: String): DataFrame = {
+    val idx = shingleIndex(s, d)
+    val pairs = jaccardFrom(pairCounts(explPostings(idx)), idx)
+      .select(col("d1"), col("d2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    if (nPairs <= 1_000_000L) {
+      // driver union-find with min-root representatives (1M edges ≈ tens
+      // of MB on the driver; anything larger takes the distributed path).
+      // find() is iterative — union-by-min can build O(n) parent chains
+      // on duplicate series, which would blow the stack recursively.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root)
+          root = parent(root)
+        var cur = x // second pass: path compression
+        while (parent(cur) != root) {
+          val nxt = parent(cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      pairs.collect().foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) { val (lo, hi) = (math.min(a, b), math.max(a, b))
+          parent(hi) = lo }
+      }
+      val members = parent.keys.toSeq.map(n => (n, find(n)))
+      s.createDataFrame(members).toDF("node", "rep")
+    } else {
+      val edges = pairs.unionByName(
+        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("d1").as("node"))
+        .distinct().withColumn("label", col("node"))
+      var changed = 1L
+      var rounds = 0
+      val maxRounds = 64
+      while (changed > 0 && rounds < maxRounds) {
+        val viaNeighbor = edges
+          .join(labels, edges("d2") === labels("node"))
+          .select(edges("d1").as("node"), col("label"))
+        val next = labels.select(col("node"), col("label"))
+          .unionByName(viaNeighbor)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist(blocking = false) // superseded snapshot
+        labels = next
+        rounds += 1
+      }
+      // never return silently-wrong clusters: a component with diameter
+      // beyond the round cap must fail loudly, not fragment
+      require(changed == 0,
+        s"dedup clustering did not converge within $maxRounds rounds")
+      labels.select(col("node"), col("label").as("rep"))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: representative (min doc_id) per content fingerprint.
     "dd01_exact_dedup" -> ((s, d) => {
@@ -205,83 +276,29 @@ object Dedup {
       jaccardFrom(candCounts, idx)
     }),
 
-    // Near-dup clusters: connected components over the Jaccard pair graph,
-    // then one representative (min doc_id) per cluster — what a dedup
-    // pipeline actually ships. The pair graph is built through the SAME
-    // shared kernel as dd02 (shingleIndex/postings/pairCounts — one code
-    // path, verified once); as a standalone query it must materialize that
-    // graph itself (the gate clears caches between queries), so dd06's
-    // floor is dd02's cost + the (cheap) CC pass. In a real pipeline the
-    // pair output of dd02/dd03 is the input here and the CC pass is all
-    // this operator adds. (Round-2's recorded 9.2 s was bench-host noise:
-    // the identical plan re-measures at ~3.4 s, ~= dd02 + 0.3 s.)
-    // The pair graph after thresholding is tiny
-    // relative to the corpus (it scales with the duplicate rate, not the
-    // corpus size), so below a size threshold we union-find on the driver
-    // in one pass; above it, iterative min-label propagation (each round
-    // one shuffle; the standard distributed-CC shape) — same answer, and
-    // the small path avoids paying multi-second Spark-job round-trips per
-    // round on a few hundred edges.
-    "dd06_dedup_clusters" -> ((s, d) => {
-      val idx = shingleIndex(s, d)
-      val pairs = jaccardFrom(pairCounts(explPostings(idx)), idx)
-        .select(col("d1"), col("d2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nPairs = pairs.count()
-      if (nPairs <= 1_000_000L) {
-        // driver union-find with min-root representatives (1M edges ≈ tens
-        // of MB on the driver; anything larger takes the distributed path).
-        // find() is iterative — union-by-min can build O(n) parent chains
-        // on duplicate series, which would blow the stack recursively.
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var root = x
-          while (parent.getOrElseUpdate(root, root) != root)
-            root = parent(root)
-          var cur = x // second pass: path compression
-          while (parent(cur) != root) {
-            val nxt = parent(cur); parent(cur) = root; cur = nxt
-          }
-          root
-        }
-        pairs.collect().foreach { r =>
-          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
-          if (a != b) { val (lo, hi) = (math.min(a, b), math.max(a, b))
-            parent(hi) = lo }
-        }
-        val members = parent.keys.toSeq.map(n => (find(n), 1L))
-        s.createDataFrame(members).toDF("cluster_rep", "one")
-          .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
-      } else {
-        val edges = pairs.unionByName(
-          pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        var labels = edges.select(col("d1").as("node"))
-          .distinct().withColumn("label", col("node"))
-        var changed = 1L
-        var rounds = 0
-        val maxRounds = 64
-        while (changed > 0 && rounds < maxRounds) {
-          val viaNeighbor = edges
-            .join(labels, edges("d2") === labels("node"))
-            .select(edges("d1").as("node"), col("label"))
-          val next = labels.select(col("node"), col("label"))
-            .unionByName(viaNeighbor)
-            .groupBy(col("node")).agg(min(col("label")).as("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(col("label") =!= col("old")).count()
-          labels.unpersist(blocking = false) // superseded snapshot
-          labels = next
-          rounds += 1
-        }
-        // never return silently-wrong clusters: a component with diameter
-        // beyond the round cap must fail loudly, not fragment
-        require(changed == 0,
-          s"dedup clustering did not converge within $maxRounds rounds")
-        labels.groupBy(col("label").as("cluster_rep"))
-          .agg(count(lit(1)).as("cluster_size"))
-      }
+    // Near-dup cluster census over the clusterMembers CC pass (see its
+    // doc for the driver/distributed split). As a standalone query it
+    // must materialize the dd02 pair graph itself (the gate clears caches
+    // between queries), so dd06's floor is dd02's cost + the cheap CC; in
+    // a real pipeline the pair output of dd02/dd03 is the input here.
+    "dd06_dedup_clusters" -> ((s, d) =>
+      clusterMembers(s, d)
+        .groupBy(col("rep").as("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))),
+
+    // The deduplicated corpus itself — what the dedup stage of a training
+    // pipeline actually emits downstream: every document except the
+    // non-representative members of each near-dup cluster (the cluster
+    // representative, min doc_id, is kept). Removal is an anti join on
+    // doc_id — at 100 TB the removal list scales with the duplicate rate,
+    // not the corpus, and the corpus-side scan prunes to three columns.
+    "dd08_dedup_corpus" -> ((s, d) => {
+      val removed = clusterMembers(s, d)
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("doc_id"))
+      Tables(s, d, "documents")
+        .join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
     }),
 
     // Embedding-cosine near-dup pairs, EXACT: all ordered pairs above
@@ -395,6 +412,17 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin,
     "dd02_jaccard_pairs" -> jaccardOracle,
     "dd06_dedup_clusters" -> clustersOracle,
+    "dd08_dedup_corpus" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2, d1 FROM jp),
+         |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT re.node, e.d2 FROM reach re JOIN edges e ON re.r = e.d1),
+         |m AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM m WHERE node <> rep)""".stripMargin,
     "dd05_embedding_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(

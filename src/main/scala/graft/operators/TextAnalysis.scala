@@ -290,6 +290,59 @@ object TextAnalysis {
       Tables(s, d, "documents")
         .select(col("doc_id"),
           graft.core.Fingerprints.content(col("text")).as("fp"))
+    }),
+
+    // Repetition-based quality flags (the Gopher-style repetition rules
+    // adapted to this corpus): per-doc distinct-token ratio and the
+    // fraction of word bigrams taken by the single most frequent bigram.
+    // One narrow scan + one (doc, bigram) aggregate whose fan-out is the
+    // token count — the shape is a strict subset of the shingling
+    // pipelines that already run at corpus scale. The keep flag compares
+    // ROUNDED ratios so the cross-engine decision can't flap on a low bit.
+    "tx12_quality_flags" -> ((s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), expr(tokensExpr).as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("n"),
+          size(array_distinct(col("w"))).as("nd"))
+        .filter(col("n") >= 2)
+      val top = toks
+        .select(col("doc_id"), col("n"), col("nd"),
+          explode(expr("transform(sequence(1, n - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("b"))
+        .groupBy(col("doc_id"), col("n"), col("nd"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n"), col("nd"))
+        .agg(max(col("c")).as("mx"))
+      val dr = round(col("nd").cast("double") / col("n"), 6)
+      val bf = round(col("mx").cast("double") / (col("n") - 1), 6)
+      top.select(col("doc_id"), col("n").as("n_tokens"),
+        dr.as("distinct_ratio"), bf.as("top_bigram_frac"),
+        (dr >= 0.35 && bf <= 0.10).as("keep"))
+    }),
+
+    // Benchmark decontamination: flag corpus documents whose word-trigram
+    // sets overlap a holdout/benchmark set (here: source 'src0') by >= 50%.
+    // The benchmark shingle set is small BY NATURE (eval sets are of
+    // bounded size at any corpus scale) -> broadcast; the corpus side is
+    // one shingle scan + a per-doc count, never a corpus-corpus join.
+    "tx13_decontaminate" -> ((s, d) => {
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
+            .word_shingles(col("text"), 3)).as("sg"))
+      val bench = sh.filter(col("source") === "src0")
+        .select(col("sg")).distinct()
+      val corp = sh.filter(col("source") =!= "src0")
+      val tot = corp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val shr = corp.join(broadcast(bench), Seq("sg"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared0"))
+      val frac = round(coalesce(col("n_shared0"), lit(0L)).cast("double")
+        / col("n_sh"), 6)
+      tot.join(shr, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_shared0"), lit(0L)).as("n_shared"),
+          frac.as("contamination"), (frac >= 0.5).as("contaminated"))
     })
   )
 
@@ -413,7 +466,41 @@ object TextAnalysis {
         |WHERE lang <> 'en' OR
         |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |    % 100) < 50
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
     // tx11_cms_token_counts: intentionally no oracle (sketch-specific).
+
+    "tx12_quality_flags" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+         |    (SELECT max(cnt) FROM (
+         |       SELECT COUNT(*) AS cnt
+         |       FROM unnest(list_transform(range(1, len(w)),
+         |         i -> w[i] || ' ' || w[i+1])) AS u(b)
+         |       GROUP BY b)) AS mx
+         |  FROM t WHERE len(w) >= 2)
+         |SELECT doc_id, n AS n_tokens,
+         |  round(CAST(nd AS DOUBLE) / n, 6) AS distinct_ratio,
+         |  round(CAST(mx AS DOUBLE) / (n - 1), 6) AS top_bigram_frac,
+         |  (round(CAST(nd AS DOUBLE) / n, 6) >= 0.35 AND
+         |   round(CAST(mx AS DOUBLE) / (n - 1), 6) <= 0.10) AS keep
+         |FROM m""".stripMargin,
+
+    "tx13_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, s FROM (
+         |  SELECT doc_id, source, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM t WHERE len(w) >= 3)),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+         |SELECT sh.doc_id, COUNT(*) AS n_sh,
+         |  CAST(COUNT(bench.s) AS BIGINT) AS n_shared,
+         |  round(CAST(COUNT(bench.s) AS DOUBLE) / COUNT(*), 6)
+         |    AS contamination,
+         |  round(CAST(COUNT(bench.s) AS DOUBLE) / COUNT(*), 6) >= 0.5
+         |    AS contaminated
+         |FROM sh LEFT JOIN bench ON sh.s = bench.s
+         |WHERE sh.source <> 'src0'
+         |GROUP BY sh.doc_id""".stripMargin
   )
 }
