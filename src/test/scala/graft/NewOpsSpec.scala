@@ -122,6 +122,60 @@ class NewOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dd08: dedup corpus = documents minus non-representative cluster " +
+      "members; representatives survive") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val total = docs.count()
+    val clusters = SparkEntry.queries("dd06_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val kept = SparkEntry.queries("dd08_dedup_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // each cluster of size k removes k-1 docs
+    val removed = clusters.map(_._2 - 1).sum
+    assert(kept.size.toLong == total - removed,
+      s"kept ${kept.size}, expected $total - $removed")
+    // every cluster representative is kept, and reps are cluster minima
+    clusters.foreach { case (rep, _) =>
+      assert(kept.contains(rep), s"cluster rep $rep was removed") }
+    spark.catalog.clearCache()
+  }
+
+  test("tx12: quality ratios are well-formed and the keep flag matches " +
+      "its published thresholds") {
+    val rows = SparkEntry.queries("tx12_quality_flags")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dr, bf, keep) =
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(n >= 2)
+      assert(dr > 0 && dr <= 1.0, s"distinct_ratio $dr out of range")
+      assert(bf > 0 && bf <= 1.0, s"top_bigram_frac $bf out of range")
+      assert(keep == (dr >= 0.35 && bf <= 0.10), "flag/threshold mismatch")
+    }
+  }
+
+  test("tx13: contamination flags exactly the docs sharing >= half their " +
+      "shingles with the benchmark source, and src0 itself is excluded") {
+    val rows = SparkEntry.queries("tx13_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val srcOf = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, nSh, nShared, frac, flag) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(srcOf(id) != "src0", "benchmark docs must not be scored")
+      assert(nShared <= nSh)
+      assert(math.abs(frac -
+        BigDecimal(nShared.toDouble / nSh).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(flag == (frac >= 0.5))
+    }
+  }
+
   test("mm04: knn output is deterministic, kind-consistent, self-excluding") {
     val df1 = SparkEntry.queries("mm04_media_embed_knn")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
