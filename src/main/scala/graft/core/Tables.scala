@@ -111,10 +111,16 @@ object Num {
   // Long.MaxValue (a raw long sum measured 0.35 s — rejected for that).
   // DuckDB sums the same longs into a 128-bit HUGEINT; both exact sums
   // cast to double identically, then one mirrored double division.
-  private def scaledSum(c: Column, scale: Int): Column = {
+  /** The scaled-integer conversion itself, exposed so window sums and
+    * other aggregation contexts use the ONE canonical kernel (drift here
+    * silently breaks cross-engine hash parity at every call site). */
+  def scaledLong(c: Column, scale: Int): Column = {
     val factor = math.pow(10, scale) // 10^s exact in double for small s
-    sum(floor(c * factor + 0.5).cast(DecimalType(28, 0))).cast("double") / factor
+    floor(c * factor + 0.5).cast(DecimalType(28, 0))
   }
+
+  private def scaledSum(c: Column, scale: Int): Column =
+    sum(scaledLong(c, scale)).cast("double") / math.pow(10, scale)
 
   /** Exact, order-independent sum of a ~2-decimal-place double column. */
   def dsum(c: Column): Column = scaledSum(c, 2)

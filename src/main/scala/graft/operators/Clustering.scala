@@ -30,10 +30,13 @@ object Clustering {
   /** Nearest-centroid id as a projection over literal centroids; keeps the
     * embedding column so callers need no join back to the corpus. */
   private def assign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val best = least(cents.map { case (cl, cv) =>
+    val structs = cents.map { case (cl, cv) =>
       struct(l2(col("embedding"), typedLit(cv)).as("cdist"),
         lit(cl).as("cl"))
-    }: _*)
+    }
+    // least() requires >= 2 args — k=1, or clusters emptying down to one
+    // survivor mid-run, must not crash the assignment
+    val best = if (structs.size > 1) least(structs: _*) else structs.head
     e.select(col("vec_id"), col("embedding"), best.getField("cl").as("cl"))
   }
 
@@ -57,9 +60,8 @@ object Clustering {
       val rows = assign(e, cents)
         .select(col("cl"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cl"), col("dim"))
-        .agg((sum(floor(col("v").cast("double") * 1e10 + 0.5)
-            .cast(DecimalType(28, 0))).cast("double") / 1e10 /
-          count(lit(1))).as("cv"))
+        .agg((sum(graft.core.Num.scaledLong(col("v").cast("double"), 10))
+          .cast("double") / 1e10 / count(lit(1))).as("cv"))
         .collect()
       // a cluster that loses all members drops out (k shrinks), matching
       // Lloyd's on empty cells

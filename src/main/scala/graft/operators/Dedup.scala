@@ -72,10 +72,17 @@ object Dedup {
     * formulation (df-count shuffle + join back + self-equi-join shuffle on
     * the shingle string) with a single exchange of the postings — at
     * 100 TB the difference between shuffling the exploded corpus three
-    * times and once. Callers that pre-filter df (dd03's candidate verify)
-    * are unaffected by the cap re-check: candidate df <= full df. */
+    * times and once. The list is collected through BoundedCollectLong
+    * (state hard-capped at MaxPostings+1 per key), so a corpus-scale
+    * stop-shingle can never assemble an unbounded aggregation buffer; a
+    * capped group's size is MaxPostings+1, which the between() filter
+    * drops exactly as it would the true oversized list. Callers that
+    * pre-filter df (dd03's candidate verify) are unaffected by the cap
+    * re-check: candidate df <= full df. */
   private def pairCounts(post: DataFrame): DataFrame =
-    post.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+    post.groupBy(col("s")).agg(
+        org.apache.spark.sql.graftx.BoundedCollectFunctions
+          .bounded_collect_long(col("doc_id"), MaxPostings + 1).as("ds"))
       .filter(size(col("ds")).between(2, MaxPostings))
       .select(explode(col("ds")).as("d1"), col("ds"))
       .select(col("d1"), explode(col("ds")).as("d2"))

@@ -147,8 +147,7 @@ object Multimodal {
       // inside long range.
       val mean = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("dim"))
-        .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5)
-            .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+        .agg((sum(graft.core.Num.scaledLong(col("v").cast("double"), 6))
           .cast("double") / 1e6 / count(lit(1))).as("mv"))
         .groupBy().agg(array_sort(collect_list(struct(col("dim"),
           col("mv")))).as("p"))

@@ -156,8 +156,7 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
       Tables(s, d, "orders")
         .withColumn("cavg",
-          sum(floor(col("o_totalprice") * 100 + 0.5)
-              .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+          sum(Num.scaledLong(col("o_totalprice"), 2))
             .over(w).cast("double") / 100.0
             / count(lit(1)).over(w))
         .filter(col("o_totalprice") > col("cavg"))

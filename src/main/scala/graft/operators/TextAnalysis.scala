@@ -144,7 +144,11 @@ object TextAnalysis {
       // shuffle + postings join + self-equi-join on the term string with a
       // single exchange of the postings. Materialized once: norms and the
       // pair path both read it.
-      val grouped = sh.groupBy("t").agg(collect_list(col("doc_id")).as("ds"))
+      // bounded collect (cap+1): a corpus-scale stop-shingle can never
+      // assemble an unbounded aggregation buffer — see BoundedCollectLong
+      val grouped = sh.groupBy("t").agg(
+          org.apache.spark.sql.graftx.BoundedCollectFunctions
+            .bounded_collect_long(col("doc_id"), 1001).as("ds"))
         .filter(size(col("ds")) <= 1000) // stop-shingle cap, mirrored in oracle
         .crossJoin(broadcast(n))
         .select(col("ds"),
@@ -300,16 +304,22 @@ object TextAnalysis {
     // pipelines that already run at corpus scale. The keep flag compares
     // ROUNDED ratios so the cross-engine decision can't flap on a low bit.
     "tx12_quality_flags" -> ((s, d) => {
+      // native kernels (codegen byte passes), not interpreted HOF lambdas:
+      // word_grams(n=2) preserves bigram frequencies (non-distinct mode),
+      // word_shingles(n=1) gives the distinct token count, and the token
+      // count is |bigrams| + 1 for every doc that survives the n >= 2
+      // filter — so no third pass
+      val g = org.apache.spark.sql.graftx.WordShinglesFunctions
       val toks = Tables(s, d, "documents")
-        .select(col("doc_id"), expr(tokensExpr).as("w"))
-        .select(col("doc_id"), col("w"), size(col("w")).as("n"),
-          size(array_distinct(col("w"))).as("nd"))
-        .filter(col("n") >= 2)
+        .select(col("doc_id"),
+          g.word_grams(col("text"), 2).as("bg"),
+          size(g.word_shingles(col("text"), 1)).as("nd"))
+        .select(col("doc_id"), col("bg"), col("nd"),
+          (size(col("bg")) + 1).as("n"))
+        .filter(size(col("bg")) >= 1)
       val top = toks
         .select(col("doc_id"), col("n"), col("nd"),
-          explode(expr("transform(sequence(1, n - 1), " +
-            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-            .as("b"))
+          explode(col("bg")).as("b"))
         .groupBy(col("doc_id"), col("n"), col("nd"), col("b"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"), col("n"), col("nd"))
@@ -327,10 +337,13 @@ object TextAnalysis {
     // bounded size at any corpus scale) -> broadcast; the corpus side is
     // one shingle scan + a per-doc count, never a corpus-corpus join.
     "tx13_decontaminate" -> ((s, d) => {
+      // persisted: three consumers (benchmark distinct, per-doc totals,
+      // shared counts) would otherwise each re-run the shingle scan
       val sh = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"),
           explode(org.apache.spark.sql.graftx.WordShinglesFunctions
             .word_shingles(col("text"), 3)).as("sg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bench = sh.filter(col("source") === "src0")
         .select(col("sg")).distinct()
       val corp = sh.filter(col("source") =!= "src0")

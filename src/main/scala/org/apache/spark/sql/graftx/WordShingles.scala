@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernel every content-dedup query starts from, i.e. pure scan-side CPU
   * at 100 TB.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1 && n <= 16)
@@ -39,7 +40,8 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      WordShingles.shingle(input.asInstanceOf[UTF8String].toString, n)
+      WordShingles.shingle(input.asInstanceOf[UTF8String].toString, n,
+          distinct)
         .map(UTF8String.fromString))
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -47,7 +49,7 @@ case class WordShingles(child: Expression, n: Int)
     val cls = WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-        |${ev.value} = $cls.shingleArrayData($c.toString(), $n);
+        |${ev.value} = $cls.shingleArrayData($c.toString(), $n, $distinct);
       """.stripMargin
     })
   }
@@ -58,7 +60,13 @@ case class WordShingles(child: Expression, n: Int)
 
 object WordShingles {
 
-  def shingle(text: String, n: Int): Array[String] = {
+  def shingle(text: String, n: Int): Array[String] =
+    shingle(text, n, distinct = true)
+
+  /** `distinct = false` keeps every occurrence in order — the frequency-
+    * preserving mode tx12's repetition statistics need (a dedup kernel
+    * cannot express "most frequent bigram"). */
+  def shingle(text: String, n: Int, distinct: Boolean): Array[String] = {
     // tokenize: maximal [a-z0-9]+ runs of the lowercased text
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
     val len = text.length
@@ -71,28 +79,47 @@ object WordShingles {
       i += 1
     }
     if (toks.length < n) return Array.empty[String]
-    val seen = new java.util.LinkedHashSet[String]()
-    var j = 0
-    while (j <= toks.length - n) {
-      val b = new java.lang.StringBuilder(toks(j))
-      var k = 1
-      while (k < n) { b.append(' ').append(toks(j + k)); k += 1 }
-      seen.add(b.toString)
-      j += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var j = 0
+      while (j <= toks.length - n) {
+        val b = new java.lang.StringBuilder(toks(j))
+        var k = 1
+        while (k < n) { b.append(' ').append(toks(j + k)); k += 1 }
+        seen.add(b.toString)
+        j += 1
+      }
+      val out = new Array[String](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      out
+    } else {
+      val out = new Array[String](toks.length - n + 1)
+      var j = 0
+      while (j <= toks.length - n) {
+        val b = new java.lang.StringBuilder(toks(j))
+        var k = 1
+        while (k < n) { b.append(' ').append(toks(j + k)); k += 1 }
+        out(j) = b.toString
+        j += 1
+      }
+      out
     }
-    val out = new Array[String](seen.size)
-    val it = seen.iterator()
-    var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    out
   }
 
   /** Codegen entry point returning Catalyst ArrayData directly. */
-  def shingleArrayData(text: String, n: Int): GenericArrayData =
-    new GenericArrayData(shingle(text, n).map(UTF8String.fromString))
+  def shingleArrayData(text: String, n: Int,
+      distinct: Boolean): GenericArrayData =
+    new GenericArrayData(shingle(text, n, distinct).map(UTF8String.fromString))
 }
 
 object WordShinglesFunctions {
   def word_shingles(c: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(c), n))
+
+  /** Order- and frequency-preserving word n-grams (non-distinct). */
+  def word_grams(c: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(c), n, distinct = false))
 }
