@@ -52,6 +52,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("dd08: corpus scan is column-pruned; removal side is the small one") {
+    val p = plan("dd08_dedup_corpus")
+    // the anti-join's corpus side must read only the 3 output columns +
+    // join key, never the document bodies
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("doc_id") && l.contains("lang") &&
+      l.contains("source") && !l.contains("text")),
+      s"corpus scan not pruned:\n$p")
+  }
+
+  test("tx13: the corpus never joins itself — only the broadcast benchmark " +
+      "set") {
+    val p = plan("tx13_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark set should broadcast:\n$p")
+    // at most the tot-vs-shr per-doc join may shuffle
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx12: single aggregation pipeline, no joins at all") {
+    val p = plan("tx12_quality_flags")
+    assert(!p.contains("Join"), s"tx12 should be join-free:\n$p")
+    // map-side partial max before the exchange
+    assert(p.contains("partial_max") || p.contains("partial"), p)
+  }
+
   test("no query anywhere plans an unbroadcast cartesian product") {
     // CartesianProduct = both sides materialized and looped, the one join
     // shape with no 100 TB story. BroadcastNestedLoopJoin is acceptable
