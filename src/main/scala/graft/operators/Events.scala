@@ -117,21 +117,35 @@ object Events {
     // Three conditional-min aggregates over one user_id shuffle — no
     // sequence scan, no self-join; the standard product-analytics shape.
     "ev08_funnel" -> ((s, d) => {
+      // ONE shuffle on user_id: running-min window expressions replace the
+      // previous three grouped stages + two user_id joins (all of which
+      // shuffled the same key). The default frame with an orderBy is RANGE
+      // UNBOUNDED PRECEDING..CURRENT ROW, i.e. every event with ts <= the
+      // current event's ts INCLUDING ties — exactly the `ts >= t_prev`
+      // semantics of the join formulation. run_signup is non-null from the
+      // first signup onward, so click_after marks clicks at/after the
+      // user's first signup, and run_click chains the same logic for
+      // purchases. The per-user groupBy reuses the window's partitioning
+      // (no second exchange); count(col) counts non-nulls = stage
+      // completions.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       val e = Tables(s, d, "events")
-      val stage1 = e.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
-      val stage2 = e.filter(col("event_type") === "click")
-        .join(stage1, "user_id")
-        .filter(col("ts") >= col("t_signup"))
-        .groupBy(col("user_id"), col("t_signup"))
-        .agg(min(col("ts")).as("t_click"))
-      val stage3 = e.filter(col("event_type") === "purchase")
-        .join(stage2, "user_id")
-        .filter(col("ts") >= col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-      stage1.agg(count(lit(1)).as("n_signup")).crossJoin(
-        stage2.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(stage3.agg(count(lit(1)).as("n_purchase_after")))
+        .withColumn("run_signup",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("click_after",
+          when(col("event_type") === "click" &&
+            col("run_signup").isNotNull, col("ts")))
+        .withColumn("run_click", min(col("click_after")).over(w))
+        .withColumn("purchase_after",
+          when(col("event_type") === "purchase" &&
+            col("run_click").isNotNull, col("ts")))
+      e.groupBy(col("user_id")).agg(
+          max(col("run_signup")).as("s"),
+          min(col("click_after")).as("c"),
+          min(col("purchase_after")).as("p"))
+        .agg(count(col("s")).as("n_signup"),
+          count(col("c")).as("n_click_after"),
+          count(col("p")).as("n_purchase_after"))
     }),
 
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
