@@ -52,7 +52,13 @@ object GraftExtensions {
     "char_ngram_counts" -> ((es: Seq[Expression]) =>
       CharNGramCounts(es(0), intLit(es(1), "char_ngram_counts"))),
     "minhash_sig" -> ((es: Seq[Expression]) =>
-      MinHashSig(es(0), intLit(es(1), "minhash_sig"))))
+      MinHashSig(es(0), intLit(es(1), "minhash_sig"))),
+    "word_grams" -> ((es: Seq[Expression]) =>
+      WordShingles(es(0), intLit(es(1), "word_grams"), distinct = false)),
+    // aggregate: the analyzer wraps a bare AggregateFunction returned
+    // from a registry builder
+    "bounded_collect_long" -> ((es: Seq[Expression]) =>
+      BoundedCollectLong(es(0), intLit(es(1), "bounded_collect_long"))))
 
   /** Register every graft function on a live session's registry. */
   def registerAll(spark: SparkSession): Unit =

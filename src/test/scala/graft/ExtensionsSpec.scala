@@ -20,9 +20,21 @@ class ExtensionsSpec extends AnyFunSuite {
 
     val w = spark.sql("""
       SELECT size(word_shingles(text, 3)) AS n_sh,
-             size(winnow_fingerprint(text)) AS n_fp
+             size(winnow_fingerprint(text)) AS n_fp,
+             size(word_grams(text, 2)) AS n_bg
       FROM documents WHERE doc_id = 0""").collect()(0)
     assert(w.getInt(0) > 0 && w.getInt(1) > 0)
+    // non-distinct mode: exactly tokens-1 bigrams
+    val nTok = spark.sql(
+      "SELECT size(word_grams(text, 1)) FROM documents WHERE doc_id = 0")
+      .collect()(0).getInt(0)
+    assert(w.getInt(2) == nTok - 1)
+
+    // the bounded collect aggregate is SQL-callable and caps its list
+    val bc = spark.sql("""
+      SELECT lang, size(bounded_collect_long(doc_id, 3)) AS n
+      FROM documents GROUP BY lang""").collect()
+    assert(bc.nonEmpty && bc.forall(_.getInt(1) <= 3))
   }
 
   test("non-literal static parameter is rejected with a clear error") {
