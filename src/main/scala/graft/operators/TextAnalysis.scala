@@ -84,9 +84,21 @@ object TextAnalysis {
           explode(org.apache.spark.sql.graftx.GraftFunctions
             .winnow_fingerprint(col("text"))).as("f"))
         .distinct()
-      fp.as("a").join(fp.as("b"),
-          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      // inverted-index pair generation (same shape as Dedup.pairCounts):
+      // bounded per-fingerprint doc lists + a narrow double explode
+      // replace the postings self-join. The 1000-df cap also closes a
+      // scale hole the join formulation had: a boilerplate fingerprint
+      // shared by ~1e6 docs would have produced ~1e12 join pairs; capped
+      // keys now drop (stop-fingerprints, zero rank signal) with
+      // aggregation state bounded at cap+1. Never triggers at test SFs.
+      fp.groupBy(col("f")).agg(
+          org.apache.spark.sql.graftx.BoundedCollectFunctions
+            .bounded_collect_long(col("doc_id"), 1001).as("ds"))
+        .filter(size(col("ds")).between(2, 1000))
+        .select(explode(col("ds")).as("d1"), col("ds"))
+        .select(col("d1"), explode(col("ds")).as("d2"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 5)
     }),
