@@ -29,8 +29,9 @@ import graft.core.Tables
   *    (tiny) candidate set only.
   *  - dd04 SimHash: 64-bit signature per doc from 64 conditional-sum
   *    aggregates over the token postings; near-dups = Hamming <= 3 via
-  *    4x16-bit band blocking (pigeonhole: any 3-bit-different pair shares
-  *    an intact 16-bit band).
+  *    Manku-style block permutation (C(6,3) = 20 tables on ~32-bit keys
+  *    of 3 intact blocks; pigeonhole keeps recall 1 with O(1) buckets at
+  *    web scale).
   *
   * dd02 and dd03 deliberately produce the same output schema and (for this
   * corpus, where injected near-dups sit at J >= 0.9, far above the 0.8 LSH
@@ -383,7 +384,17 @@ object Dedup {
     }),
 
     // SimHash: 64 conditional-sum aggregates over token postings build the
-    // 64-bit signature; Hamming<=3 pairs via 16-bit band blocking.
+    // 64-bit signature; Hamming<=3 pairs via Manku-style block
+    // permutation (the web-scale SimHash dedup scheme): the 64 bits split
+    // into 6 blocks, and each of the C(6,3) = 20 tables keys on a
+    // different choice of 3 INTACT blocks (~32-bit keys). Any pair within
+    // Hamming distance 3 differs in at most 3 blocks, so some table keys
+    // only on intact blocks and the pair collides there (recall 1 by
+    // pigeonhole — the same guarantee 4x16-bit banding gave, but with
+    // 2^32 buckets instead of 2^16: at 1e9 docs a 16-bit band bucket
+    // holds ~15k docs = ~1e8 join pairs per bucket, while 32-bit keys
+    // keep buckets O(1)). The exact bit_count verify keeps the emitted
+    // pair set identical under either blocking.
     // No SQL oracle (hash-function specific) — rows-only.
     "dd04_simhash_pairs" -> ((s, d) => {
       val toks = Tables(s, d, "documents")
@@ -396,10 +407,21 @@ object Dedup {
           when(col(s"s$b") > 0, expr(s"CAST(1 AS BIGINT) << $b"))
             .otherwise(lit(0L))).reduce(_ bitwiseOR _))
         .select(col("doc_id"), col("sim"))
+      val offs = Array(0, 11, 22, 33, 44, 54)
+      val widths = Array(11, 11, 11, 11, 10, 10)
+      val tables = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+        case (intact, t) =>
+          var sh = 0
+          var key: org.apache.spark.sql.Column = lit(0L)
+          intact.foreach { b =>
+            key = key.bitwiseOR(shiftleft(
+              expr(s"(sim >> ${offs(b)}) & ${(1L << widths(b)) - 1}"), sh))
+            sh += widths(b)
+          }
+          struct(lit(t).as("band"), key.as("bh"))
+      }
       val bands = sig.select(col("doc_id"), col("sim"),
-          explode(array((0 until 4).map(i =>
-            struct(lit(i).as("band"),
-              expr(s"(sim >> ${16 * i}) & 65535").as("bh"))): _*)).as("k"))
+          explode(array(tables: _*)).as("k"))
         .select(col("doc_id"), col("sim"), col("k.band"), col("k.bh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       bands.as("x").join(bands.as("y"),
