@@ -60,6 +60,73 @@ object EventStreams {
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelHit(user_id: Long, stage: String, ts: Timestamp)
+  /** buffered = (ts, type) events not yet finalized by the watermark;
+    * tSignup/tClick/tPurchase = completed-stage timestamps. */
+  case class FunnelState(buffered: List[(Long, String)],
+      tSignup: Option[Long], tClick: Option[Long], tPurchase: Option[Long])
+
+  private val StagePrio = Map("signup" -> 0, "click" -> 1, "purchase" -> 2)
+
+  /** Streaming funnel — the exact streaming twin of the batch ev08 query
+    * (signup -> first click at/after it -> first purchase at/after that).
+    * Emits one append-mode [[FunnelHit]] per user per completed stage,
+    * with the stage timestamp equal to the batch definition's t_signup /
+    * t_click / t_purchase.
+    *
+    * Exactness under out-of-order arrival: the batch semantics compare
+    * global minima (a click qualifies iff ts >= the user's EARLIEST
+    * signup), so events must be applied in event-time order. Each
+    * micro-batch buffers arrivals in state and applies only events
+    * finalized by the watermark (ts < wm), sorted by (ts, stage-priority)
+    * — the priority tie-break reproduces the batch `>=` on equal
+    * timestamps. An event-time timeout set to the earliest buffered ts
+    * drains the buffer as the watermark advances even if the user goes
+    * quiet. State is bounded: the buffer holds at most one watermark
+    * horizon of a single user's events, plus three scalars — and the
+    * scalars are the same O(users) a batch groupBy holds (production
+    * deployments expire idle users with a TTL on top).
+    */
+  def funnel(events: Dataset[FunnelEvent], lateness: String = "10 minutes")(
+      implicit hitEnc: org.apache.spark.sql.Encoder[FunnelHit],
+      stEnc: org.apache.spark.sql.Encoder[FunnelState]): Dataset[FunnelHit] = {
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelState(Nil, None, None, None))
+          val incoming = rows
+            .map(e => (e.ts.getTime, e.event_type))
+            .filter(e => StagePrio.contains(e._2))
+            .toList
+          val wm = state.getCurrentWatermarkMs()
+          val all = st0.buffered ++ incoming
+          val (ripe, pending) = all.partition(_._1 < wm)
+          var (tS, tC, tP) = (st0.tSignup, st0.tClick, st0.tPurchase)
+          val hits = List.newBuilder[FunnelHit]
+          ripe.sortBy(e => (e._1, StagePrio(e._2))).foreach { case (t, typ) =>
+            typ match {
+              case "signup" if tS.isEmpty =>
+                tS = Some(t); hits += FunnelHit(user, "signup", new Timestamp(t))
+              case "click" if tC.isEmpty && tS.isDefined =>
+                tC = Some(t); hits += FunnelHit(user, "click_after", new Timestamp(t))
+              case "purchase" if tP.isEmpty && tC.isDefined =>
+                tP = Some(t); hits += FunnelHit(user, "purchase_after", new Timestamp(t))
+              case _ => ()
+            }
+          }
+          state.update(FunnelState(pending, tS, tC, tP))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min)
+          hits.result().iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,

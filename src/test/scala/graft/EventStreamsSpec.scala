@@ -141,6 +141,42 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(finalizedDays == days - days.max)
   }
 
+  test("streaming funnel over real events == batch ev08 counts, fed in " +
+      "REVERSE order") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("ev08_funnel")(spark, sf).collect()(0)
+    val (nS, nC, nP) = (batch.getLong(0), batch.getLong(1), batch.getLong(2))
+    assert(nS > 0 && nC > 0)
+    val evts = graft.core.Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val ds = in.toDS().toDF("user_id", "ts", "event_type")
+      .as[EventStreams.FunnelEvent]
+    val q = EventStreams.funnel(ds, "1 minute")
+      .writeStream.format("memory").queryName("fn")
+      .outputMode(OutputMode.Append).start()
+    // worst-case out-of-order: the whole corpus reversed in one batch
+    in.addData(evts.reverse.toSeq: _*)
+    q.processAllAvailable()
+    // two far-future sentinels: the first advances the watermark past the
+    // corpus, the second fires the event-time timeouts that drain buffers
+    val maxTs = evts.map(_._2.getTime).max
+    in.addData((-1L, new Timestamp(maxTs + 86400000L), "view"))
+    q.processAllAvailable()
+    in.addData((-1L, new Timestamp(maxTs + 2 * 86400000L), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("fn").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(hits.length == hits.distinct.length, "duplicate stage hits")
+    def n(stage: String) = hits.count(_._2 == stage).toLong
+    assert(n("signup") == nS, s"signup ${n("signup")} != $nS")
+    assert(n("click_after") == nC, s"click ${n("click_after")} != $nC")
+    assert(n("purchase_after") == nP, s"purchase ${n("purchase_after")} != $nP")
+  }
+
   test("session windows close after gap and carry correct bounds/counts") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
