@@ -148,6 +148,23 @@ object Events {
           count(col("p")).as("n_purchase_after"))
     }),
 
+    // Cohort retention: users grouped by first-activity week; the matrix
+    // cell (cohort_week, week_offset) counts distinct users of that
+    // cohort active that many weeks later — the standard product-health
+    // report. One user_id window pass pins the cohort (single exchange,
+    // same pattern as q14), then a distinct-count per cell. Integer week
+    // arithmetic on week-truncated dates (day deltas are exact multiples
+    // of 7) keeps both engines bit-identical with no rounding guard.
+    "ev09_cohort_retention" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables(s, d, "events")
+        .withColumn("cohort", date_trunc("week", min(col("ts")).over(w)))
+        .groupBy(col("cohort").cast("date").as("cohort_week"),
+          expr("datediff(date_trunc('week', ts), cohort) DIV 7")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -218,6 +235,17 @@ object Events {
         |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
         |       (SELECT COUNT(*) FROM s2) AS n_click_after,
         |       (SELECT COUNT(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "ev09_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+        |  date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7
+        |    AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "ev07_outliers" ->
       s"""WITH st AS (
