@@ -258,6 +258,9 @@ object Dedup {
       val buckets = sig.select(col("doc_id"),
           explode(array(bandStructs: _*)).as("k"))
         .select(col("doc_id"), col("k.band"), col("k.bh"))
+        // persisted: exchange reuse does NOT cover the self-join here
+        // (AQE + the explode break identical-subtree matching; measured
+        // 2.5s -> 3.5s without it, the minhash kernel running twice)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // band-bucket collisions; no distinct — the downstream left-semi
       // joins dedupe, and a distinct here is one more shuffle
