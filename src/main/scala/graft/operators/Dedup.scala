@@ -15,18 +15,15 @@ import graft.core.Tables
   *
   *  - dd01 exact: shuffle 16-byte fingerprints, never bodies.
   *  - dd02 shingle-Jaccard: exact pairwise similarity via an inverted
-  *    index: the shingled corpus is materialized ONCE (persist), postings
-  *    are pruned of stop-shingles, and pair counting is a codegen'd
-  *    equi-join + aggregate. Array-lambda shingling is interpreted
-  *    (higher-order functions have no codegen), so evaluating it exactly
-  *    once and joining on plain columns is the difference between seconds
-  *    and minutes — at 100 TB, between a shuffle and a cluster-wide CPU
-  *    burn.
-  *  - dd03 MinHash+LSH: the scale path. 128-perm signatures via a single
-  *    grouped aggregate over the postings (128 codegen'd min(xxhash64)
-  *    columns — measured ~0.6 s for the whole sf0.1 corpus), 32 bands x 4
-  *    rows, bucket-collision candidates, exact-Jaccard verification on the
-  *    (tiny) candidate set only.
+  *    index: the shingled corpus is materialized ONCE (persist, native
+  *    WordShingles kernel — array-lambda shingling is interpreted and
+  *    ~10x slower), then ONE exchange groups postings into bounded
+  *    per-shingle doc lists and pairs fall out of a narrow double
+  *    explode (see pairCounts).
+  *  - dd03 MinHash+LSH: the scale path. 128-perm signatures born in the
+  *    scan projection (native single-pass MinHashSig kernel), 32 bands x
+  *    4 rows, bucket-collision candidates, exact-Jaccard verification on
+  *    the (tiny) candidate set only.
   *  - dd04 SimHash: 64-bit signature per doc from 64 conditional-sum
   *    aggregates over the token postings; near-dups = Hamming <= 3 via
   *    Manku-style block permutation (C(6,3) = 20 tables on ~32-bit keys
