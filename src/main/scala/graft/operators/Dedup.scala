@@ -44,7 +44,7 @@ object Dedup {
     * pair generation: stop-shingles contribute quadratic join fan-out and
     * negligible Jaccard signal. (Never triggers at the test scale factors,
     * so oracle equality is unaffected.) */
-  val MaxPostings = 1000
+  val MaxPostings = graft.core.InvertedIndex.StopKeyCap
 
   /** Shingled corpus (doc_id, sh: array<string> of distinct word
     * trigrams) via the native WordShingles kernel (codegen single pass;
@@ -61,32 +61,15 @@ object Dedup {
   private def explPostings(idx: DataFrame): DataFrame =
     idx.select(col("doc_id"), explode(col("sh")).as("s"))
 
-  /** (d1 < d2, c = shared-item count) from a postings relation, inverted-
-    * index style: ONE shuffle groups postings into per-shingle doc lists
-    * (bounded by the MaxPostings df cap, so list size and pair fan-out per
-    * shingle are both bounded — stop-shingles never reach pair
-    * generation), then ordered pairs are emitted by a narrow double
-    * explode within each list and counted. Replaces the earlier
-    * formulation (df-count shuffle + join back + self-equi-join shuffle on
-    * the shingle string) with a single exchange of the postings — at
-    * 100 TB the difference between shuffling the exploded corpus three
-    * times and once. The list is collected through BoundedCollectLong
-    * (state hard-capped at MaxPostings+1 per key), so a corpus-scale
-    * stop-shingle can never assemble an unbounded aggregation buffer; a
-    * capped group's size is MaxPostings+1, which the between() filter
-    * drops exactly as it would the true oversized list. Callers that
+  /** (d1 < d2, c = shared-item count) — the shared bounded inverted-index
+    * kernel (graft.core.InvertedIndex: one exchange, state capped at
+    * df-cap+1, pairs from a narrow double explode; replaced the df-count
+    * shuffle + join-back + self-equi-join formulation). Callers that
     * pre-filter df (dd03's candidate verify) are unaffected by the cap
     * re-check: candidate df <= full df. */
   private def pairCounts(post: DataFrame): DataFrame =
-    post.groupBy(col("s")).agg(
-        org.apache.spark.sql.graftx.BoundedCollectFunctions
-          .bounded_collect_long(col("doc_id"), MaxPostings + 1).as("ds"))
-      .filter(size(col("ds")).between(2, MaxPostings))
-      .select(explode(col("ds")).as("d1"), col("ds"))
-      .select(col("d1"), explode(col("ds")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("c"))
+    graft.core.InvertedIndex.pairCounts(post, col("s"), col("doc_id"),
+      MaxPostings)
 
   private def jaccardFrom(pairs: DataFrame, idx: DataFrame): DataFrame = {
     val sizes = idx.select(col("doc_id"), size(col("sh")).as("n"))

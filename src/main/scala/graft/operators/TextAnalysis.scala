@@ -84,22 +84,14 @@ object TextAnalysis {
           explode(org.apache.spark.sql.graftx.GraftFunctions
             .winnow_fingerprint(col("text"))).as("f"))
         .distinct()
-      // inverted-index pair generation (same shape as Dedup.pairCounts):
-      // bounded per-fingerprint doc lists + a narrow double explode
-      // replace the postings self-join. The 1000-df cap also closes a
-      // scale hole the join formulation had: a boilerplate fingerprint
-      // shared by ~1e6 docs would have produced ~1e12 join pairs; capped
-      // keys now drop (stop-fingerprints, zero rank signal) with
-      // aggregation state bounded at cap+1. Never triggers at test SFs.
-      fp.groupBy(col("f")).agg(
-          org.apache.spark.sql.graftx.BoundedCollectFunctions
-            .bounded_collect_long(col("doc_id"), 1001).as("ds"))
-        .filter(size(col("ds")).between(2, 1000))
-        .select(explode(col("ds")).as("d1"), col("ds"))
-        .select(col("d1"), explode(col("ds")).as("d2"))
-        .filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("n_shared"))
+      // the shared bounded inverted-index kernel (InvertedIndex): the
+      // stop-key cap also closes a scale hole the old postings self-join
+      // had — a boilerplate fingerprint shared by ~1e6 docs would have
+      // produced ~1e12 join pairs; capped keys (zero rank signal) now
+      // drop with aggregation state bounded at cap+1. Never at test SFs.
+      graft.core.InvertedIndex
+        .pairCounts(fp, col("f"), col("doc_id"))
+        .select(col("d1"), col("d2"), col("c").as("n_shared"))
         .filter(col("n_shared") >= 5)
     }),
 
@@ -147,21 +139,16 @@ object TextAnalysis {
             .word_shingles(col("text"), 3)).as("t"))
       val n = Tables(s, d, "documents")
         .agg(count(lit(1)).cast("double").as("nd"))
-      // Inverted-index formulation: ONE shuffle groups postings into
-      // per-term doc lists; df is the list size (no separate df aggregate,
-      // no join back) and — because the weight is pure idf, identical for
-      // both docs of a pair — each shared term contributes exactly w^2 to
-      // the dot product, so pairs fall out of a narrow double explode
-      // within each (df-capped, hence bounded) list. Replaces a df-count
-      // shuffle + postings join + self-equi-join on the term string with a
-      // single exchange of the postings. Materialized once: norms and the
-      // pair path both read it.
-      // bounded collect (cap+1): a corpus-scale stop-shingle can never
-      // assemble an unbounded aggregation buffer — see BoundedCollectLong
-      val grouped = sh.groupBy("t").agg(
-          org.apache.spark.sql.graftx.BoundedCollectFunctions
-            .bounded_collect_long(col("doc_id"), 1001).as("ds"))
-        .filter(size(col("ds")) <= 1000) // stop-shingle cap, mirrored in oracle
+      // Shared bounded inverted-index kernel (InvertedIndex): one
+      // exchange groups postings into state-capped per-term doc lists;
+      // df is the list size (no separate df aggregate, no join back) and
+      // — because the weight is pure idf, identical for both docs of a
+      // pair — each shared term contributes exactly w^2 to the dot
+      // product. minDf = 1: singleton terms carry no pairs but DO count
+      // toward norms, mirroring the oracle. Materialized once: norms and
+      // the pair path both read it.
+      val grouped = graft.core.InvertedIndex
+        .groupedPostings(sh, col("t"), col("doc_id"), minDf = 1)
         .crossJoin(broadcast(n))
         .select(col("ds"),
           log(col("nd") / size(col("ds"))).as("w"))
@@ -169,10 +156,8 @@ object TextAnalysis {
       val norms = grouped
         .select(explode(col("ds")).as("doc_id"), (col("w") * col("w")).as("w2"))
         .groupBy("doc_id").agg(sqrt(sum(col("w2"))).as("nrm"))
-      val dots = grouped
-        .select(explode(col("ds")).as("d1"), col("ds"), (col("w") * col("w")).as("ww"))
-        .select(col("d1"), explode(col("ds")).as("d2"), col("ww"))
-        .filter(col("d1") < col("d2"))
+      val dots = graft.core.InvertedIndex
+        .orderedPairs(grouped.select(col("ds"), (col("w") * col("w")).as("ww")))
         .groupBy(col("d1"), col("d2"))
         .agg(sum(col("ww")).as("dot"))
       dots
@@ -228,6 +213,14 @@ object TextAnalysis {
       val langTots = ltot.collect()
         .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
       val langNames = langTots.map(_._1)
+      // trigram-free corpus (empty, or every text under 3 chars): no
+      // profiles exist — every doc is 'unk', as the pre-pivot formulation
+      // returned (an empty langNames would otherwise crash the agg below)
+      if (langNames.isEmpty) {
+        docs.select(col("lang"), lit("unk").as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+      } else {
       // Spark's round() is HALF_UP via BigDecimal — replicate exactly
       // (scala math.round is floor(x+0.5): differs on negative ties)
       def halfUp(x: Double): Long =
@@ -264,6 +257,7 @@ object TextAnalysis {
           coalesce(col("predicted"), lit("unk")).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
+      }
     }),
 
     // Exact token heavy hitters: tokens carrying >= 1% of all token

@@ -45,6 +45,20 @@ class NewOpsSpec extends AnyFunSuite {
       s"overall accuracy $correct/$total below the 0.45 calibrated floor")
   }
 
+  test("tx09: a trigram-free corpus classifies everything 'unk' instead of " +
+      "crashing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // no document reaches 3 chars -> no profiles exist
+    val dir = java.nio.file.Files.createTempDirectory("tiny-docs")
+    Seq((1L, "ab", "en", "s0", 2L), (2L, "x", "fr", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("tx09_charngram_langid")(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.toSet == Set(("en", "unk", 1L), ("fr", "unk", 1L)))
+  }
+
   test("char_ngram_counts: code-point grams match the composable formulation," +
       " including supplementary characters") {
     import org.apache.spark.sql.functions._
