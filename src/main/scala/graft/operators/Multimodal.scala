@@ -30,6 +30,8 @@ import graft.core.Tables
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
   checksum: Long, mean_byte: Double)
 case class MediaEmb(media_id: Long, kind: String, emb: Array[Float])
+case class MediaResized(media_id: Long, width: Int, height: Int,
+  n_bytes: Int, checksum: Long)
 
 object Multimodal {
 
@@ -78,6 +80,23 @@ object Multimodal {
       MediaEmb(mediaId, kind, emb)
     }
 
+  /** ===== STUB ===== A real implementation would decode the image,
+    * bilinear-resize, and re-encode; this deterministic fake halves the
+    * metadata dims and stride-2-downsamples the raw bytes. The contract is
+    * the real part: metadata flows WITH the payload through the batch
+    * iterator, the output schema is fixed by the case-class encoder, and
+    * the whole stage is oracled byte-for-byte against an independent SQL
+    * implementation. */
+  private def resizeStub(
+      rows: Iterator[(Long, Array[Byte], Int, Int)]): Iterator[MediaResized] =
+    rows.map { case (mediaId, bytes, w, h) =>
+      var sum = 0L
+      var n = 0
+      var i = 0
+      while (i < bytes.length) { sum += (bytes(i) & 0xff); n += 1; i += 2 }
+      MediaResized(mediaId, w / 2, h / 2, n, sum)
+    }
+
   /** (media_id, kind, payload) as a typed Dataset for the stub kernels. */
   private def payloads(cat: DataFrame) = {
     val spark = cat.sparkSession
@@ -95,6 +114,18 @@ object Multimodal {
         col("meta.width").as("width"), col("meta.height").as("height"))),
 
     // Decode + feature extraction through the mapPartitions batch kernel.
+    // Resize stage: image payloads only (pruned at the scan by the kind
+    // filter), metadata transformed alongside the payload in one
+    // mapPartitions batch — the shape a GPU/codec resize stage plugs into.
+    "mm05_media_resize" -> ((s, d) => {
+      import s.implicits._
+      mediaCatalog(s, d).filter(col("kind") === "image")
+        .select(col("media_id"), col("payload"),
+          col("meta.width").as("w"), col("meta.height").as("h"))
+        .as[(Long, Array[Byte], Int, Int)]
+        .mapPartitions(resizeStub).toDF()
+    }),
+
     "mm02_media_features" -> ((s, d) => {
       import s.implicits._
       val feats = payloads(mediaCatalog(s, d))
@@ -220,6 +251,18 @@ object Multimodal {
     "mm03_frame_sample" ->
       """SELECT doc_id AS media_id, unnest(range(0,
         |  greatest(octet_length(encode(text)) // 10, 1), 10)) AS frame_idx
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // mm05: halved dims, stride-2 byte downsample (ASCII corpus: bytes ==
+    // codepoints; Scala 0-based even indices == SQL 1-based odd positions)
+    "mm05_media_resize" ->
+      """SELECT doc_id AS media_id,
+        |  ((n_chars % 640) // 2)::INT AS width,
+        |  ((n_chars % 480) // 2)::INT AS height,
+        |  ((octet_length(encode(text)) + 1) // 2)::INT AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    range(1, octet_length(encode(text)) + 1, 2),
+        |    i -> ord(substr(text, i::INT, 1)))), 0) AS BIGINT) AS checksum
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin
   )
 }
