@@ -20,6 +20,16 @@ object InvertedIndex {
     * quadratic pair fan-out and negligible similarity signal. */
   val StopKeyCap = 1000
 
+  // Key width — a conscious choice: the exchange keys on the RAW key
+  // (shingle string / fingerprint long), not a 64-bit hash of it.
+  // Hashing would shrink shuffle keys ~3x for string shingles, but a
+  // hash collision merges two postings lists and perturbs shared-item
+  // counts: negligible for near-dup QUALITY at any scale, yet it breaks
+  // the engine's bit-exact-vs-oracle guarantee (and at ~1e12 distinct
+  // keys 64-bit collisions are a certainty, not a lottery). A deployment
+  // that prefers the smaller shuffle over exactness can pre-hash the key
+  // column before calling in — the kernel is key-type agnostic.
+
   /** Per-key doc lists `ds`, df-filtered to [minDf, cap]; aggregation
     * state bounded at cap+1 per key. `minDf = 1` keeps singleton lists
     * (tx08 needs them for norms); pair generation drops them naturally. */
