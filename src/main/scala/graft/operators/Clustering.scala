@@ -51,6 +51,13 @@ object Clustering {
         .zipWithIndex
         .map { case (r, i) =>
           (i, r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue)) }
+    if (cents.isEmpty) {
+      // empty input: no centroids exist — degrade to empty relations
+      // (assign() over zero structs would otherwise crash)
+      return (e.select(col("vec_id"), col("embedding"),
+          lit(0).as("cl")).limit(0),
+        s.createDataFrame(Seq.empty[(Int, Seq[Double])]).toDF("cl", "cvec"))
+    }
 
     var it = 0
     while (it < iters) {

@@ -342,6 +342,35 @@ object TextAnalysis {
     // The benchmark shingle set is small BY NATURE (eval sets are of
     // bounded size at any corpus scale) -> broadcast; the corpus side is
     // one shingle scan + a per-doc count, never a corpus-corpus join.
+    // LM-style quality scoring — the perplexity-filter analogue: each doc
+    // scored by its mean per-trigram log-likelihood under the GLOBAL
+    // corpus trigram model (low score = statistically unlike the corpus
+    // = noise/boilerplate candidate). Completes the quality triad with
+    // tx02 (surface heuristics) and tx12 (repetition). Same integer-
+    // scaled log-prob trick as tx09: scoring is exact 64-bit arithmetic,
+    // bit-identical across engines and partitionings; one gram scan,
+    // profile broadcast, one per-doc aggregate.
+    "tx14_lm_quality" -> ((s, d) => {
+      val dc = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graftx.NGramFunctions
+            .char_ngram_counts(lower(col("text")), 3)).as("e"))
+        .select(col("doc_id"), col("e.g").as("g"), col("e.cnt").as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = dc.agg(sum(col("cnt")).as("t"))
+      val prof = dc.groupBy(col("g")).agg(sum(col("cnt")).as("gc"))
+        .crossJoin(broadcast(tot))
+        .select(col("g"),
+          round(log(col("gc").cast("double") / col("t")) * 1e6)
+            .cast("long").as("lp"))
+      dc.join(broadcast(prof), "g")
+        .groupBy(col("doc_id"))
+        .agg((sum(col("cnt") * col("lp")).cast("double") / sum(col("cnt"))
+          / 1e6).as("llraw"))
+        .select(col("doc_id"), round(col("llraw"), 6).as("ll"),
+          (round(col("llraw"), 6) >= -5.42).as("keep"))
+    }),
+
     "tx13_decontaminate" -> ((s, d) => {
       // persisted: three consumers (benchmark distinct, per-doc totals,
       // shared counts) would otherwise each re-run the shingle scan
@@ -504,6 +533,27 @@ object TextAnalysis {
          |  (round(CAST(nd AS DOUBLE) / n, 6) >= 0.35 AND
          |   round(CAST(mx AS DOUBLE) / (n - 1), 6) <= 0.10) AS keep
          |FROM m""".stripMargin,
+
+    "tx14_lm_quality" ->
+      """WITH dc AS (
+        |  SELECT doc_id, s AS g, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, length(lower(text)) - 1),
+        |      i -> substr(lower(text), i::INT, 3))) AS s
+        |    FROM documents WHERE length(lower(text)) >= 3)
+        |  GROUP BY doc_id, s),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM dc),
+        |prof AS (
+        |  SELECT g, CAST(round(ln(CAST(SUM(cnt) AS DOUBLE)
+        |    / (SELECT t FROM tot)) * 1e6) AS BIGINT) AS lp
+        |  FROM dc GROUP BY g)
+        |SELECT dc.doc_id,
+        |  round(CAST(SUM(dc.cnt * prof.lp) AS DOUBLE)
+        |    / SUM(dc.cnt) / 1e6, 6) AS ll,
+        |  round(CAST(SUM(dc.cnt * prof.lp) AS DOUBLE)
+        |    / SUM(dc.cnt) / 1e6, 6) >= -5.42 AS keep
+        |FROM dc JOIN prof ON dc.g = prof.g
+        |GROUP BY dc.doc_id""".stripMargin,
 
     "tx13_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, source, $tokensSql AS w FROM documents),

@@ -13,6 +13,12 @@ class ClusteringSpec extends AnyFunSuite {
   private def embeddings = graft.core.Tables(spark, sf, "embeddings")
     .select(col("vec_id"), col("embedding"))
 
+  test("empty input degrades to empty relations without crashing") {
+    val e = embeddings.filter(col("vec_id") < 0)
+    val (a, c) = Clustering.kmeans(e, k = 4, iters = 2)
+    assert(a.count() == 0 && c.count() == 0)
+  }
+
   test("k=1 degenerates to a single cluster without crashing") {
     // least() needs >= 2 args; the single-centroid path must bypass it
     val e = embeddings
