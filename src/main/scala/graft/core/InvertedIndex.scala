@@ -43,6 +43,11 @@ object InvertedIndex {
   /** Ordered (d1 < d2) pairs from each row's `ds` list; every other
     * column of the row is carried through (tx08 threads its idf weight). */
   def orderedPairs(grouped: DataFrame): DataFrame = {
+    // fail at the call site, not with a distant AMBIGUOUS_REFERENCE at
+    // analysis time, if a carried column collides with the pair names
+    require(!grouped.columns.exists(c => c == "d1" || c == "d2"),
+      s"orderedPairs emits d1/d2; rename the colliding input column " +
+        s"(got: ${grouped.columns.mkString(", ")})")
     val others = grouped.columns.filter(_ != "ds").map(col).toSeq
     grouped
       .select(others :+ explode(col("ds")).as("d1") :+ col("ds"): _*)

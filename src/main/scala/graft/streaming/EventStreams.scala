@@ -121,8 +121,13 @@ object EventStreams {
             }
           }
           state.update(FunnelState(pending, tS, tC, tP))
+          // Spark rejects non-positive timeout timestamps: an event AT the
+          // epoch (ts == 0) would otherwise crash the whole query. Events
+          // before the watermark's origin are out of the operator's
+          // event-time contract anyway; clamping to 1 ms only affects
+          // when the drain fires, never what it computes.
           if (pending.nonEmpty)
-            state.setTimeoutTimestamp(pending.map(_._1).min)
+            state.setTimeoutTimestamp(math.max(1L, pending.map(_._1).min))
           hits.result().iterator
       }
   }
