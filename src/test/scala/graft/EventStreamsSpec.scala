@@ -177,6 +177,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(n("purchase_after") == nP, s"purchase ${n("purchase_after")} != $nP")
   }
 
+  test("funnel: equal-timestamp stages chain (>= tie semantics) and " +
+      "too-late events are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val ds = in.toDS().toDF("user_id", "ts", "event_type")
+      .as[EventStreams.FunnelEvent]
+    val q = EventStreams.funnel(ds, "1 minute")
+      .writeStream.format("memory").queryName("fn_edge")
+      .outputMode(OutputMode.Append).start()
+    // user 1: signup, click, purchase all at the SAME instant — the batch
+    // definition's >= comparisons admit the whole chain
+    in.addData((1L, ts(10), "signup"), (1L, ts(10), "click"),
+      (1L, ts(10), "purchase"))
+    // user 2: signup only, far along — also advances the watermark
+    in.addData((2L, ts(300), "signup"))
+    q.processAllAvailable()
+    // user 2's click at ts(5) is BELOW the watermark now: dropped as late,
+    // so no click_after for user 2 even though 5 < 300 would qualify in
+    // batch. (Watermark discipline, not funnel logic.)
+    in.addData((2L, ts(5), "click"))
+    in.addData((3L, ts(600), "signup")) // drain timeouts
+    in.addData((3L, ts(900), "signup"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("fn_edge").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hits.contains((1L, "signup")))
+    assert(hits.contains((1L, "click_after")), "equal-ts click must chain")
+    assert(hits.contains((1L, "purchase_after")), "equal-ts purchase must chain")
+    assert(hits.contains((2L, "signup")))
+    assert(!hits.contains((2L, "click_after")), "late click must be dropped")
+  }
+
   test("session windows close after gap and carry correct bounds/counts") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
