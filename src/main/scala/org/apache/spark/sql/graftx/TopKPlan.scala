@@ -96,9 +96,11 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
             val key = keyProj(row)
             var heap = heaps.get(key)
             if (heap == null && heaps.size() >= maxGroups) {
-              // cap reached, unseen group: forward un-pruned (no copy — the
-              // row is handed downstream before the next input is pulled)
-              pending = row
+              // cap reached, unseen group: forward un-pruned. Copied — the
+              // child iterator may reuse the UnsafeRow backing buffer, and
+              // a buffering parent (sort, codegen consumer) must not see it
+              // mutate. One copy per overflow row is cheap vs shuffle I/O.
+              pending = row.copy()
             } else {
               if (heap == null) {
                 heap = new BoundedPriorityQueue[UnsafeRow](kB)(
