@@ -39,8 +39,13 @@ object Bench {
     // Warm every query's codegen/scan path at the tiniest sf so timed
     // numbers measure the query, not one-time JVM/compile startup
     // (otherwise whichever query runs first absorbs ~3-8 s of warmup).
+    // The warmup dir is sfDir's sf0.001 sibling when present so a custom
+    // SPARK_GRAFT_SF_DIR keeps warmup and measurement on the same dataset.
+    val warmSib = new java.io.File(
+      new java.io.File(sfDir).getParentFile, "sf0.001")
+    val warmDir = if (warmSib.isDirectory) warmSib.getPath else sfDir
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001")
+      try fn(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
@@ -74,9 +79,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => s"\"$k\":${jnum(v)}" }
       .mkString("{", ",", "}")
-    val streamJson = if (streaming.isEmpty) "" else
-      streaming.map { case (k, v) => s"\"$k\":${jnum(v)}" }
-        .mkString(""","streaming_rec_s":{""", ",", "}")
+    // Always emit the key — an empty {} marks "streaming section did not
+    // run" (e.g. missing fixture checkout) as distinct from "removed".
+    val streamJson = streaming.map { case (k, v) => s"\"$k\":${jnum(v)}" }
+      .mkString(""","streaming_rec_s":{""", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","failures":$failures,"n_queries":${results.size},"queries":$fullQs$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -136,9 +142,12 @@ object Bench {
         "0,sign,Unpunched Telespar,cat0".getBytes("UTF-8")),
       RainStormApps.simpleApp("Unpunched Telespar", 0, 3), stateful = false)
 
+    // Fixture root is overridable so a host without the reference checkout
+    // can still run this section (the default matches this container).
+    val fixtureRoot = sys.env.getOrElse("SPARK_GRAFT_FIXTURES",
+      "/root/reference/test_files")
     def copyFixture(in: java.io.File): Unit =
-      Files.copy(java.nio.file.Paths.get(
-          "/root/reference/test_files/TrafficSigns_10000"),
+      Files.copy(java.nio.file.Paths.get(fixtureRoot, "TrafficSigns_10000"),
         new java.io.File(in, "signs.csv").toPath)
 
     // Kaggle churn schema: RowNumber,CustomerId,Surname,CreditScore,

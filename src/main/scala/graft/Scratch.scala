@@ -22,12 +22,17 @@ object Scratch {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q05_broadcast_join", "q15_star_join",
         "dd02_jaccard_pairs", "dd03_minhash_lsh", "sim01_knn_bruteforce")
-    // SCRATCH_WARMUP=1 replicates Bench's all-queries sf0.001 warmup pass;
-    // SCRATCH_SINK=noop replicates its noop-write materialization — so a
-    // Scratch number is comparable to the BENCH number for the same query.
+    // SCRATCH_WARMUP=1 replicates Bench's all-queries smallest-sf warmup
+    // pass; SCRATCH_SINK=noop replicates its noop-write materialization — so
+    // a Scratch number is comparable to the BENCH number for the same query.
+    // The warmup sf is derived from the measured dir (its sf0.001 sibling,
+    // falling back to the dir itself) so pointing SPARK_GRAFT_SF_DIR at a
+    // different dataset root keeps warmup and measurement on the same data.
     if (sys.env.get("SCRATCH_WARMUP").contains("1")) {
+      val sib = new java.io.File(new java.io.File(d).getParentFile, "sf0.001")
+      val warmDir = if (sib.isDirectory) sib.getPath else d
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.001")
+        try fn(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         finally spark.catalog.clearCache()

@@ -47,10 +47,12 @@ object Clustering {
     // init: the k lowest vec_ids (no RNG), re-keyed 0..k-1; float widens
     // to double exactly
     var cents: Seq[(Int, Seq[Double])] =
-      e.orderBy(col("vec_id")).limit(k).collect().toSeq
+      e.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(k).collect().toSeq
         .zipWithIndex
         .map { case (r, i) =>
-          (i, r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue)) }
+          (i, r.getAs[scala.collection.Seq[Any]]("embedding")
+            .map(_.asInstanceOf[Number].doubleValue).toSeq) }
     if (cents.isEmpty) {
       // empty input: no centroids exist — degrade to empty relations
       // (assign() over zero structs would otherwise crash)

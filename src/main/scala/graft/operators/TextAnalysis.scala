@@ -227,18 +227,23 @@ object TextAnalysis {
         BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       val flp = langTots.map { case (_, tot) =>
         halfUp(math.log(0.5 / tot) * 1e6) }
+      // Pivot emits one column PER LANGUAGE VALUE; rename them positionally
+      // (pivot preserves the explicit langNames order) to a reserved lp_<i>
+      // prefix so a language string that collides with a real column name
+      // ("doc_id", "g", ...) or contains a dot can't break resolution.
       val profWide = lc.join(broadcast(ltot), "lang")
         .select(col("lang"), col("g"),
           round(log(col("cnt").cast("double") / col("tot")) * 1e6)
             .cast("long").as("lp"))
         .groupBy(col("g")).pivot("lang", langNames).agg(first(col("lp")))
+        .toDF("g" +: langNames.indices.map(i => s"lp_$i"): _*)
       val score = dc.select(col("doc_id"), col("lang"), col("g"), col("cnt"))
         .join(broadcast(profWide), Seq("g"), "left_outer")
         .groupBy(col("doc_id"), col("lang"))
-        .agg(langNames.zipWithIndex.map { case (ln, i) =>
-          sum(col("cnt") * coalesce(col(ln), lit(flp(i)))).as(s"ll_$i")
-        }.head, langNames.zipWithIndex.tail.map { case (ln, i) =>
-          sum(col("cnt") * coalesce(col(ln), lit(flp(i)))).as(s"ll_$i")
+        .agg(langNames.indices.map { i =>
+          sum(col("cnt") * coalesce(col(s"lp_$i"), lit(flp(i)))).as(s"ll_$i")
+        }.head, langNames.indices.tail.map { i =>
+          sum(col("cnt") * coalesce(col(s"lp_$i"), lit(flp(i)))).as(s"ll_$i")
         }: _*)
       val bestStructs = langNames.indices.map(i =>
         struct(col(s"ll_$i").as("ll"), lit(-i).as("ni")))
