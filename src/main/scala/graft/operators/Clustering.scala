@@ -44,11 +44,17 @@ object Clustering {
   def kmeansFull(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
     val s = e.sparkSession
+    // The corpus is scanned iters+2 times (init, one mean pass per
+    // iteration, final assignment) — materialize it once up front rather
+    // than re-reading the source every pass. Stays persisted because the
+    // returned assignment lazily references it; callers/benchmarks drop it
+    // via clearCache.
+    val ein = e.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: the k lowest vec_ids (no RNG), re-keyed 0..k-1; float widens
     // to double exactly
     var cents: Seq[(Int, Seq[Double])] =
-      e.select(col("vec_id"), col("embedding"))
-        .orderBy(col("vec_id")).limit(k).collect().toSeq
+      ein.orderBy(col("vec_id")).limit(k).collect().toSeq
         .zipWithIndex
         .map { case (r, i) =>
           (i, r.getAs[scala.collection.Seq[Any]]("embedding")
@@ -56,6 +62,7 @@ object Clustering {
     if (cents.isEmpty) {
       // empty input: no centroids exist — degrade to empty relations
       // (assign() over zero structs would otherwise crash)
+      ein.unpersist(blocking = false)
       return (e.select(col("vec_id"), col("embedding"),
           lit(0).as("cl")).limit(0),
         s.createDataFrame(Seq.empty[(Int, Seq[Double])]).toDF("cl", "cvec"))
@@ -66,7 +73,7 @@ object Clustering {
       // new centroids: per-dimension means via exact scaled-long sums
       // (order-independent; |v| <= O(1) so v*1e10 is far inside long range).
       // k x dim result rows — collected and regrouped driver-side.
-      val rows = assign(e, cents)
+      val rows = assign(ein, cents)
         .select(col("cl"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cl"), col("dim"))
         .agg((sum(graft.core.Num.scaledLong(col("v").cast("double"), 10))
@@ -79,7 +86,7 @@ object Clustering {
       }.sortBy(_._1)
       it += 1
     }
-    (assign(e, cents), s.createDataFrame(cents).toDF("cl", "cvec"))
+    (assign(ein, cents), s.createDataFrame(cents).toDF("cl", "cvec"))
   }
 
   /** Returns (assignments: vec_id -> cluster, centroids: cluster -> vec). */

@@ -165,6 +165,20 @@ object Events {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Navigation-path census: per-user event bigrams (Markov transition
+    // counts). One shuffle on user_id for the lag window; the transition
+    // census is a tiny |types|^2 aggregate on top. Ties break on the
+    // unique event_id so the bigram sequence is deterministic.
+    "ev10_user_paths" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, d, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -246,6 +260,16 @@ object Events {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "ev10_user_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS curr_type,
+        |  COUNT(*) AS n_transitions
+        |FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "ev07_outliers" ->
       s"""WITH st AS (

@@ -135,6 +135,63 @@ object Similarity {
         .select(col("qid"), col("vec_id"),
           round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
       topkPerQuery(scored)
+    }),
+
+    // Product-quantized ANN (ProductQuantizer): candidate scoring reads
+    // ONLY the 8-byte codes plus broadcast per-query lookup tables (ADC) —
+    // at 100 TB the scored relation is ~1/32 the corpus bytes and the raw
+    // vectors are touched just for the exact rescore of the top R
+    // approximate candidates per query (R rows per query, a broadcast
+    // join). Build+probe measured together, like sim03.
+    "sim05_pq_knn" -> ((s, d) => {
+      val M = 8; val Dsub = 8; val Kc = 16; val R = 4 * K
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = ProductQuantizer.train(e, M, Dsub, Kc, iters = 2)
+      val encoded = ProductQuantizer.encode(e, cb, Dsub)
+      // per-query LUTs: dot(q_m, centroid) and |centroid|^2 per (m, code).
+      // The query set is tiny by contract (same broadcast assumption as
+      // sim01) — collected once, shipped as literal arrays.
+      val lutn2 = ProductQuantizer.lut(cb, Kc, cv => cv.map(x => x * x).sum)
+      val qLuts: Seq[(Long, Seq[Seq[Double]], Seq[Seq[Double]], Double)] =
+        queriesDf(s, d).collect().toSeq.map { r =>
+          val qd = r.getAs[scala.collection.Seq[Float]]("qv")
+            .map(_.toDouble).toSeq
+          val lutdot = cb.zipWithIndex.map { case (cents, mi) =>
+            val qsub = qd.slice(mi * Dsub, (mi + 1) * Dsub)
+            val cm = cents.toMap
+            (0 until Kc).map(j => cm.get(j)
+              .map(cv => cv.lazyZip(qsub).map(_ * _).sum).getOrElse(0.0))
+              .toSeq
+          }
+          (r.getAs[Long]("qid"), lutdot, lutn2,
+            math.sqrt(qd.map(x => x * x).sum))
+        }
+      val lutDf = s.createDataFrame(qLuts)
+        .toDF("qid", "lutdot", "lutn2", "qnorm")
+      // ADC: fold the M codes through the LUTs — approx cosine against the
+      // reconstructed vector, no join, no touch of the raw embeddings
+      val adc = expr(
+        "aggregate(codes, " +
+          "struct(0 AS m, CAST(0 AS DOUBLE) AS dt, CAST(0 AS DOUBLE) AS n2), " +
+          "(a, c) -> struct(a.m + 1, a.dt + lutdot[a.m][c], " +
+          "a.n2 + lutn2[a.m][c]), " +
+          "a -> CASE WHEN a.n2 > 0 AND qnorm > 0 " +
+          "THEN a.dt / (qnorm * sqrt(a.n2)) ELSE CAST(-2 AS DOUBLE) END)")
+      val wA = Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      val cand = encoded.crossJoin(broadcast(lutDf))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", adc)
+        .withColumn("r", row_number().over(wA)).filter(col("r") <= R)
+        .select(col("qid"), col("vec_id"))
+      // exact rescore of R*|Q| candidate rows against the raw vectors
+      val exact = e.join(broadcast(cand), "vec_id")
+        .join(broadcast(queriesDf(s, d)), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+      topkPerQuery(exact)
     })
   )
 
