@@ -9,24 +9,28 @@ import graft.functions.VectorFunctions._
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
   * The reference has no vector machinery at all; this is pipeline-extras
-  * territory (builder brief). Three tiers, by scale:
+  * territory (builder brief). Five queries across four scale strategies:
   *
   *  - sim01 brute force: broadcast the (small) query set against every
   *    vector — one scan, no shuffle of the corpus, per-partition top-k via
   *    the rank window. Exact; the baseline the approximate tiers are
   *    measured against. O(Q x N) — fine for Q small even at 100 TB.
-  *  - sim02 sign-LSH: 8 pseudo-random hyperplanes -> 256 buckets computed
-  *    in the scan (no side data); a query probes its own bucket plus the 8
-  *    Hamming-1 neighbors. The corpus shuffles once on bucket id; each
-  *    lookup touches ~9/256 of the data.
+  *  - sim04: sim01's exact answer through the typed TopKAggregator —
+  *    map-side partials cap what crosses the exchange at K per partition.
+  *  - sim02 sign-LSH: L hash tables of B hyperplanes -> buckets computed
+  *    in the scan (no side data); a query probes its own bucket plus the B
+  *    Hamming-1 neighbors per table. Cuts the scanned *fraction*.
   *  - sim03 IVF: coarse quantizer = Lloyd's k-means over the vectors
   *    (Clustering.kmeans, deterministic); queries search only their
   *    nearest centroid's inverted list (nprobe=1).
+  *  - sim05 PQ: cuts *bytes per vector* — ADC over 8-byte codes, exact
+  *    rescore of the top-R candidates ([[ProductQuantizer]]).
   *
-  * sim01 carries a DuckDB oracle (scores ranked on a rounded value with a
-  * vec_id tie-break so double low-bit drift cannot reorder the top-k);
-  * sim02/sim03 are approximate by construction -> rows-only checks, with
-  * recall vs sim01 asserted in the ScalaTest spec instead.
+  * Verification: sim01 and sim04 carry the SAME DuckDB oracle (scores
+  * ranked on a rounded value with a vec_id tie-break so double low-bit
+  * drift cannot reorder the top-k); sim02/sim03/sim05 are approximate by
+  * construction -> rows-only checks, with recall@5 vs sim01 asserted in
+  * OperatorsSpec and the PQ kernel unit-tested in PQCodesSpec.
   */
 object Similarity {
 
@@ -145,6 +149,10 @@ object Similarity {
     // join). Build+probe measured together, like sim03.
     "sim05_pq_knn" -> ((s, d) => {
       val M = 8; val Dsub = 8; val Kc = 16; val R = 4 * K
+      // Persisted for the train scans + the final rescore; stays cached
+      // because the returned plan lazily references it. Callers own the
+      // release via spark.catalog.clearCache() (the Verify/Bench harness
+      // contract, same as Clustering.kmeansFull documents).
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

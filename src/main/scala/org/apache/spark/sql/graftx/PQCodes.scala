@@ -24,6 +24,13 @@ case class PQCodes(child: Expression,
     extends UnaryExpression with ExpectsInputTypes {
 
   require(dsub >= 1 && cents.nonEmpty && cents.forall(_.nonEmpty))
+  // uniform-width contract: every centroid spans exactly dsub dims. The
+  // trainer derives centroids from slice(embedding, ...) — a corpus with a
+  // short vector would yield a narrow centroid and silently misalign the
+  // row-major reads below (vals is indexed with off = j * dsub).
+  require(cents.forall(_.forall(_._2.length == dsub)),
+    s"every centroid must have exactly dsub=$dsub dims " +
+      "(non-uniform-width embedding corpus?)")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -67,6 +67,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mean > 0.2, s"mean recall@5 = $mean")
   }
 
+  test("PQ (ADC + exact rescore) recall@5 is well above chance") {
+    val brute = SparkEntry.queries("sim01_knn_bruteforce")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = SparkEntry.queries("sim05_pq_knn")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      val hit = pq.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hit.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // exact rescore of the top-4K ADC candidates: misses only when a true
+    // neighbor falls outside the approximate top-R; chance recall ~1%
+    assert(mean > 0.2, s"mean recall@5 = $mean")
+  }
+
   test("exact dedup is idempotent and lossless on distinct content") {
     val docs = graft.core.Tables(spark, sf, "documents")
     val dd = SparkEntry.queries("dd01_exact_dedup")(spark, sf)
