@@ -179,6 +179,20 @@ object Events {
         .agg(count(lit(1)).as("n_transitions"))
     }),
 
+    // Fixed-width value histogram per event type — the distribution-shape
+    // primitive behind dashboards and outlier triage. The bucket id is a
+    // pure projection (floor over an IEEE divide, bit-identical across
+    // engines), so the whole query is one scan + one tiny
+    // (type, bucket)-grouped aggregate: ~|types| x |buckets| rows shuffle
+    // regardless of corpus size.
+    "ev11_value_histogram" -> ((s, d) => {
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          floor(col("value") / 50).cast("long").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -260,6 +274,11 @@ object Events {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "ev11_value_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ev10_user_paths" ->
       """WITH x AS (

@@ -210,10 +210,63 @@ object Relational2 {
           ${sqlDsum("c_acctbal")} AS total_balance
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name""")
+    }),
+
+    // GROUPING SETS — the general form rollup (q09) and cube (q13) are
+    // sugar for: two independent one-column groupings plus the grand
+    // total in ONE pass (Spark expands to a single Expand + aggregate, so
+    // the fact table is scanned once, not three times). The sum is the
+    // same exact scaled-decimal kernel as dsum, written in SQL.
+    "q31_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS DECIMAL(28,0)))
+            AS DOUBLE) / 100 AS volume
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
+    // Unpivot (melt): wide per-status metrics to long (metric, value)
+    // rows — the inverse of ev03's pivot, completing the reshape surface.
+    // A pure projection + generate over the tiny aggregated relation; all
+    // heavy lifting stays in the one grouped aggregate before it.
+    "q32_unpivot" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).cast("double").as("n_orders"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("sum_price"), col("max_price"), col("n_orders")),
+          "metric", "value")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q31_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS volume
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin,
+
+    // DuckDB's UNPIVOT emits rows in value-list order per input row;
+    // row/column order is irrelevant to the gate (sorted compare), so a
+    // portable UNION ALL spells the same relation.
+    "q32_unpivot" ->
+      s"""WITH w AS (
+         |  SELECT o_orderstatus,
+         |    ${sqlDsum("o_totalprice")} AS sum_price,
+         |    MAX(o_totalprice) AS max_price,
+         |    CAST(COUNT(*) AS DOUBLE) AS n_orders
+         |  FROM orders GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM w
+         |UNION ALL
+         |SELECT o_orderstatus, 'max_price', max_price FROM w
+         |UNION ALL
+         |SELECT o_orderstatus, 'n_orders', n_orders FROM w""".stripMargin,
+
     "q30_topk_per_group" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
