@@ -72,10 +72,21 @@ object Dedup {
       MaxPostings)
 
   private def jaccardFrom(pairs: DataFrame, idx: DataFrame): DataFrame = {
+    // Size join-back is a co-partitioned SHUFFLE join on doc_id, never a
+    // broadcast: `sizes` is one row per DOCUMENT, so at 10^9 docs it is
+    // ~16 GB — over Spark's 8 GB broadcast hard cap and the driver's
+    // memory (a broadcast() here fails outright at the target scale).
+    // The pair side scales with the duplicate rate, not the corpus, so
+    // the shuffle is pair-sized + one pass over the doc-id/size table.
+    // The hint pins SHJ so neither static planning nor AQE re-broadcasts
+    // the per-doc relation when it happens to be small at test scale —
+    // the plan shape must be the 100 TB-safe one at every sf
+    // (PlanAuditSpec asserts it).
     val sizes = idx.select(col("doc_id"), size(col("sh")).as("n"))
+      .hint("shuffle_hash")
     pairs
-      .join(broadcast(sizes).as("s1"), col("d1") === col("s1.doc_id"))
-      .join(broadcast(sizes).as("s2"), col("d2") === col("s2.doc_id"))
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
         (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c")))
           .as("jaccard"))
@@ -243,8 +254,13 @@ object Dedup {
         // 2.5s -> 3.5s without it, the minhash kernel running twice)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // band-bucket collisions; no distinct — the downstream left-semi
-      // joins dedupe, and a distinct here is one more shuffle
-      val cand = buckets.as("x").join(buckets.as("y"),
+      // joins dedupe, and a distinct here is one more shuffle. The self
+      // join is pinned to sort-merge: `buckets` is PER-DOCUMENT x 32
+      // bands, so neither side may ever be a broadcast build (at 1e9 docs
+      // that is 3.2e10 rows — far over the 8 GB broadcast cap); SMJ
+      // co-partitions both sides on (band, bh) and spills per-key groups
+      // (PlanAuditSpec asserts no per-row broadcast anywhere).
+      val cand = buckets.as("x").join(buckets.hint("merge").as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -351,15 +367,21 @@ object Dedup {
       val probe = own.select(col("vec_id"), col("tbl"),
         explode(array(col("bucket") +: (0 until B).map(b =>
           col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
-      val cand = probe.as("x").join(own.as("y"),
+      // probe/own are per-VECTOR x L tables (x B+1 probes): pin the
+      // collision join to sort-merge on (tbl, bucket) — a broadcast build
+      // of either side fails outright at 1e9 vectors. Same for the exact
+      // rescore: `e` is the per-vector corpus, so it joins the (small,
+      // dup-rate-bounded) candidate set via co-partitioned shuffle-hash
+      // on vec_id, never as a broadcast.
+      val cand = probe.as("x").join(own.hint("merge").as("y"),
           col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
         .distinct()
       cand
-        .join(e.as("a"), col("v1") === col("a.vec_id"))
-        .join(e.as("b"), col("v2") === col("b.vec_id"))
+        .join(e.hint("shuffle_hash").as("a"), col("v1") === col("a.vec_id"))
+        .join(e.hint("shuffle_hash").as("b"), col("v2") === col("b.vec_id"))
         .select(col("v1"), col("v2"),
           round(dot_product(col("a.embedding"), col("b.embedding")) /
             (col("a.nrm") * col("b.nrm")), 6).as("cos_r"))
@@ -407,7 +429,9 @@ object Dedup {
           explode(array(tables: _*)).as("k"))
         .select(col("doc_id"), col("sim"), col("k.band"), col("k.bh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      bands.as("x").join(bands.as("y"),
+      // bands is per-DOCUMENT x 20 tables — pin the collision self-join to
+      // sort-merge so neither per-row side is ever a broadcast build
+      bands.as("x").join(bands.hint("merge").as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),

@@ -194,15 +194,22 @@ object Multimodal {
       // distinct: a pair colliding in several tables scores identically
       // each time, and the k=1 selection dedupes for free — cheaper than
       // a distinct's shuffle.
-      val cand = own.as("x").join(own.as("y"),
+      // `own` is PER-MEDIA x L tables — the collision self-join is pinned
+      // to sort-merge on (kind, tbl, bucket) so no per-row side is ever a
+      // broadcast build (over the 8 GB cap at 1e9 media); the rescore
+      // joins co-partition the per-media `e` against the candidate set on
+      // media_id via shuffle-hash for the same reason (PlanAuditSpec).
+      val cand = own.as("x").join(own.hint("merge").as("y"),
           col("x.kind") === col("y.kind") && col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.media_id") =!= col("y.media_id"))
         .select(col("x.media_id").as("media_id"),
           col("y.media_id").as("neighbor_id"))
       val pairs = cand.as("c")
-        .join(e.as("a"), col("c.media_id") === col("a.media_id"))
-        .join(e.as("b"), col("c.neighbor_id") === col("b.media_id"))
+        .join(e.hint("shuffle_hash").as("a"),
+          col("c.media_id") === col("a.media_id"))
+        .join(e.hint("shuffle_hash").as("b"),
+          col("c.neighbor_id") === col("b.media_id"))
         .select(col("c.media_id").as("media_id"), col("a.kind").as("kind"),
           col("c.neighbor_id").as("neighbor_id"),
           round(dot_product(col("a.emb"), col("b.emb")) /

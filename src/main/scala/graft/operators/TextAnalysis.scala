@@ -160,9 +160,16 @@ object TextAnalysis {
         .orderedPairs(grouped.select(col("ds"), (col("w") * col("w")).as("ww")))
         .groupBy(col("d1"), col("d2"))
         .agg(sum(col("ww")).as("dot"))
+      // Norm join-back is a co-partitioned SHUFFLE join on doc_id, never a
+      // broadcast: `norms` is one row per DOCUMENT (~16+ GB at 1e9 docs,
+      // over the broadcast hard cap — the query would fail at target
+      // scale). The >=0.9 pair side is tiny; the hint pins SHJ so AQE
+      // cannot re-broadcast the per-doc relation at test scale
+      // (PlanAuditSpec asserts the shape).
+      val normsJ = norms.hint("shuffle_hash")
       dots
-        .join(broadcast(norms).as("n1"), col("d1") === col("n1.doc_id"))
-        .join(broadcast(norms).as("n2"), col("d2") === col("n2.doc_id"))
+        .join(normsJ.as("n1"), col("d1") === col("n1.doc_id"))
+        .join(normsJ.as("n2"), col("d2") === col("n2.doc_id"))
         .select(col("d1"), col("d2"),
           round(col("dot") / (col("n1.nrm") * col("n2.nrm")), 6).as("sim"))
         .filter(col("sim") >= 0.9)

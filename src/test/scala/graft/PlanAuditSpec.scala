@@ -79,6 +79,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_max") || p.contains("partial"), p)
   }
 
+  test("no BroadcastExchange anywhere builds from an unreduced per-row " +
+      "base relation") {
+    // THE 100 TB broadcast rule: a BroadcastExchange whose build side is
+    // one-row-per-document/vector/event grows with the corpus — at 1e9
+    // docs it exceeds Spark's 8 GB broadcast hard cap and the driver's
+    // memory, so the query FAILS outright at target scale (this exact
+    // defect shipped four rounds in dd02/dd03/dd06/dd08/tx08 as
+    // broadcast(sizes)/broadcast(norms) before being caught). Build sides
+    // scanning documents/embeddings/events must be reduced first: an
+    // aggregate (profiles, stats, centroids), a limit/top-k, a window
+    // rank-filter, or a scan-pushed data filter (the bounded query-set
+    // contract, e.g. vec_id < 10). The walker recurses through persist()
+    // caches — InMemoryRelation otherwise hides the build-side lineage.
+    //
+    // dd05 is the one documented exemption: the exact O(N^2) baseline
+    // (BroadcastNestedLoopJoin of the full embeddings table) exists to
+    // anchor dd07's recall and is intentionally not a scale path.
+    val exempt = Set("dd05_embedding_neardup")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries.keys.toSeq.sorted.filterNot(exempt).foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        val off = BroadcastAuditTool.offenders(plan)
+        spark.catalog.clearCache()
+        assert(off.isEmpty,
+          s"$name broadcasts an unreduced per-row relation:\n" +
+            off.map(_._1.toString.linesIterator.take(14).mkString("\n"))
+              .mkString("\n----\n"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no query anywhere plans an unbroadcast cartesian product") {
     // CartesianProduct = both sides materialized and looped, the one join
     // shape with no 100 TB story. BroadcastNestedLoopJoin is acceptable
