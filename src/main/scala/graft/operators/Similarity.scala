@@ -60,6 +60,128 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
 
+  // ---- persisted-index surface (build once, probe many) -------------
+  // A real vector-search deployment builds the IVF cells / PQ codebook
+  // ONCE and serves many probes against them; fusing build+probe in one
+  // query (sim03/sim05) hides the latency that matters. sim03_probe and
+  // sim05_probe read a parquet-persisted index (building it lazily on
+  // first touch) and share the exact scoring kernels with the fused
+  // queries, so probe rows are bit-identical to the fused rows (asserted
+  // in OperatorsSpec).
+
+  val IvfK = 8
+  // R = 12*K rescore pool: with M=8 x Kc=16 codebooks the ADC ranking is
+  // noisy enough that a 4*K pool capped recall@5 at ~0.56 on this corpus;
+  // 12*K lifts the exact-rescore tier to ~0.9 (spec gate 0.8) while the
+  // rescore stays Q-bounded (R rows per query, a broadcast join).
+  val PqM = 8; val PqDsub = 8; val PqKc = 16; val PqR = 12 * K
+
+  /** Index root, keyed by the data directory (one index per dataset) and
+    * a layout version. Local-relative by default; a deployment points
+    * SPARK_GRAFT_INDEX_DIR at shared storage (HDFS/S3 — all access goes
+    * through the Hadoop FS API). */
+  private def indexRoot(d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/ann_index") +
+      s"/v1_$key"
+  }
+
+  private def indexReady(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Queries assigned to their nearest centroid — the IVF routing step,
+    * shared by the fused query and the persisted-index probe. */
+  private def ivfAssignQueries(s: SparkSession, d: String,
+      centroids: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cl").asc)
+    queriesDf(s, d).crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2(col("qv"), col("cvec")))
+      .withColumn("r", row_number().over(wq)).filter(col("r") === 1)
+      .select(col("qid"), col("qv"), col("cl"))
+  }
+
+  /** Score routed queries against their probed cells only (nprobe=1). */
+  private def ivfScore(cells: DataFrame, qAssign: DataFrame): DataFrame =
+    topkPerQuery(cells
+      .join(broadcast(qAssign), "cl")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_r")))
+
+  /** ADC scoring + exact rescore given a codebook and the encoded corpus —
+    * the PQ probe kernel, shared by sim05 and sim05_probe. `e` is the raw
+    * (vec_id, embedding) relation used only for the R-per-query exact
+    * rescore. */
+  private def pqScore(s: SparkSession, d: String,
+      cb: ProductQuantizer.Codebook, encoded: DataFrame,
+      e: DataFrame): DataFrame = {
+    // per-query LUTs: dot(q_m, centroid) and |centroid|^2 per (m, code).
+    // The query set is tiny by contract (same broadcast assumption as
+    // sim01) — collected once, shipped as literal arrays.
+    val lutn2 = ProductQuantizer.lut(cb, PqKc, cv => cv.map(x => x * x).sum)
+    val qLuts: Seq[(Long, Seq[Seq[Double]], Seq[Seq[Double]], Double)] =
+      queriesDf(s, d).collect().toSeq.map { r =>
+        val qd = r.getAs[scala.collection.Seq[Float]]("qv")
+          .map(_.toDouble).toSeq
+        val lutdot = cb.zipWithIndex.map { case (cents, mi) =>
+          val qsub = qd.slice(mi * PqDsub, (mi + 1) * PqDsub)
+          val cm = cents.toMap
+          (0 until PqKc).map(j => cm.get(j)
+            .map(cv => cv.lazyZip(qsub).map(_ * _).sum).getOrElse(0.0))
+            .toSeq
+        }
+        (r.getAs[Long]("qid"), lutdot, lutn2,
+          math.sqrt(qd.map(x => x * x).sum))
+      }
+    val lutDf = s.createDataFrame(qLuts)
+      .toDF("qid", "lutdot", "lutn2", "qnorm")
+    // ADC: fold the M codes through the LUTs — approx cosine against the
+    // reconstructed vector, no join, no touch of the raw embeddings
+    val adc = expr(
+      "aggregate(codes, " +
+        "struct(0 AS m, CAST(0 AS DOUBLE) AS dt, CAST(0 AS DOUBLE) AS n2), " +
+        "(a, c) -> struct(a.m + 1, a.dt + lutdot[a.m][c], " +
+        "a.n2 + lutn2[a.m][c]), " +
+        "a -> CASE WHEN a.n2 > 0 AND qnorm > 0 " +
+        "THEN a.dt / (qnorm * sqrt(a.n2)) ELSE CAST(-2 AS DOUBLE) END)")
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val cand = encoded.crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", adc)
+      .withColumn("r", row_number().over(wA)).filter(col("r") <= PqR)
+      .select(col("qid"), col("vec_id"))
+    // exact rescore of R*|Q| candidate rows against the raw vectors
+    val exact = e.join(broadcast(cand), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+    topkPerQuery(exact)
+  }
+
+  private def writeCodebook(s: SparkSession,
+      cb: ProductQuantizer.Codebook, path: String): Unit = {
+    val rows = cb.zipWithIndex.flatMap { case (cents, mi) =>
+      cents.map { case (j, cv) => (mi, j, cv) } }
+    s.createDataFrame(rows).toDF("m", "code", "cvec")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def readCodebook(s: SparkSession,
+      path: String): ProductQuantizer.Codebook = {
+    // M x Kc rows (~1k doubles) — driver-side by construction
+    val rows = s.read.parquet(path).collect()
+    (0 until PqM).map { mi =>
+      rows.filter(_.getInt(0) == mi)
+        .map(r => (r.getInt(1),
+          r.getAs[scala.collection.Seq[Double]](2).toSeq))
+        .sortBy(_._1).toSeq
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim01_knn_bruteforce" -> ((s, d) =>
       topkPerQuery(scoredCandidates(s, d))),
@@ -119,26 +241,44 @@ object Similarity {
       // (L2, lower-cl tie-break) is exactly the one the cells were built
       // with, so a query lands in the cell whose members were assigned to
       // its centroid.
-      // (An IVF index is built once and probed many times in production —
-      // this query entry measures build+probe together. 3 Lloyd
+      // (This entry measures build+probe together; sim03_probe is the
+      // production shape — persisted index, probe-only latency. 3 Lloyd
       // iterations: WSS is flat beyond that on this corpus.)
       val (assigned, centroids) =
         Clustering.kmeansFull(e.select(col("vec_id"), col("embedding")),
-          k = 8, iters = 3)
-      val wq = Window.partitionBy(col("qid"))
-        .orderBy(col("cdist").asc, col("cl").asc)
-      val qAssign = queriesDf(s, d).crossJoin(broadcast(centroids))
-        .withColumn("cdist", l2(col("qv"), col("cvec")))
-        .withColumn("r", row_number().over(wq)).filter(col("r") === 1)
-        .select(col("qid"), col("qv"), col("cl"))
+          k = IvfK, iters = 3)
       // search only the probed cell's inverted list (`assigned` keeps the
       // embedding column, so no join back to the corpus)
-      val scored = assigned
-        .join(broadcast(qAssign), "cl")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
-      topkPerQuery(scored)
+      ivfScore(assigned, ivfAssignQueries(s, d, centroids))
+    }),
+
+    // IVF probe against the PERSISTED index — the latency a vector-search
+    // user actually pays per query batch. Cells are written partitioned
+    // BY CELL, so the probe reads only the probed cells' files (static
+    // partition pruning via the Q-bounded routed-cell list — at 100 TB a
+    // probe touches ~1/k of the corpus bytes and the scan never sees the
+    // rest). Builds the index lazily on first touch; identical rows to
+    // sim03 (same kernels, deterministic k-means) — asserted in the spec.
+    "sim03_probe" -> ((s, d) => {
+      val root = indexRoot(d) + "/ivf"
+      if (!indexReady(s, root + "/centroids")) {
+        val (assigned, centroids) = Clustering.kmeansFull(
+          Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          k = IvfK, iters = 3)
+        assigned.write.mode("overwrite").partitionBy("cl")
+          .parquet(root + "/cells")
+        centroids.coalesce(1).write.mode("overwrite")
+          .parquet(root + "/centroids")
+      }
+      val centroids = s.read.parquet(root + "/centroids")
+      val qAssign = ivfAssignQueries(s, d, centroids)
+      // Q-bounded collect (<= NQueries cell ids) drives static partition
+      // pruning on the cells read — only probed directories are listed.
+      val probed = qAssign.select(col("cl")).distinct().collect()
+        .map(_.getInt(0))
+      val cells = s.read.parquet(root + "/cells")
+        .filter(col("cl").isin(probed.map(Int.box): _*))
+      ivfScore(cells, qAssign)
     }),
 
     // Product-quantized ANN (ProductQuantizer): candidate scoring reads
@@ -146,9 +286,9 @@ object Similarity {
     // at 100 TB the scored relation is ~1/32 the corpus bytes and the raw
     // vectors are touched just for the exact rescore of the top R
     // approximate candidates per query (R rows per query, a broadcast
-    // join). Build+probe measured together, like sim03.
+    // join). Build+probe measured together, like sim03; sim05_probe is
+    // the persisted-index production shape.
     "sim05_pq_knn" -> ((s, d) => {
-      val M = 8; val Dsub = 8; val Kc = 16; val R = 4 * K
       // Persisted for the train scans + the final rescore; stays cached
       // because the returned plan lazily references it. Callers own the
       // release via spark.catalog.clearCache() (the Verify/Bench harness
@@ -156,50 +296,30 @@ object Similarity {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cb = ProductQuantizer.train(e, M, Dsub, Kc, iters = 2)
-      val encoded = ProductQuantizer.encode(e, cb, Dsub)
-      // per-query LUTs: dot(q_m, centroid) and |centroid|^2 per (m, code).
-      // The query set is tiny by contract (same broadcast assumption as
-      // sim01) — collected once, shipped as literal arrays.
-      val lutn2 = ProductQuantizer.lut(cb, Kc, cv => cv.map(x => x * x).sum)
-      val qLuts: Seq[(Long, Seq[Seq[Double]], Seq[Seq[Double]], Double)] =
-        queriesDf(s, d).collect().toSeq.map { r =>
-          val qd = r.getAs[scala.collection.Seq[Float]]("qv")
-            .map(_.toDouble).toSeq
-          val lutdot = cb.zipWithIndex.map { case (cents, mi) =>
-            val qsub = qd.slice(mi * Dsub, (mi + 1) * Dsub)
-            val cm = cents.toMap
-            (0 until Kc).map(j => cm.get(j)
-              .map(cv => cv.lazyZip(qsub).map(_ * _).sum).getOrElse(0.0))
-              .toSeq
-          }
-          (r.getAs[Long]("qid"), lutdot, lutn2,
-            math.sqrt(qd.map(x => x * x).sum))
-        }
-      val lutDf = s.createDataFrame(qLuts)
-        .toDF("qid", "lutdot", "lutn2", "qnorm")
-      // ADC: fold the M codes through the LUTs — approx cosine against the
-      // reconstructed vector, no join, no touch of the raw embeddings
-      val adc = expr(
-        "aggregate(codes, " +
-          "struct(0 AS m, CAST(0 AS DOUBLE) AS dt, CAST(0 AS DOUBLE) AS n2), " +
-          "(a, c) -> struct(a.m + 1, a.dt + lutdot[a.m][c], " +
-          "a.n2 + lutn2[a.m][c]), " +
-          "a -> CASE WHEN a.n2 > 0 AND qnorm > 0 " +
-          "THEN a.dt / (qnorm * sqrt(a.n2)) ELSE CAST(-2 AS DOUBLE) END)")
-      val wA = Window.partitionBy(col("qid"))
-        .orderBy(col("adc").desc, col("vec_id").asc)
-      val cand = encoded.crossJoin(broadcast(lutDf))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("adc", adc)
-        .withColumn("r", row_number().over(wA)).filter(col("r") <= R)
-        .select(col("qid"), col("vec_id"))
-      // exact rescore of R*|Q| candidate rows against the raw vectors
-      val exact = e.join(broadcast(cand), "vec_id")
-        .join(broadcast(queriesDf(s, d)), "qid")
-        .select(col("qid"), col("vec_id"),
-          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
-      topkPerQuery(exact)
+      val cb = ProductQuantizer.train(e, PqM, PqDsub, PqKc, iters = 2)
+      pqScore(s, d, cb, ProductQuantizer.encode(e, cb, PqDsub), e)
+    }),
+
+    // PQ probe against the PERSISTED index: the codebook (M x Kc rows)
+    // and the encoded corpus (vec_id + 8-byte codes, ~1/32 the corpus
+    // bytes) are parquet; a probe reads codes + codebook only, touching
+    // raw vectors just for the R-per-query exact rescore. Builds lazily
+    // on first touch; identical rows to sim05 (same kernel, deterministic
+    // training, exact double round-trip) — asserted in the spec.
+    "sim05_probe" -> ((s, d) => {
+      val root = indexRoot(d) + "/pq"
+      if (!indexReady(s, root + "/codebook")) {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cb = ProductQuantizer.train(e, PqM, PqDsub, PqKc, iters = 2)
+        ProductQuantizer.encode(e, cb, PqDsub)
+          .write.mode("overwrite").parquet(root + "/codes")
+        writeCodebook(s, cb, root + "/codebook")
+      }
+      val cb = readCodebook(s, root + "/codebook")
+      pqScore(s, d, cb, s.read.parquet(root + "/codes"),
+        Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
     })
   )
 
