@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Location + existence contract for persisted derived artifacts that are
+  * built once and consumed many times (ANN indexes, mined pair tables).
+  * Local-relative by default; a deployment points SPARK_GRAFT_INDEX_DIR at
+  * shared storage (HDFS/S3 — all access goes through the Hadoop FS API).
+  * Keyed by the source data directory (one store per dataset) and a layout
+  * version prefix, so a layout change invalidates cleanly.
+  */
+object IndexStore {
+
+  def root(d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft_index") +
+      s"/v1_$key"
+  }
+
+  /** A parquet artifact counts as present only with its _SUCCESS marker —
+    * a killed build leaves a partial directory that must be rebuilt. */
+  def ready(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

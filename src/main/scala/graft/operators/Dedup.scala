@@ -134,6 +134,20 @@ object Dedup {
        |  SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
        |GROUP BY rep""".stripMargin
 
+  /** Deduplicated-corpus oracle (shared by dd08 and its pair-table form
+    * dd10): every document except non-representative cluster members. */
+  private val dedupCorpusOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2, d1 FROM jp),
+       |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT re.node, e.d2 FROM reach re JOIN edges e ON re.r = e.d1),
+       |m AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM m WHERE node <> rep)""".stripMargin
+
   val NumPerms = 128
   val Bands = 32 // x 4 rows per band
 
@@ -150,9 +164,20 @@ object Dedup {
     * multi-second Spark-job round-trips per round on a few hundred edges. */
   private def clusterMembers(s: SparkSession, d: String): DataFrame = {
     val idx = shingleIndex(s, d)
-    val pairs = jaccardFrom(pairCounts(explPostings(idx)), idx)
-      .select(col("d1"), col("d2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    clusterMembersFromPairs(
+      jaccardFrom(pairCounts(explPostings(idx)), idx)
+        .select(col("d1"), col("d2")))
+  }
+
+  /** CC membership over an EXPLICIT (d1, d2) pair relation — the real
+    * pipeline topology: pair mining (dd02/dd03) runs once and materializes
+    * its output; clustering consumes that table downstream instead of
+    * recomputing shingling + the inverted index per run (dd09/dd10 are
+    * the query-entry form over a parquet pair table). Same CC kernel as
+    * the inline path, so both produce identical members. */
+  def clusterMembersFromPairs(pairsIn: DataFrame): DataFrame = {
+    val s = pairsIn.sparkSession
+    val pairs = pairsIn.persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
     if (nPairs <= 1_000_000L) {
       // driver union-find with min-root representatives (1M edges ≈ tens
@@ -206,6 +231,23 @@ object Dedup {
         s"dedup clustering did not converge within $maxRounds rounds")
       labels.select(col("node"), col("label").as("rep"))
     }
+  }
+
+  /** The >= 0.8 Jaccard pair table, materialized once per dataset under
+    * [[graft.core.IndexStore]]: the dd02 kernel writes it on first touch;
+    * every later consumer reads the parquet. This is how a real pipeline
+    * runs — pair mining once, clustering/filtering downstream — vs the
+    * standalone dd06/dd08 entries, which must mine inline because the
+    * correctness gate clears all state between queries. */
+  private def pairTable(s: SparkSession, d: String): DataFrame = {
+    val path = graft.core.IndexStore.root(d) + "/jaccard_pairs"
+    if (!graft.core.IndexStore.ready(s, path)) {
+      val idx = shingleIndex(s, d)
+      jaccardFrom(pairCounts(explPostings(idx)), idx)
+        .select(col("d1"), col("d2"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,6 +343,27 @@ object Dedup {
     // not the corpus, and the corpus-side scan prunes to three columns.
     "dd08_dedup_corpus" -> ((s, d) => {
       val removed = clusterMembers(s, d)
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("doc_id"))
+      Tables(s, d, "documents")
+        .join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // dd06's census over the MATERIALIZED pair table (pairTable): pair
+    // mining runs once per dataset; this entry pays only the CC stage +
+    // a parquet read of the (dup-rate-sized) pair relation. Same oracle
+    // as dd06 — rows must be identical.
+    "dd09_clusters_from_pairs" -> ((s, d) =>
+      clusterMembersFromPairs(pairTable(s, d))
+        .groupBy(col("rep").as("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))),
+
+    // dd08's deduplicated corpus over the materialized pair table; the
+    // corpus-side anti join is unchanged, the pair graph comes from
+    // parquet. Same oracle as dd08.
+    "dd10_dedup_corpus_from_pairs" -> ((s, d) => {
+      val removed = clusterMembersFromPairs(pairTable(s, d))
         .filter(col("node") =!= col("rep"))
         .select(col("node").as("doc_id"))
       Tables(s, d, "documents")
@@ -448,17 +511,10 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin,
     "dd02_jaccard_pairs" -> jaccardOracle,
     "dd06_dedup_clusters" -> clustersOracle,
-    "dd08_dedup_corpus" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2, d1 FROM jp),
-         |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
-         |reach(node, r) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT re.node, e.d2 FROM reach re JOIN edges e ON re.r = e.d1),
-         |m AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT node FROM m WHERE node <> rep)""".stripMargin,
+    // pair-table forms must reproduce the inline queries exactly
+    "dd09_clusters_from_pairs" -> clustersOracle,
+    "dd10_dedup_corpus_from_pairs" -> dedupCorpusOracle,
+    "dd08_dedup_corpus" -> dedupCorpusOracle,
     "dd05_embedding_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(

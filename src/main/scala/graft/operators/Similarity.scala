@@ -76,20 +76,10 @@ object Similarity {
   // rescore stays Q-bounded (R rows per query, a broadcast join).
   val PqM = 8; val PqDsub = 8; val PqKc = 16; val PqR = 12 * K
 
-  /** Index root, keyed by the data directory (one index per dataset) and
-    * a layout version. Local-relative by default; a deployment points
-    * SPARK_GRAFT_INDEX_DIR at shared storage (HDFS/S3 — all access goes
-    * through the Hadoop FS API). */
-  private def indexRoot(d: String): String = {
-    val key = d.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/ann_index") +
-      s"/v1_$key"
-  }
+  private def indexRoot(d: String): String = graft.core.IndexStore.root(d)
 
-  private def indexReady(s: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def indexReady(s: SparkSession, dir: String): Boolean =
+    graft.core.IndexStore.ready(s, dir)
 
   /** Queries assigned to their nearest centroid — the IVF routing step,
     * shared by the fused query and the persisted-index probe. */

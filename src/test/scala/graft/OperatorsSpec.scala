@@ -92,8 +92,7 @@ class OperatorsSpec extends AnyFunSuite {
     // and training is deterministic, so the probe-from-parquet path must
     // reproduce the fused rows bit-for-bit. Start from a clean index dir
     // so this test exercises build + write + read + probe end-to-end.
-    val key = "v1_" + sf.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
-    val dir = new java.io.File("target/ann_index", key)
+    val dir = new java.io.File(graft.core.IndexStore.root(sf))
     def rmr(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rmr)
       f.delete()
