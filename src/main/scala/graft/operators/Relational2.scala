@@ -215,17 +215,18 @@ object Relational2 {
     // GROUPING SETS — the general form rollup (q09) and cube (q13) are
     // sugar for: two independent one-column groupings plus the grand
     // total in ONE pass (Spark expands to a single Expand + aggregate, so
-    // the fact table is scanned once, not three times). The sum is the
-    // same exact scaled-decimal kernel as dsum, written in SQL.
-    "q31_grouping_sets" -> ((s, d) => {
-      Tables.registerAll(s, d)
-      s.sql("""
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS DECIMAL(28,0)))
-            AS DOUBLE) / 100 AS volume
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
-    }),
+    // the fact table is scanned once, not three times). Built on
+    // Dataset.groupingSets so the sum is the ONE canonical Num.dsum
+    // kernel — a hand-spelled SQL copy of the scaled-decimal formula
+    // would silently break cross-engine hash parity if it drifted
+    // (Tables.scala's warning on Num).
+    "q31_grouping_sets" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("volume"))),
 
     // Unpivot (melt): wide per-status metrics to long (metric, value)
     // rows — the inverse of ev03's pivot, completing the reshape surface.
