@@ -168,17 +168,11 @@ object Bench {
       Files.copy(java.nio.file.Paths.get(fixtureRoot, "TrafficSigns_10000"),
         new java.io.File(in, "signs.csv").toPath)
 
-    // Kaggle churn schema: RowNumber,CustomerId,Surname,CreditScore,
-    // Geography(4),Gender(5),...,IsActiveMember(11),...
+    // Kaggle churn schema fixture, shared with ChurnFixtureSpec's goldens.
     def writeChurn(in: java.io.File): Unit =
       Files.write(new java.io.File(in, "churn.csv").toPath,
-        (0 until 10000).map { i =>
-          val geo = Seq("France", "Spain", "Germany")(i % 3)
-          val gender = if (i % 2 == 0) "Female" else "Male"
-          s"$i,${15600000 + i},Surname$i,${500 + i % 350},$geo,$gender," +
-            s"${20 + i % 60},${i % 10},${i * 37 % 100000}.5,${1 + i % 4}," +
-            s"${i % 2},${(i / 2) % 2},${40000 + i % 60000}.1,${i % 5 == 0}"
-        }.mkString("\n").getBytes("UTF-8"))
+        RainStormApps.syntheticChurnLines(10000)
+          .mkString("\n").getBytes("UTF-8"))
 
     Seq(
       run("simple_app", copyFixture,

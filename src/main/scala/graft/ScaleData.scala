@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-testdata generator for scale factors above the
+  * driver-provided sf0.1 — the evidence tool for "does the plan shape hold
+  * one order of magnitude up". Reproduces the driver tables' schemas and
+  * distribution structure as measured from `/root/testdata/sf0.1`
+  * (TESTDATA.md): TPC-H-ish star schema row ratios, the documents table's
+  * tail-truncated near-dup copies (prefix-identical, shingle-Jaccard in
+  * [0.9, 0.99], ~5% of docs) plus rare exact duplicates, and the
+  * embeddings table's unit-norm 64-dim random vectors (label carries no
+  * cluster structure — measured same-label mean cos ~= 0.002).
+  *
+  * Everything is a pure hash of the row id (xxhash64 columns, no RNG
+  * state), so generation is distributed, codegen'd, and reproducible at
+  * any scale; each table is written as a single parquet FILE named
+  * `<table>.parquet` so the output dir is path-compatible with the driver
+  * testdata layout consumed by Verify/Bench and tools/check.py.
+  *
+  * Usage: runMain graft.ScaleData <sf> <outDir>   (sf=1.0 -> 6M lineitem)
+  */
+object ScaleData {
+
+  /** Uniform [0,1) from a hash column. */
+  private def u(h: Column): Column =
+    pmod(h, lit(1000000000L)).cast("double") / 1e9
+
+  private def pick(h: Column, vals: Seq[String]): Column =
+    element_at(array(vals.map(lit): _*),
+      (pmod(h, lit(vals.size.toLong)) + 1).cast("int"))
+
+  def main(args: Array[String]): Unit = {
+    val sf = args(0).toDouble
+    val out = args(1)
+    val spark = SparkSession.builder()
+      .appName(s"graft-scaledata-sf$sf")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, sf, out)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, sf: Double, out: String): Unit = {
+    val nCust = (sf * 150000).toLong
+    val nSupp = (sf * 10000).toLong
+    val nPart = (sf * 200000).toLong
+    val nOrders = (sf * 1500000).toLong
+    val nEvents = (sf * 1000000).toLong
+    val nUsers = (sf * 15000).toLong
+    val nDocs = (sf * 50000).toLong
+    val nVecs = (sf * 50000).toLong
+
+    import spark.implicits._
+
+    write(out, "region", Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
+      (3, "EUROPE"), (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name"))
+
+    write(out, "nation", (0 until 25)
+      .map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey"))
+
+    def ids(n: Long, c: String): DataFrame =
+      spark.range(0, n, 1, 32).toDF(c)
+
+    write(out, "customer", ids(nCust, "c_custkey")
+      .withColumn("c_name", format_string("Customer#%09d", $"c_custkey"))
+      .withColumn("c_nationkey",
+        pmod(xxhash64($"c_custkey", lit("cnat")), lit(25L)).cast("int"))
+      .withColumn("c_acctbal",
+        round(lit(-1000.0) + u(xxhash64($"c_custkey", lit("cbal"))) * 11000, 2))
+      .withColumn("c_mktsegment", pick(xxhash64($"c_custkey", lit("cseg")),
+        Seq("MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"))))
+
+    write(out, "supplier", ids(nSupp, "s_suppkey")
+      .withColumn("s_name", format_string("Supplier#%09d", $"s_suppkey"))
+      .withColumn("s_nationkey",
+        pmod(xxhash64($"s_suppkey", lit("snat")), lit(25L)).cast("int"))
+      .withColumn("s_acctbal",
+        round(lit(-1000.0) + u(xxhash64($"s_suppkey", lit("sbal"))) * 11000, 2)))
+
+    write(out, "part", ids(nPart, "p_partkey")
+      .withColumn("p_name", concat_ws(" ",
+        pick(xxhash64($"p_partkey", lit("pn1")),
+          Seq("large", "small", "brushed", "polished", "plated", "antique")),
+        pick(xxhash64($"p_partkey", lit("pn2")),
+          Seq("ring", "box", "case", "tube", "disk", "plate", "rod", "cap"))))
+      .withColumn("p_brand", concat(lit("Brand#"),
+        (pmod(xxhash64($"p_partkey", lit("pb")), lit(25L)) + 1).cast("string")))
+      .withColumn("p_type", pick(xxhash64($"p_partkey", lit("pt")),
+        Seq("LARGE", "ECONOMY", "SMALL", "STANDARD", "MEDIUM", "PROMO")))
+      .withColumn("p_size",
+        (pmod(xxhash64($"p_partkey", lit("ps")), lit(50L)) + 1).cast("int"))
+      .withColumn("p_retailprice",
+        lit(900.0) + pmod(xxhash64($"p_partkey", lit("pr")), lit(1000L))
+          .cast("double") / 10))
+
+    val orders = ids(nOrders, "o_orderkey")
+      .withColumn("o_custkey",
+        pmod(xxhash64($"o_orderkey", lit("oc")), lit(nCust)))
+      .withColumn("o_orderstatus",
+        pick(xxhash64($"o_orderkey", lit("os")), Seq("P", "O", "F")))
+      .withColumn("o_totalprice",
+        round(lit(1000.0) + u(xxhash64($"o_orderkey", lit("op"))) * 499000, 2))
+      .withColumn("o_orderdate", date_add(lit("1995-01-01").cast("date"),
+        pmod(xxhash64($"o_orderkey", lit("od")), lit(2405L)).cast("int"))
+        .cast("timestamp"))
+      .withColumn("o_orderpriority",
+        pick(xxhash64($"o_orderkey", lit("opr")), Seq("1-URGENT", "2-HIGH",
+          "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+    write(out, "orders", orders)
+
+    // 1..7 lines per order (mean 4, matching the measured ratio).
+    val li = orders.select($"o_orderkey", $"o_orderdate")
+      .withColumn("l_linenumber", explode(sequence(lit(1),
+        (pmod(xxhash64($"o_orderkey", lit("nl")), lit(7L)) + 1).cast("int"))))
+    def lh(salt: String): Column =
+      xxhash64($"o_orderkey", $"l_linenumber", lit(salt))
+    write(out, "lineitem", li
+      .withColumn("l_partkey", pmod(lh("pk"), lit(nPart)))
+      .withColumn("l_suppkey", pmod(lh("sk"), lit(nSupp)))
+      .withColumn("l_quantity",
+        (pmod(lh("q"), lit(50L)) + 1).cast("double"))
+      .withColumn("l_extendedprice", round($"l_quantity" *
+        (lit(900.0) + u(lh("up")) * 1200), 2))
+      .withColumn("l_discount",
+        pmod(lh("d"), lit(11L)).cast("double") / 100)
+      .withColumn("l_tax", pmod(lh("t"), lit(9L)).cast("double") / 100)
+      .withColumn("l_returnflag", pick(lh("rf"), Seq("N", "R", "A")))
+      .withColumn("l_linestatus", pick(lh("ls"), Seq("F", "O")))
+      .withColumn("l_shipdate", date_add($"o_orderdate".cast("date"),
+        (pmod(lh("sd"), lit(95L)) + 1).cast("int")).cast("timestamp"))
+      .select($"o_orderkey".as("l_orderkey"), $"l_partkey", $"l_suppkey",
+        $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount",
+        $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate"))
+
+    // events: 30 days of Jan 2024, exponential-ish value (mean ~50).
+    // ts is written as raw epoch-NANOS int64: the driver files carry
+    // TIMESTAMP(NANOS), which the engine reads as a long under
+    // nanosAsLong=true (Tables then does `timestamp_micros(ts DIV 1000)`),
+    // so a plain long is bit-compatible on the Spark side;
+    // tools/scale_nanos.py restores the nanos logical type for DuckDB.
+    val t0Nanos = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli *
+      1000000L
+    write(out, "events", ids(nEvents, "event_id")
+      .withColumn("ts", lit(t0Nanos) +
+        (u(xxhash64($"event_id", lit("ts"))) * 30L * 86400L * 1000000L)
+          .cast("long") * 1000L)
+      .withColumn("user_id",
+        pmod(xxhash64($"event_id", lit("u")), lit(nUsers)))
+      .withColumn("event_type", pick(xxhash64($"event_id", lit("et")),
+        Seq("click", "view", "purchase", "signup", "error")))
+      .withColumn("value", greatest(lit(0.01),
+        round(-log(lit(1.0) - u(xxhash64($"event_id", lit("v")))) * 50, 2)))
+      .withColumn("props", concat(lit("{\"k\": "),
+        pmod(xxhash64($"event_id", lit("p")), lit(100L)), lit("}"))))
+
+    write(out, "documents", documents(spark, nDocs))
+    write(out, "embeddings", embeddings(spark, nVecs))
+  }
+
+  /** Bag-of-words docs over the driver vocab; ~5% are near-dup copies of
+    * an earlier doc sharing the full word-sequence prefix but with the
+    * tail extended/truncated by 1-2 words (J in [0.9, 0.99] on 3-word
+    * shingles), a small fraction of those exact copies. */
+  private def documents(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "a", "the", "line", "sort",
+      "window", "spark", "order", "data", "column", "join", "small",
+      "customer", "query", "big", "filter", "group", "vector", "stream")
+    val vocabArr = array(vocab.map(lit): _*)
+    def hh(salt: String): Column = xxhash64($"doc_id", lit(salt))
+    def baseLen(x: Column): Column =
+      (pmod(xxhash64(x, lit("len")), lit(93L)) + 8).cast("int")
+    val delta = pmod(hh("delta"), lit(19L)) + 1
+    // copy only when the source doc is long enough that a 2-word tail
+    // change keeps shingle-Jaccard >= 0.9
+    val copyOk = (pmod(hh("copy"), lit(100L)) < 5) && ($"doc_id" >= 20) &&
+      (baseLen($"doc_id" - delta) >= lit(25))
+    spark.range(0, n, 1, 32).toDF("doc_id")
+      .withColumn("base", when(copyOk, $"doc_id" - delta).otherwise($"doc_id"))
+      .withColumn("len", baseLen($"base") + when(copyOk,
+        // tail edit: -2,-1,+1,+2 words; rare exact copy (tail 0)
+        when(pmod(hh("exact"), lit(1000L)) < 30, lit(0)).otherwise(
+          element_at(array(lit(-2), lit(-1), lit(1), lit(2)),
+            (pmod(hh("tail"), lit(4L)) + 1).cast("int")))).otherwise(lit(0)))
+      .withColumn("text", array_join(transform(sequence(lit(1), $"len"),
+        i => element_at(vocabArr,
+          (pmod(xxhash64($"base", i, lit("w")), lit(vocab.size.toLong)) + 1)
+            .cast("int"))), " "))
+      .withColumn("lang", when(pmod(hh("lang"), lit(1000L)) < 420, "en")
+        .when(pmod(hh("lang"), lit(1000L)) < 565, "zh")
+        .when(pmod(hh("lang"), lit(1000L)) < 710, "es")
+        .when(pmod(hh("lang"), lit(1000L)) < 855, "fr")
+        .otherwise("de"))
+      .withColumn("source",
+        concat(lit("src"), pmod(hh("src"), lit(20L)).cast("string")))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Unit-norm 64-dim random vectors (Box-Muller over id-hash uniforms);
+    * labels are independent of the vectors, as in the driver data. */
+  private def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    def z(d: Column): Column = {
+      val u1 = (pmod(xxhash64($"vec_id", d, lit("g1")), lit(999999000L))
+        .cast("double") + 500) / 1e9
+      val u2 = pmod(xxhash64($"vec_id", d, lit("g2")), lit(1000000000L))
+        .cast("double") / 1e9
+      sqrt(log(u1) * -2) * cos(u2 * 2 * math.Pi)
+    }
+    spark.range(0, n, 1, 32).toDF("vec_id")
+      .withColumn("raw", transform(sequence(lit(0), lit(63)), d => z(d)))
+      .withColumn("norm", sqrt(aggregate($"raw", lit(0.0),
+        (acc, x) => acc + x * x)))
+      .withColumn("embedding",
+        transform($"raw", x => (x / $"norm").cast("float")))
+      .withColumn("label",
+        pmod(xxhash64($"vec_id", lit("lab")), lit(10L)).cast("int"))
+      .select("vec_id", "embedding", "label")
+  }
+
+  /** Write as a single parquet FILE `<out>/<name>.parquet` (driver testdata
+    * layout). Single-file is fine at these sizes; the READ side of every
+    * query remains splittable (parquet row groups). */
+  private def write(out: String, name: String, df: DataFrame): Unit = {
+    val tmp = s"$out/.tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(f => f.getName.startsWith("part-") &&
+      f.getName.endsWith(".parquet")).get
+    val target = new java.io.File(out, s"$name.parquet")
+    if (target.exists()) target.delete()
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    println(s"wrote $target")
+  }
+}

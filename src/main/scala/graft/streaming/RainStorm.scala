@@ -240,6 +240,23 @@ object RainStormApps {
       .select(expr(s"get(cols, $idx1)").as("key"),
         expr(s"get(cols, $idx2)").as("value"))))
 
+  /** Deterministic synthetic fixture in the Kaggle bank-churn schema the
+    * reference's published churn benchmarks ran on (reports/Streaming.pdf
+    * p.2-3; the CSV itself is not in the reference repo, so this is a
+    * same-schema stand-in): RowNumber,CustomerId,Surname,CreditScore,
+    * Geography(4),Gender(5),Age,Tenure,Balance,NumOfProducts,HasCrCard,
+    * IsActiveMember(11),EstimatedSalary,Exited. Shared by Bench's churn
+    * throughput rows and ChurnFixtureSpec's golden-parity tests so both
+    * run on identical bytes. */
+  def syntheticChurnLines(n: Int): IndexedSeq[String] =
+    (0 until n).map { i =>
+      val geo = Seq("France", "Spain", "Germany")(i % 3)
+      val gender = if (i % 2 == 0) "Female" else "Male"
+      s"$i,${15600000 + i},Surname$i,${500 + i % 350},$geo,$gender," +
+        s"${20 + i % 60},${i % 10},${i * 37 % 100000}.5,${1 + i % 4}," +
+        s"${i % 2},${(i / 2) % 2},${40000 + i % 60000}.1,${i % 5 == 0}"
+    }
+
   /** "Complex app": equality filter on a CSV column, re-key by another
     * column, stateful running count (tests/sample2_op{1,2}.py). */
   def complexApp(filterIdx: Int, filterVal: String,
