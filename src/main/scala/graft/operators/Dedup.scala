@@ -394,10 +394,18 @@ object Dedup {
         .select(col("vec_id"), col("embedding"),
           l2_norm(col("embedding")).as("nrm"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // Cheap raw-double guard FIRST: `round(x, 6)` evaluates through
+      // BigDecimal(Double.toString) per call, ~100x the cost of the
+      // comparison itself — running it on all N^2/2 pairs dominated the
+      // whole query at sf>=1.0. The guard keeps the hot cartesian
+      // predicate pure codegen'd double math (round(x,6) >= 0.45 implies
+      // x >= 0.4499995) and defers rounding to the surviving pairs.
+      val rawCos = dot_product(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(rawCos >= 0.4499995)
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          round(dot_product(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm")), 6).as("cos_r"))
+          round(rawCos, 6).as("cos_r"))
         .filter(col("cos_r") >= 0.45)
     }),
 

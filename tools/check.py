@@ -32,7 +32,7 @@ def canon(df):
     return sorted(rows, key=repr)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -40,6 +40,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}")
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -72,4 +75,8 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # Optional 3rd arg: comma-separated query names to skip (e.g. dd05's
+    # all-pairs oracle, which is intentionally quadratic and infeasible in
+    # DuckDB above sf0.1 — tools/check_dd05.py covers it with blocked numpy).
+    skip = sys.argv[3].split(",") if len(sys.argv) > 3 else ()
+    sys.exit(main(sys.argv[1], sys.argv[2], skip))
