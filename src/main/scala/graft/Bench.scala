@@ -33,6 +33,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Verify: keeps single-file table scans parallel at sf>=1.0
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // single-file tables (driver layout) at sf>=1.0 are ~100 MB — under
+      // the 128 MB default every scan is ONE partition and starves the
+      // whole plan; 16 MB keeps local[N] scans at cluster parallelism
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
