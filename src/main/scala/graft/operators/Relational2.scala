@@ -166,13 +166,22 @@ object Relational2 {
         round(avg(col("revenue")).over(w), 4).as("ma7"))
     }),
 
-    // Ranking into quantile buckets: customers by total spend.
+    // Ranking into quantile buckets: customers by total spend. NOT the
+    // textbook `ntile(4) over (order by ...)`: a no-partition window
+    // funnels one row per CUSTOMER through a single task — the one
+    // formulation that dies at 10^8+ customers. Scale.globalRank ranks
+    // via a distributed range repartition + parallel per-partition
+    // row_number (driver state = one offset per partition), and the
+    // NTILE bucket arithmetic is reproduced exactly, so output is
+    // row-identical to the window form and to DuckDB's NTILE (the
+    // oracle below still uses the textbook SQL).
     "q28_customer_quartiles" -> ((s, d) => {
       val spend = Tables(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(dsum(col("o_totalprice")).as("spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
-      spend.withColumn("quartile", ntile(4).over(w))
+      Scale.globalRank(spend,
+          Seq(col("spend").desc, col("o_custkey").asc))
+        .withColumn("quartile", Scale.ntileFromRank(4))
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n_customers"),
           dsum(col("spend")).as("quartile_spend"))

@@ -50,4 +50,54 @@ object Scale {
       orderBy: Column*): DataFrame =
     org.apache.spark.sql.graftx.TopKFunctions
       .topKPerGroup(df, groupCols, k, orderBy: _*)
+
+  /** Exact 1-based global rank under `order` WITHOUT a single-partition
+    * window: `Window.orderBy` with no partition spec funnels the whole
+    * relation through one task (Spark itself warns), which is the one
+    * formulation that cannot survive an unbounded input. Here the global
+    * order is a distributed range repartition, ranks are per-partition
+    * `row_number` (parallel window keyed on the partition id) plus
+    * partition offsets from a partition-COUNT-bounded driver collect
+    * (32-ish longs — independent of N).
+    *
+    * `order` must be a total order (unique tie-break last): rank
+    * assignment is then exact regardless of where range sampling places
+    * partition boundaries. Output adds `__rank` (long) and `__n` (long,
+    * the relation size, for quantile arithmetic); `__pid` is dropped.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = acc; acc += n; pid -> o
+    }.toMap
+    val offExpr = coalesce(element_at(
+      map(offsets.toSeq.sortBy(_._1)
+        .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+      col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(order: _*)
+    ranged
+      .withColumn("__rank", row_number().over(w).cast("long") + offExpr)
+      .withColumn("__n", lit(total))
+      .drop("__pid")
+  }
+
+  /** Exact NTILE(k) from [[globalRank]] output — the standard SQL bucket
+    * arithmetic (first `n % k` buckets take one extra row), matching
+    * Spark's and DuckDB's NTILE bit-for-bit without their global-window
+    * plan. Guarded so n < k never divides by zero (THEN branch covers
+    * every rank when `__q` = 0). */
+  def ntileFromRank(k: Int): Column = expr(
+    s"""CASE WHEN __rank <= (__n % $k) * (__n DIV $k + 1)
+       |  THEN CAST((__rank - 1) DIV (__n DIV $k + 1) AS INT) + 1
+       |  ELSE CAST((__n % $k) +
+       |    (__rank - (__n % $k) * (__n DIV $k + 1) - 1) DIV (__n DIV $k)
+       |    AS INT) + 1
+       |END""".stripMargin)
 }

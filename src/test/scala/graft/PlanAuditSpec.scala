@@ -112,6 +112,20 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q28: global ranking is range-partitioned, never a no-partition " +
+      "window over the full relation") {
+    // Window.orderBy with no partition spec funnels one row per CUSTOMER
+    // through a single task — fine at sf0.1, dead at 10^8 customers. The
+    // rewrite ranks inside a distributed range repartition; any window
+    // in the plan must be keyed on the partition id.
+    val p = plan("q28_customer_quartiles")
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(l => assert(l.contains("__pid"),
+      s"q28 window not partitioned by __pid: $l"))
+  }
+
   test("no query anywhere plans an unbroadcast cartesian product") {
     // CartesianProduct = both sides materialized and looped, the one join
     // shape with no 100 TB story. BroadcastNestedLoopJoin is acceptable
