@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.core.Tables
@@ -57,40 +57,71 @@ object Dedup {
           .word_shingles(col("text"), 3).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** Exploded postings (doc_id, s). */
+  /** The Jaccard threshold every pair query/oracle in this family uses. */
+  private val JaccardTau = 0.8
+
+  /** Exploded postings (doc_id, n = |shingle set|, s). The size column
+    * feeds the pair kernel's lossless length prune. */
   private def explPostings(idx: DataFrame): DataFrame =
-    idx.select(col("doc_id"), explode(col("sh")).as("s"))
+    idx.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
 
   /** (d1 < d2, c = shared-item count) — the shared bounded inverted-index
     * kernel (graft.core.InvertedIndex: one exchange, state capped at
     * df-cap+1, pairs from a narrow double explode; replaced the df-count
-    * shuffle + join-back + self-equi-join formulation). Callers that
-    * pre-filter df (dd03's candidate verify) are unaffected by the cap
-    * re-check: candidate df <= full df. */
+    * shuffle + join-back + self-equi-join formulation), with the AllPairs
+    * length prune at [[JaccardTau]] (lossless: the dropped pairs cannot
+    * reach the threshold). Callers that pre-filter df (dd03's candidate
+    * verify) are unaffected by the cap re-check: candidate df <= full
+    * df. */
   private def pairCounts(post: DataFrame): DataFrame =
-    graft.core.InvertedIndex.pairCounts(post, col("s"), col("doc_id"),
-      MaxPostings)
+    graft.core.InvertedIndex.pairCountsLengthPruned(post, col("s"),
+      col("doc_id"), col("n"), JaccardTau, MaxPostings)
 
+  /** J from (d1, d2, c, n1, n2) pair counts. The carried sizes make this
+    * a pure projection over the pair table for every document below the
+    * pack saturation cap (2^15-1 shingles) — at sf1.0 the former
+    * formulation's size join-back was two shuffle joins over ~40M pair
+    * rows, dominating the query. Saturated rows (n = LenCap may be a
+    * clamp, not the true size) fall back to the exact join-back, so the
+    * result is bit-identical to the join formulation for ANY input:
+    * the fallback side is empty unless a document exceeds 32k shingles.
+    *
+    * The fallback join stays a co-partitioned SHUFFLE join on doc_id,
+    * never a broadcast: `sizes` is one row per DOCUMENT — ~16 GB at 1e9
+    * docs, over Spark's 8 GB broadcast hard cap (PlanAuditSpec asserts
+    * the shape). */
   private def jaccardFrom(pairs: DataFrame, idx: DataFrame): DataFrame = {
-    // Size join-back is a co-partitioned SHUFFLE join on doc_id, never a
-    // broadcast: `sizes` is one row per DOCUMENT, so at 10^9 docs it is
-    // ~16 GB — over Spark's 8 GB broadcast hard cap and the driver's
-    // memory (a broadcast() here fails outright at the target scale).
-    // The pair side scales with the duplicate rate, not the corpus, so
-    // the shuffle is pair-sized + one pass over the doc-id/size table.
-    // The hint pins SHJ so neither static planning nor AQE re-broadcasts
-    // the per-doc relation when it happens to be small at test scale —
-    // the plan shape must be the 100 TB-safe one at every sf
-    // (PlanAuditSpec asserts it).
-    val sizes = idx.select(col("doc_id"), size(col("sh")).as("n"))
-      .hint("shuffle_hash")
-    pairs
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    val SatCap = org.apache.spark.sql.graftx.PairsWithinRatio.LenCap
+    val jac = (n1: Column, n2: Column) =>
+      (col("c").cast("double") / (n1 + n2 - col("c"))).as("jaccard")
+    // Branch DRIVER-side, not in the plan: a per-row fast/slow union
+    // would re-execute the whole pair aggregation per branch (the
+    // branches only diverge above the final agg — measured as a ~2x
+    // dd02 regression), while one metadata-cheap max() on the persisted
+    // shingle index decides the corpus-wide case exactly.
+    val maxN = idx.agg(max(size(col("sh")))).head.getInt(0)
+    if (maxN < SatCap) {
+      // no document can saturate the packed length -> carried sizes are
+      // exact and Jaccard is a pure projection over the pair table
+      pairs.select(col("d1"), col("d2"), jac(col("n1"), col("n2")))
+        .filter(col("jaccard") >= JaccardTau)
+    } else {
+      // some document exceeds 2^15-1 shingles: carried sizes may be
+      // clamped, fall back to the exact size join-back for ALL pairs.
+      // Co-partitioned SHUFFLE join on doc_id, never a broadcast:
+      // `sizes` is one row per DOCUMENT — ~16 GB at 1e9 docs, over
+      // Spark's 8 GB broadcast hard cap (PlanAuditSpec asserts the
+      // shape).
+      val sizes = idx.select(col("doc_id"), size(col("sh")).as("n"))
+        .hint("shuffle_hash")
+      pairs
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"),
+          jac(col("s1.n").cast("long"), col("s2.n").cast("long")))
+        .filter(col("jaccard") >= JaccardTau)
+    }
   }
 
   /** Shared CTE block (everything after WITH) computing the >= 0.8
@@ -270,7 +301,8 @@ object Dedup {
       // postings exploded once, for the verify step only (global df cap +
       // candidate postings) — signatures no longer need them
       val expl = idx.filter(size(col("sh")) > 0)
-        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // Per-row single-pass signature via the native MinHashSig kernel —
       // bit-identical to the old 128-column min(xxhash64) aggregate (same
