@@ -193,6 +193,34 @@ object Events {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // Rolling 7-day active users (DAU + trailing WAU per day) — the
+    // engagement primitive behind every activity dashboard. Exact and
+    // skew-safe: the corpus collapses to distinct (day, user) pairs
+    // first (one well-distributed shuffle), each pair contributes to its
+    // 7 trailing window days via a bounded x7 explode, and the window
+    // membership pre-aggregates per (day, user) BEFORE the per-day
+    // rollup — so the final day-keyed exchange carries one row per
+    // (day, active user), already deduped, and no countDistinct ever
+    // funnels raw events into the handful of day keys. Observed-day
+    // semi-join keeps output to days that exist in the data; the
+    // distinct-day relation is aggregate-bounded (broadcastable at any
+    // corpus size).
+    "ev12_rolling_actives" -> ((s, d) => {
+      val du = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("aday"), col("user_id"))
+        .distinct()
+      val days = du.select(col("aday").as("day")).distinct()
+      du.select(col("user_id"), col("aday"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .withColumn("day", date_add(col("aday"), col("off")))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .groupBy(col("day"), col("user_id"))
+        .agg(min(col("off")).as("min_off"))
+        .groupBy(col("day"))
+        .agg(count(when(col("min_off") === 0, 1)).as("dau"),
+          count(lit(1)).as("wau_7d"))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -279,6 +307,20 @@ object Events {
       """SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev12_rolling_actives" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS aday,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT aday AS day FROM du),
+        |c AS (
+        |  SELECT d.day, du.user_id, MIN(d.day - du.aday) AS min_off
+        |  FROM du JOIN days d ON d.day BETWEEN du.aday AND du.aday + 6
+        |  GROUP BY 1, 2)
+        |SELECT day, COUNT(CASE WHEN min_off = 0 THEN 1 END) AS dau,
+        |  COUNT(*) AS wau_7d
+        |FROM c GROUP BY 1""".stripMargin,
 
     "ev10_user_paths" ->
       """WITH x AS (
