@@ -468,19 +468,15 @@ object Dedup {
           l2_norm(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // OCCUPANCY-ADAPTIVE plane count: with B fixed, expected bucket
-      // occupancy is N/2^B, so random-pair collisions — and with them the
-      // candidate volume — grow as N^2/2^B (measured: 2.2 s at 5e3
-      // vectors -> 78 s at 5e4 with B=8, a 35x step for 10x data).
-      // Holding occupancy ~64 (B = log2(N/64), floored at 8 so behavior
-      // at the spec'd scale factors is unchanged) keeps per-bucket join
-      // fan-out O(1) in N; the recall trade at the marginal tau=0.45 is
-      // the intrinsic LSH one documented above, while at production
-      // thresholds (>= 0.85) per-plane agreement 0.86 keeps 8-table
-      // recall ~1 well past B=20. The count() is one metadata-cheap job
-      // on the already-persisted corpus.
-      val B = math.max(8, math.min(24,
-        math.ceil(math.log(e.count() / 64.0) / math.log(2)).toInt))
+      // OCCUPANCY-ADAPTIVE plane count (Scale.lshPlanes; measured here:
+      // 2.2 s at 5e3 vectors -> 78 s at 5e4 with fixed B=8, a 35x step
+      // for 10x data; 22.7 s = linear with the adaptive B). The recall
+      // trade at the marginal tau=0.45 is the intrinsic LSH one
+      // documented above, while at production thresholds (>= 0.85)
+      // per-plane agreement 0.86 keeps 8-table recall ~1 well past
+      // B=20. The count() is one metadata-cheap job on the
+      // already-persisted corpus.
+      val B = Scale.lshPlanes(e.count())
       val own = e.select(col("vec_id"),
         posexplode(sign_buckets(col("embedding"), B, L))
           .as(Seq("tbl", "bucket")))

@@ -51,6 +51,20 @@ object Scale {
     org.apache.spark.sql.graftx.TopKFunctions
       .topKPerGroup(df, groupCols, k, orderBy: _*)
 
+  /** Occupancy-adaptive sign-LSH plane count: expected bucket occupancy
+    * is N/2^B, so holding occupancy ~`target` (B = log2(N/target)) keeps
+    * per-bucket collision-join fan-out O(1) in N — with B fixed the
+    * candidate volume grows N^2/2^B (dd07 measured 35x for a 10x step).
+    * Floored so behavior at spec'd test scales is unchanged; capped
+    * because bucket ids are long-typed bit patterns (and recall at a
+    * given threshold decays with B — the caller's table count trades
+    * against it). */
+  def lshPlanes(n: Long, target: Int = 64, floor: Int = 8,
+      cap: Int = 24): Int =
+    math.max(floor, math.min(cap,
+      math.ceil(math.log(math.max(1L, n).toDouble / target) /
+        math.log(2)).toInt))
+
   /** Exact 1-based global rank under `order` WITHOUT a single-partition
     * window: `Window.orderBy` with no partition spec funnels the whole
     * relation through one task (Spark itself warns), which is the one

@@ -69,4 +69,21 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == 3)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("lshPlanes holds bucket occupancy: floored at small N, grows with " +
+      "log2(N), capped") {
+    import graft.operators.Scale.lshPlanes
+    // spec'd test scales keep today's B=8 (results unchanged)
+    assert(lshPlanes(500) == 8 && lshPlanes(5000) == 8)
+    // 10x step at sf1.0: occupancy 50000/2^10 ~ 49 (~ the 64 target)
+    assert(lshPlanes(50000) == 10)
+    // web scale stays bounded by the cap
+    assert(lshPlanes(1000000000L) == 24)
+    // occupancy stays within [target/2, target] wherever uncapped:
+    // 2^B in [N/target, 2N/target]
+    Seq(10000L, 123456L, 7777777L).foreach { n =>
+      val b = lshPlanes(n)
+      assert((1L << b) >= n / 64 && (1L << b) <= 2 * n / 64 + 1, s"n=$n b=$b")
+    }
+  }
 }
