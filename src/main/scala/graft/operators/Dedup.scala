@@ -556,6 +556,42 @@ object Dedup {
           expr("bit_count(x.sim ^ y.sim)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
+    }),
+
+    // Intra-corpus SPAN dedup (the C4 recipe, Raffel et al. 2020 §2.2,
+    // adapted from three-sentence spans to fixed 10-word chunks — this
+    // corpus has no sentence boundaries): a span occurring in >= 2
+    // DISTINCT documents is boilerplate; per document, report how much
+    // of it is duplicated elsewhere and whether it survives the < 0.5
+    // cut. Complements dd02/dd03 (whole-document near-dup): span dedup
+    // catches shared passages inside otherwise-distinct documents.
+    // Shape at scale: one explode into non-overlapping spans (narrow —
+    // N * words/10 rows), a distinct + count to get each span's
+    // document frequency, and a co-partitioned SHUFFLE join-back on the
+    // span key (the df relation is one row per DISTINCT SPAN — corpus-
+    // scale, so broadcasting it would fail outright; the hint pins SHJ
+    // the same way tx08's norm join is pinned). Spans shuffle as raw
+    // strings for oracle exactness — the InvertedIndex key-width note
+    // applies verbatim: a deployment can pre-hash to xxhash64 spans and
+    // shrink the exchanges ~6x at the cost of bit-exactness.
+    "dd11_span_dedup" -> ((s, d) => {
+      val SpanW = 10
+      val spans = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= SpanW)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(w) DIV $SpanW - 1), " +
+            s"i -> array_join(slice(w, i * $SpanW + 1, $SpanW), ' '))"))
+          .as("span"))
+      val df = spans.select(col("span"), col("doc_id")).distinct()
+        .groupBy(col("span")).agg(count(lit(1)).as("nd"))
+      spans.join(df.hint("shuffle_hash"), Seq("span"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum((col("nd") >= 2).cast("long")).as("n_dup_spans"))
+        .withColumn("dup_frac",
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+        .withColumn("keep", col("dup_frac") < 0.5)
     })
   )
 
@@ -591,7 +627,29 @@ object Dedup {
         |    6) >= 0.45""".stripMargin,
     // dd03 finds the same pairs as dd02 for this corpus (see class doc);
     // verified against the same exact-Jaccard oracle.
-    "dd03_minhash_lsh" -> jaccardOracle
+    "dd03_minhash_lsh" -> jaccardOracle,
     // dd04_simhash_pairs: intentionally no oracle (hash-specific).
+
+    // dd11: DuckDB's 1-based inclusive list slice w[a:b] mirrors Spark's
+    // slice(w, start, length); range(n) = 0..n-1 matches sequence(0, n-1).
+    "dd11_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |s AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) // 10),
+        |    i -> array_to_string(w[(i*10+1):(i*10+10)], ' '))) AS span
+        |  FROM w),
+        |df AS (SELECT span, COUNT(DISTINCT doc_id) AS nd
+        |       FROM s GROUP BY span)
+        |SELECT s.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  round(CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_frac,
+        |  round(CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) < 0.5 AS keep
+        |FROM s JOIN df USING (span)
+        |GROUP BY s.doc_id""".stripMargin
   )
 }

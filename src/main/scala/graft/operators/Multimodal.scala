@@ -139,10 +139,12 @@ object Multimodal {
     // The full multimodal pipeline shape: decode -> embed (stub model in
     // the mapPartitions batch kernel) -> approximate nearest neighbor per
     // media within its kind: candidate pairs from OWN-bucket sign-LSH
-    // collisions within (kind, table, bucket) across L independent tables
-    // (sim02's machinery — no all-pairs join, no multiprobe: see the
-    // candidate-volume note below), exact cosine rescore of candidates
-    // only, winner per media via the custom TopKPerGroup operator. Zero-norm embeddings (empty payloads) are filtered before
+    // co-location within (kind, table, bucket) across L independent
+    // tables (sim02's machinery), windowed by a sorted-neighborhood ring
+    // so per-bucket work is linear (no all-pairs join, no multiprobe:
+    // see the candidate-volume note below), exact cosine rescore of
+    // candidates only, winner per media via the custom TopKPerGroup
+    // operator. Zero-norm embeddings (empty payloads) are filtered before
     // ranking — sim would be 0/0 = NaN, which Spark sorts above every
     // real double and would leak a NaN winner. A media whose probed
     // buckets hold no same-kind neighbor emits no row (ANN contract).
@@ -150,10 +152,11 @@ object Multimodal {
     "mm04_media_embed_knn" -> ((s, d) => {
       import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
       import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
-      // B=8 planes: bucket-size histogram flattens here — the stub's
-      // exact-duplicate embedding clusters put a floor (~260-vector
-      // buckets at sf0.1) under ANY plane count, so more planes only add
-      // hashing cost. L=2 tables bound the candidate multiplier.
+      // B=8 planes: the stub's exact-duplicate embedding clusters put a
+      // floor (~260-vector buckets at sf0.1) under ANY plane count, so
+      // more planes only add hashing cost; the ring window below bounds
+      // the per-bucket candidate volume instead. L=2 tables bound the
+      // candidate multiplier.
       val B = 8; val L = 2
       import s.implicits._
       val emb = payloads(mediaCatalog(s, d))
@@ -188,21 +191,54 @@ object Multimodal {
           expr("zip_with(emb, mean, (x, y) -> CAST(x - y AS FLOAT))"))
       val own = centered.select(col("media_id"), col("kind"),
         posexplode(sign_buckets(col("cemb"), B, L)).as(Seq("tbl", "bucket")))
-      // own-bucket collisions only: L independent tables already give the
+      // own-bucket candidates only: L independent tables already give the
       // recall diversity; Hamming-1 multiprobe would multiply the (stub-
       // clustered) candidate volume ~7x for marginal top-1 gain. No
       // distinct: a pair colliding in several tables scores identically
       // each time, and the k=1 selection dedupes for free — cheaper than
       // a distinct's shuffle.
-      // `own` is PER-MEDIA x L tables — the collision self-join is pinned
-      // to sort-merge on (kind, tbl, bucket) so no per-row side is ever a
-      // broadcast build (over the 8 GB cap at 1e9 media); the rescore
-      // joins co-partition the per-media `e` against the candidate set on
-      // media_id via shuffle-hash for the same reason (PlanAuditSpec).
-      val cand = own.as("x").join(own.hint("merge").as("y"),
+      //
+      // Within a bucket, candidates come from a SORTED-NEIGHBORHOOD RING
+      // (the blocking-window method of Hernandez & Stolfo, SIGMOD'95),
+      // not an all-pairs self-join: members are ordered by media_id and
+      // each probes its next W cyclic successors, so per-bucket work is
+      // m*W instead of m^2. A bucket of size m <= W+1 gets EXACTLY the
+      // all-pairs candidate set per media (every other member is among
+      // its m-1 <= W cyclic successors); only oversized buckets — which
+      // is where the self-join form went quadratic — are windowed. The
+      // stub encoder's exact-duplicate embedding clusters are the
+      // adversarial case: they collapse into mega-buckets at ANY plane
+      // count (identical vectors hash identically), which floored the
+      // self-join form at sum(m^2) pairs — measured 37 s at sf1.0 /
+      // 116 s at sf2.0, tracking N^2. The ring bounds that to N*L*W at
+      // any skew, and for exact duplicates any windowed neighbor already
+      // scores sim = 1.0, so the top-1 contract is unaffected. The
+      // row_number/count window runs one task per oversized bucket but is
+      // linear in m (it was the m^2 JOIN OUTPUT that killed the old
+      // shape, not the per-bucket scan).
+      val W = 8
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("kind"), col("tbl"), col("bucket"))
+      val pos = own
+        .withColumn("pos", row_number().over(bw.orderBy(col("media_id"))))
+        .withColumn("m", count(lit(1)).over(bw))
+      // j = 1..min(W, m-1) cyclic steps; m = 1 buckets have no pairs.
+      // tpos != pos by construction (j mod m is never 0), so no
+      // self-pairs and no `=!=` residual predicate on the join.
+      val probes = pos.filter(col("m") > 1)
+        .withColumn("j",
+          explode(sequence(lit(1), least(lit(W), col("m") - 1))))
+        .select(col("media_id"), col("kind"), col("tbl"), col("bucket"),
+          pmod(col("pos") - 1 + col("j"), col("m")).+(1).as("tpos"))
+      // The position join is pinned to sort-merge on the bucket key so no
+      // per-row side is ever a broadcast build (over the 8 GB cap at 1e9
+      // media); the rescore joins co-partition the per-media `e` against
+      // the candidate set on media_id via shuffle-hash for the same
+      // reason (PlanAuditSpec).
+      val cand = probes.as("x").join(pos.hint("merge").as("y"),
           col("x.kind") === col("y.kind") && col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
-            col("x.media_id") =!= col("y.media_id"))
+            col("x.tpos") === col("y.pos"))
         .select(col("x.media_id").as("media_id"),
           col("y.media_id").as("neighbor_id"))
       val pairs = cand.as("c")

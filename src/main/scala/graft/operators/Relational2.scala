@@ -101,14 +101,55 @@ object Relational2 {
     }),
 
     // Exact interpolated percentiles per group (same R-7 interpolation as
-    // DuckDB's quantile_cont over identical inputs).
+    // DuckDB's quantile_cont over identical inputs). NOT the built-in
+    // `percentile()` aggregate: that one buffers every value of a group
+    // inside ONE aggregation state (an OpenHashMap merged on a
+    // |groups|-partition shuffle), so with few huge groups — exactly this
+    // query's shape — per-executor state grows with the relation and
+    // OOMs long before 100 TB (the same unbounded-state class as a
+    // per-document broadcast). Instead the values are range-ranked in
+    // parallel (Scale.globalRank over (status, price): distributed sort
+    // + per-partition row_number, driver state = one offset per
+    // partition), group-local ranks fall out by subtracting the group's
+    // first global rank (a |groups|-row broadcast), and each percentile
+    // reads exactly its two boundary ranks. Ties in price need no
+    // tie-break: equal values are interchangeable at a rank, so the
+    // value AT each rank — all this query reads — is deterministic.
+    // Interpolation is the same lower + frac*(upper - lower), with
+    // h = p*(n-1) evaluated in the same double arithmetic both engines
+    // use; round(4) absorbs last-ulp drift as before.
     "q23_percentiles" -> ((s, d) => {
-      Tables(s, d, "orders")
+      val ranked = Scale.globalRank(
+        Tables(s, d, "orders")
+          .select(col("o_orderstatus"), col("o_totalprice")),
+        Seq(col("o_orderstatus").asc, col("o_totalprice").asc))
+      val bounds = ranked.groupBy(col("o_orderstatus"))
+        .agg(min(col("__rank")).as("__start"), count(lit(1)).as("__gn"))
+      val g = ranked.join(broadcast(bounds), "o_orderstatus")
+        .withColumn("__grank", col("__rank") - col("__start") + 1)
+      // boundary-rank picks and the interpolation fraction as row-level
+      // columns (constant per group), aggregated with max (each rank
+      // matches exactly one row; max over one value + nulls selects it)
+      def parts(p: Double, tag: String) = {
+        val h = (col("__gn") - 1).cast("double") * lit(p)
+        Seq(
+          when(col("__grank") === floor(h) + 1, col("o_totalprice"))
+            .as(s"__vlo_$tag"),
+          when(col("__grank") === ceil(h) + 1, col("o_totalprice"))
+            .as(s"__vhi_$tag"),
+          (h - floor(h)).as(s"__frac_$tag"))
+      }
+      g.select(Seq(col("o_orderstatus"), col("__gn")) ++
+          parts(0.5, "med") ++ parts(0.95, "p95"): _*)
         .groupBy(col("o_orderstatus"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
-          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_price"),
-          count(lit(1)).as("n"))
+          round(max(col("__vlo_med")) + max(col("__frac_med")) *
+            (max(col("__vhi_med")) - max(col("__vlo_med"))), 4)
+            .as("median_price"),
+          round(max(col("__vlo_p95")) + max(col("__frac_p95")) *
+            (max(col("__vhi_p95")) - max(col("__vlo_p95"))), 4)
+            .as("p95_price"),
+          max(col("__gn")).as("n"))
     }),
 
     // Moment statistics. Spark's stddev/corr merge partial moments

@@ -383,6 +383,98 @@ object TextAnalysis {
           (round(col("llraw"), 6) >= -5.42).as("keep"))
     }),
 
+    // PII redaction — the scrubbing pass every public-corpus pipeline
+    // runs before training: mask emails/phones, log per-doc hit counts
+    // for the audit trail. The synthetic corpus carries no PII, so a
+    // deterministic contact block is APPENDED first (explicit fixture
+    // construction, mirrored verbatim in the oracle); what the oracle
+    // then verifies cross-engine is the redaction machinery itself —
+    // pattern hit counts and the redacted text (compared as md5 so the
+    // full string never ships). Patterns avoid backslash classes
+    // ([.] not \.) so one regex string is valid in both Java regex and
+    // DuckDB's RE2. One scan, all codegen regex expressions, zero
+    // shuffle — at 100 TB this is scan-bound, exactly as it should be.
+    "tx15_pii_redact" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val phone = "[+]1-555-[0-9]{4}"
+      Tables(s, d, "documents")
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          expr(s"size(regexp_extract_all(raw, '$email', 0))")
+            .cast("long").as("n_emails"),
+          expr(s"size(regexp_extract_all(raw, '$phone', 0))")
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("raw"), email, "<EMAIL>"),
+            phone, "<PHONE>")).as("redacted_md5"))
+    }),
+
+    // Deterministic train/val/test split (90/5/5) — hash-bucket
+    // assignment via the same portable md5 idiom as tx07, so membership
+    // is reproducible across runs, partitionings, AND engines, and any
+    // consumer can recompute a document's split without an assignment
+    // table. The pipeline property that matters: a document NEVER
+    // changes split when the corpus grows (assignment depends only on
+    // doc_id), unlike randomSplit/sample whose draws shift with
+    // partitioning. One scan + a (lang x split)-sized aggregate.
+    "tx16_corpus_split" -> ((s, d) => {
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 100")
+      Tables(s, d, "documents")
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // Sketch-tier decontamination: tx13 broadcasts the DISTINCT
+    // benchmark shingle set as raw strings — exact, but the broadcast
+    // grows with the eval suite. This variant compresses membership
+    // into Spark's own Bloom filter (graftx.BloomFunctions wraps the
+    // unregistered BloomFilterAggregate/BloomFilterMightContain that
+    // power runtime join filtering): fixed ~9.6 bits per shingle at
+    // 1% fpp, ~50x smaller than the string payload, and insertion is
+    // idempotent so the build side needs NO distinct exchange. Error
+    // is one-sided — a probe never misses a true member — so the
+    // flagged set is a guaranteed SUPERSET of tx13's exact flags: a
+    // contaminated document can never slip through; a clean one may
+    // rarely be over-flagged (the spec gates both properties). No
+    // oracle by construction (sketch-specific).
+    "tx17_bloom_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.BloomFunctions._
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
+            .word_shingles(col("text"), 3)).as("sg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 1M expected items / 9.6M bits = 1% fpp at capacity, ~1.2 MB on
+      // the wire regardless of how the benchmark set grows toward it.
+      // The merged sketch is collected and embedded as a BINARY LITERAL
+      // (might_contain requires a constant/scalar-subquery build side —
+      // the same contract Spark's InjectRuntimeFilter satisfies): a
+      // bounded driver hop like sim05's query LUT — it scales with the
+      // SKETCH SIZE (fixed at build time), never with the corpus.
+      val bfBytes = sh.filter(col("source") === "src0")
+        .agg(bloom_filter_agg(xxhash64(col("sg")), 1000000L, 9585059L)
+          .as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val probe = if (bfBytes == null) lit(false) // no benchmark shingles
+        else might_contain(lit(bfBytes), xxhash64(col("sg")))
+      val hits = sh.filter(col("source") =!= "src0")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(probe.cast("long")).as("n_hits"))
+      val frac = round(col("n_hits").cast("double") / col("n_sh"), 6)
+      hits.select(col("doc_id"), col("n_sh"), col("n_hits"),
+        frac.as("contamination"), (frac >= 0.5).as("contaminated"))
+    }),
+
     "tx13_decontaminate" -> ((s, d) => {
       // persisted: three consumers (benchmark distinct, per-doc totals,
       // shared counts) would otherwise each re-run the shingle scan
@@ -582,6 +674,35 @@ object TextAnalysis {
          |    AS contaminated
          |FROM sh LEFT JOIN bench ON sh.s = bench.s
          |WHERE sh.source <> 'src0'
-         |GROUP BY sh.doc_id""".stripMargin
+         |GROUP BY sh.doc_id""".stripMargin,
+    // tx17_bloom_decontaminate: intentionally no oracle (sketch-specific;
+    // superset-of-tx13 + over-flag bound asserted in NewOpsSpec).
+
+    "tx15_pii_redact" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[+]1-555-[0-9]{4}'))
+        |    AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[+]1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM r""".stripMargin,
+
+    "tx16_corpus_split" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |    % 100 AS bk
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1, 2""".stripMargin
   )
 }
