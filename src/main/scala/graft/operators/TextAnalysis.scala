@@ -132,7 +132,27 @@ object TextAnalysis {
     // products come from a term self-join with a df cap, norms from a
     // per-doc aggregate. Scores round to 6 dp so partition-order double
     // drift (~1e-14) cannot flip the threshold cross-engine.
+    //
+    // PAIR GENERATION IS NORM-RATIO PRUNED (the AllPairs bound carried
+    // from Jaccard to weighted cosine): dot(A,B) sums w^2 over SHARED
+    // terms, so dot <= min(|A|_w^2, |B|_w^2) and cos <= min(nrm)/max(nrm)
+    // — a pair whose tf-idf norms differ by more than the threshold
+    // ratio is a lossless drop, exactly as set sizes bound Jaccard. The
+    // prune runs inside PairsWithinRatio at GENERATION time (the double
+    // explode materializes every df^2/2 pair row first — the dominant
+    // cost once df grows; measured sf1->sf2: 21.7 -> 67.0 s, 3.1x for
+    // 2x, while length-pruned dd02 held 1.93x). Packed lengths are the
+    // QUANTIZED norms floor(nrm * 100); quantization is made lossless by
+    // (a) saturating norms under 1.0 to LenCap — the kernel treats
+    // LenCap as "unknown, always keep" — so the <=1% relative error
+    // bound holds for every pruned value (q >= 100), and (b) running the
+    // kernel at tau = 0.88: a kept pair needs cos >= 0.8999995 =>
+    // norm ratio >= 0.8999995, and the quantized ratio is then
+    // >= 0.8899995 > 0.88. Scoring still uses EXACT norms via the
+    // shuffle join — the packed value prunes, it never scores.
     "tx08_tfidf_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.PairsWithinRatio
+      val NormScale = 100
       val sh = Tables(s, d, "documents")
         .select(col("doc_id"),
           explode(org.apache.spark.sql.graftx.WordShinglesFunctions
@@ -146,20 +166,46 @@ object TextAnalysis {
       // pair — each shared term contributes exactly w^2 to the dot
       // product. minDf = 1: singleton terms carry no pairs but DO count
       // toward norms, mirroring the oracle. Materialized once: norms and
-      // the pair path both read it.
+      // the packed-postings rebuild both read it.
       val grouped = graft.core.InvertedIndex
         .groupedPostings(sh, col("t"), col("doc_id"), minDf = 1)
         .crossJoin(broadcast(n))
-        .select(col("ds"),
+        .select(col("t"), col("ds"),
           log(col("nd") / size(col("ds"))).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val norms = grouped
         .select(explode(col("ds")).as("doc_id"), (col("w") * col("w")).as("w2"))
         .groupBy("doc_id").agg(sqrt(sum(col("w2"))).as("nrm"))
-      val dots = graft.core.InvertedIndex
-        .orderedPairs(grouped.select(col("ds"), (col("w") * col("w")).as("ww")))
-        .groupBy(col("d1"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Rebuild postings with the quantized norm packed into the doc id
+      // (len << 48 | id). Both sides of the norm attach are postings- or
+      // doc-sized — co-partitioned shuffle join on doc_id, never a
+      // broadcast (norms is one row per DOCUMENT). The term re-group
+      // recomputes w from the rebuilt list size (identical by
+      // construction) rather than carrying it through the join.
+      val qn = when(col("nrm") * NormScale < 100, lit(PairsWithinRatio.LenCap))
+        .otherwise(least(floor(col("nrm") * NormScale).cast("long"),
+          lit(PairsWithinRatio.LenCap)))
+      val packed = grouped
+        .select(col("t"), explode(col("ds")).as("doc_id"))
+        .join(norms.select(col("doc_id"), qn.as("qn")).hint("shuffle_hash"),
+          Seq("doc_id"))
+        .select(col("t"),
+          (shiftleft(col("qn"), 48) + col("doc_id")).as("pd"))
+      val repacked = graft.core.InvertedIndex
+        .groupedPostings(packed, col("t"), col("pd"))
+        .crossJoin(broadcast(n))
+        .select(col("ds"),
+          (log(col("nd") / size(col("ds"))) *
+            log(col("nd") / size(col("ds")))).as("ww"))
+      val dots = repacked
+        .select(col("ww"), PairsWithinRatio
+          .pairs_within_ratio(col("ds"), 0.88).as(Seq("d1p", "d2p")))
+        .groupBy(col("d1p"), col("d2p"))
         .agg(sum(col("ww")).as("dot"))
+        .select(col("d1p").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("d1"),
+          col("d2p").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("d2"),
+          col("dot"))
       // Norm join-back is a co-partitioned SHUFFLE join on doc_id, never a
       // broadcast: `norms` is one row per DOCUMENT (~16+ GB at 1e9 docs,
       // over the broadcast hard cap — the query would fail at target
