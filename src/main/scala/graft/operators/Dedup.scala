@@ -600,6 +600,38 @@ object Dedup {
         .withColumn("dup_frac",
           round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
         .withColumn("keep", col("dup_frac") < 0.5)
+    }),
+
+    // Incremental snapshot dedup — the crawl-pipeline topology dd01-dd08
+    // don't model: an EXISTING corpus is already ingested, a new batch
+    // arrives, and each new document must be checked against the existing
+    // corpus, not just its own batch. Snapshots are modeled by the
+    // portable md5 doc_id bucket (>= 90 -> the ~10% "new" batch); the
+    // match key is a PREFIX fingerprint (md5 of the first 30 tokens) —
+    // the cheap first tier real crawl dedup runs before MinHash, and the
+    // right key for this corpus's tail-edited copies (exact-content fps
+    // match nothing by construction). The existing side reduces to one
+    // (fp, min doc_id) row per distinct fingerprint — corpus-cardinality,
+    // so the join is pinned to a co-partitioned SHUFFLE hash join:
+    // broadcasting a corpus-derived build side is the 8 GB-cap failure
+    // the broadcast audit exists for, and an AGGREGATED build side would
+    // pass that audit's lineage rule, which is exactly why this one is
+    // pinned by hand. Only 16-byte fingerprints + ids cross the wire.
+    "dd12_snapshot_dedup" -> ((s, d) => {
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 100")
+      val fp = md5(expr(
+        "array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0)," +
+          " 1, 30), ' ')").cast("binary"))
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), fp.as("fp"), bucket.as("bk"))
+      val existing = docs.filter(col("bk") < 90)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("dup_of"))
+      docs.filter(col("bk") >= 90)
+        .join(existing.hint("shuffle_hash"), Seq("fp"), "left_outer")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
     })
   )
 
@@ -658,6 +690,20 @@ object Dedup {
         |  round(CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*), 6) < 0.5 AS keep
         |FROM s JOIN df USING (span)
-        |GROUP BY s.doc_id""".stripMargin
+        |GROUP BY s.doc_id""".stripMargin,
+
+    // dd12: DuckDB's 1-based inclusive list slice l[1:30] mirrors Spark's
+    // slice(l, 1, 30); both engines md5 the same space-joined prefix.
+    "dd12_snapshot_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(array_to_string(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+')[1:30], ' ')) AS fp,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      % 100 AS bk
+        |  FROM documents),
+        |e AS (SELECT fp, MIN(doc_id) AS dup_of FROM f WHERE bk < 90
+        |      GROUP BY fp)
+        |SELECT n.doc_id, e.dup_of, e.dup_of IS NOT NULL AS is_dup
+        |FROM f n LEFT JOIN e USING (fp) WHERE n.bk >= 90""".stripMargin
   )
 }

@@ -102,6 +102,40 @@ object Scale {
       .drop("__pid")
   }
 
+  /** Exact inclusive running sum of `value` under the total order
+    * `order`, distributed the same way as [[globalRank]]: range
+    * repartition, a parallel per-partition running-sum window (keyed on
+    * the partition id — never the no-partition window funnel), and
+    * per-partition offsets from a partition-COUNT-bounded driver collect
+    * (32-ish longs, independent of N). `order` must be a total order.
+    * Output adds `__cum` (long, inclusive running sum) and keeps every
+    * input column. */
+  def globalCumsum(df: DataFrame, order: Seq[Column],
+      value: Column): DataFrame = {
+    val ranged = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, n) =>
+      val o = acc; acc += n; pid -> o
+    }.toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.toSeq.sortBy(_._1)
+          .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranged.withColumn("__cum", sum(col("__v")).over(w) + offExpr)
+      .drop("__pid", "__v")
+  }
+
   /** Exact NTILE(k) from [[globalRank]] output — the standard SQL bucket
     * arithmetic (first `n % k` buckets take one extra row), matching
     * Spark's and DuckDB's NTILE bit-for-bit without their global-window

@@ -492,6 +492,64 @@ object TextAnalysis {
     // contaminated document can never slip through; a clean one may
     // rarely be over-flagged (the spec gates both properties). No
     // oracle by construction (sketch-specific).
+    // Sequence packing ("concatenate and chunk"): the final shaping step
+    // of an LLM training pipeline — documents are tokenized, laid out in
+    // one deterministic global token stream, and cut into fixed-size
+    // context windows; a document spanning a boundary contributes to
+    // every window it overlaps. Emits one (doc_id, window_id, win_tokens)
+    // row per overlap. The global token offset is an exact distributed
+    // running sum (Scale.globalCumsum: range repartition + parallel
+    // per-partition windows + a partition-count-bounded offset collect),
+    // and the window fan-out is a narrow sequence() explode of ~n_tok/C
+    // rows per doc — one range exchange total, linear in total tokens.
+    "tx18_sequence_pack" -> ((s, d) => {
+      val C = 512
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr(s"CAST(size($tokensExpr) AS BIGINT)").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      Scale.globalCumsum(toks, Seq(col("doc_id")), col("n_tok"))
+        .withColumn("window_id", explode(
+          expr(s"sequence((__cum - n_tok) DIV $C, (__cum - 1) DIV $C)")))
+        .select(col("doc_id"), col("window_id"),
+          (least(col("__cum"), (col("window_id") + lit(1L)) * C) -
+            greatest(col("__cum") - col("n_tok"), col("window_id") * C))
+            .as("win_tokens"))
+    }),
+
+    // Mixture rebalancing sample: hit a target source mixture (integer
+    // weights w_s, here derived from the source id) WITHOUT upsampling —
+    // the data-mixing step before training (Pile/Dolma-style recipes).
+    // A |sources|-row aggregate gives per-source counts; the largest
+    // feasible total is M = min_s((n_s * W) DIV w_s), each source keeps
+    // keep_s = (M * w_s) DIV W docs, and membership is decided by a
+    // deterministic md5 hash-bucket threshold thresh_s = (keep_s *
+    // 2^20) DIV n_s — all-integer arithmetic end to end, so any engine
+    // on any partitioning selects the same doc set. The stats build
+    // side is aggregation-bounded (|sources| rows), so its broadcast
+    // join-back is 100 TB-legal; kept counts are binomial around keep_s
+    // by design — exact-count selection would need a per-source rank,
+    // a |sources|-partition window funnel this formulation refuses.
+    "tx19_mixture_sample" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val stats = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w",
+          expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
+      val tw = stats.agg(sum(col("w")).as("tw"))
+      val withTw = stats.crossJoin(broadcast(tw))
+      val m = withTw.agg(min(expr("(n * tw) DIV w")).as("m"))
+      val th = withTw.crossJoin(broadcast(m))
+        .select(col("source"),
+          expr("(((m * w) DIV tw) * 1048576) DIV n").as("thresh"))
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 1048576")
+      docs.join(broadcast(th), Seq("source"))
+        .filter(bucket < col("thresh"))
+        .select(col("doc_id"), col("source"))
+    }),
+
     "tx17_bloom_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.graftx.BloomFunctions._
       val sh = Tables(s, d, "documents")
@@ -749,6 +807,33 @@ object TextAnalysis {
         |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM b GROUP BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "tx18_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM t WHERE n_tok > 0)
+         |SELECT doc_id, w AS window_id,
+         |  least(cum, (w + 1) * 512) - greatest(cum - n_tok, w * 512)
+         |    AS win_tokens
+         |FROM c, unnest(generate_series((cum - n_tok) // 512,
+         |  (cum - 1) // 512)) AS u(w)""".stripMargin,
+
+    "tx19_mixture_sample" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n,
+        |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+        |m AS (SELECT MIN((n * tw) // w) AS m FROM s, t),
+        |th AS (SELECT source, (((m * w) // tw) * 1048576) // n AS thresh
+        |  FROM s, t, m)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN th ON d.source = th.source
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |  % 1048576 < th.thresh""".stripMargin
   )
 }

@@ -138,4 +138,33 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name plans a CartesianProduct:\n$p")
     }
   }
+
+  test("no query anywhere plans a no-partition window over a per-row " +
+      "relation") {
+    // Window.orderBy with no partitionBy funnels the ENTIRE input through
+    // one task (Spark's own WindowExec warns) — the q28 defect class, but
+    // asserted globally so it can never ship again in any query. A plan
+    // line `Window [...]` whose windowspecdefinition carries no partition
+    // columns (it starts directly with the sort spec) is the offender.
+    // Windows over already-aggregated tiny relations (|groups| rows,
+    // bounded by construction) are exempted by name below.
+    // a no-partition spec's FIRST argument is the sort spec itself
+    // (`col ASC NULLS FIRST, ...`); with partitioning it is a plain
+    // partition expression with no sort direction.
+    //
+    // q27 is the one documented exemption: its window input is the
+    // per-DAY revenue aggregate — cardinality bounded by the time
+    // horizon (~365 rows/year), not the corpus — so the single task
+    // holds |days| rows no matter how large the fact table grows. The
+    // rule exists for windows whose input is one row per corpus row.
+    val exempt = Set("q27_moving_avg")
+    val noPart = "windowspecdefinition\\(([^(,]*?) (ASC|DESC)".r
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(exempt).foreach { name =>
+      val p = plan(name)
+      val bad = p.linesIterator.filter(l => noPart.findFirstIn(l).isDefined)
+        .toSeq
+      assert(bad.isEmpty,
+        s"$name plans a no-partition window:\n${bad.mkString("\n")}")
+    }
+  }
 }
