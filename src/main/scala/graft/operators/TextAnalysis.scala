@@ -492,6 +492,35 @@ object TextAnalysis {
     // contaminated document can never slip through; a clean one may
     // rarely be over-flagged (the spec gates both properties). No
     // oracle by construction (sketch-specific).
+    "tx17_bloom_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.BloomFunctions._
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
+            .word_shingles(col("text"), 3)).as("sg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 1M expected items / 9.6M bits = 1% fpp at capacity, ~1.2 MB on
+      // the wire regardless of how the benchmark set grows toward it.
+      // The merged sketch is collected and embedded as a BINARY LITERAL
+      // (might_contain requires a constant/scalar-subquery build side —
+      // the same contract Spark's InjectRuntimeFilter satisfies): a
+      // bounded driver hop like sim05's query LUT — it scales with the
+      // SKETCH SIZE (fixed at build time), never with the corpus.
+      val bfBytes = sh.filter(col("source") === "src0")
+        .agg(bloom_filter_agg(xxhash64(col("sg")), 1000000L, 9585059L)
+          .as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val probe = if (bfBytes == null) lit(false) // no benchmark shingles
+        else might_contain(lit(bfBytes), xxhash64(col("sg")))
+      val hits = sh.filter(col("source") =!= "src0")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(probe.cast("long")).as("n_hits"))
+      val frac = round(col("n_hits").cast("double") / col("n_sh"), 6)
+      hits.select(col("doc_id"), col("n_sh"), col("n_hits"),
+        frac.as("contamination"), (frac >= 0.5).as("contaminated"))
+    }),
+
     // Sequence packing ("concatenate and chunk"): the final shaping step
     // of an LLM training pipeline — documents are tokenized, laid out in
     // one deterministic global token stream, and cut into fixed-size
@@ -550,33 +579,23 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"))
     }),
 
-    "tx17_bloom_decontaminate" -> ((s, d) => {
-      import org.apache.spark.sql.graftx.BloomFunctions._
-      val sh = Tables(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
-            .word_shingles(col("text"), 3)).as("sg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // 1M expected items / 9.6M bits = 1% fpp at capacity, ~1.2 MB on
-      // the wire regardless of how the benchmark set grows toward it.
-      // The merged sketch is collected and embedded as a BINARY LITERAL
-      // (might_contain requires a constant/scalar-subquery build side —
-      // the same contract Spark's InjectRuntimeFilter satisfies): a
-      // bounded driver hop like sim05's query LUT — it scales with the
-      // SKETCH SIZE (fixed at build time), never with the corpus.
-      val bfBytes = sh.filter(col("source") === "src0")
-        .agg(bloom_filter_agg(xxhash64(col("sg")), 1000000L, 9585059L)
-          .as("bf"))
-        .head.getAs[Array[Byte]]("bf")
-      val probe = if (bfBytes == null) lit(false) // no benchmark shingles
-        else might_contain(lit(bfBytes), xxhash64(col("sg")))
-      val hits = sh.filter(col("source") =!= "src0")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_sh"),
-          sum(probe.cast("long")).as("n_hits"))
-      val frac = round(col("n_hits").cast("double") / col("n_sh"), 6)
-      hits.select(col("doc_id"), col("n_sh"), col("n_hits"),
-        frac.as("contamination"), (frac >= 0.5).as("contaminated"))
+    // Deterministic training-order shuffle: the last shaping step before
+    // sequence packing — a seeded global permutation of the corpus so
+    // every epoch (and every engine, and every re-run) reads documents
+    // in the same pseudo-random order. The permutation key is the
+    // portable md5 of "42:<doc_id>" (lowercase hex compares identically
+    // across engines); the exact 1-based global position comes from
+    // Scale.globalRank — range repartition + parallel per-partition
+    // row_number + partition-count-bounded offsets, never the
+    // no-partition window funnel the plan audit rejects. doc_id is the
+    // tie-break so the order is total even under md5 collisions.
+    "tx20_corpus_shuffle" -> ((s, d) => {
+      val key = md5(concat(lit("42:"), col("doc_id").cast("string"))
+        .cast("binary"))
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), key.as("shuffle_key"))
+      Scale.globalRank(docs, Seq(col("shuffle_key"), col("doc_id")))
+        .select(col("doc_id"), col("shuffle_key"), col("__rank").as("pos"))
     }),
 
     "tx13_decontaminate" -> ((s, d) => {
@@ -834,6 +853,16 @@ object TextAnalysis {
         |SELECT d.doc_id, d.source FROM documents d
         |JOIN th ON d.source = th.source
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        |  % 1048576 < th.thresh""".stripMargin
+        |  % 1048576 < th.thresh""".stripMargin,
+
+    // tx20: the oracle's global window IS the formulation the engine
+    // refuses at scale — fine for DuckDB on sf0.01, and it pins the
+    // distributed rank's exactness bit-for-bit.
+    "tx20_corpus_shuffle" ->
+      """SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin
   )
 }

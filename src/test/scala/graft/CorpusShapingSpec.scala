@@ -99,6 +99,25 @@ class CorpusShapingSpec extends AnyFunSuite {
     got.foreach { case (s, k) => assert(k <= n(s), s"$s upsampled") }
   }
 
+  test("tx20: positions are an exact 1..N permutation matching a " +
+      "driver-side replication of the seeded md5 order") {
+    val got = SparkEntry.queries("tx20_corpus_shuffle")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = got.length
+    assert(n > 0)
+    assert(got.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "positions are not a 1..N permutation")
+    // independent replication: JVM md5 of "42:<id>", sort by (hex, id)
+    def key(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = got.map(_._1).sorted.map(id => (key(id), id))
+      .sorted.zipWithIndex.map { case ((k, id), i) => id -> (i + 1L) }.toMap
+    got.foreach { case (id, hex, pos) =>
+      assert(hex == key(id), s"doc $id key mismatch")
+      assert(pos == expected(id), s"doc $id position mismatch")
+    }
+  }
+
   test("dd12: new-batch docs match prefix fingerprints against the " +
       "existing corpus only, and the join is a pinned shuffle join") {
     import spark.implicits._
