@@ -621,12 +621,23 @@ object Dedup {
       val bucket = expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
           "AS BIGINT) % 100")
-      val fp = md5(expr(
-        "array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0)," +
-          " 1, 30), ' ')").cast("binary"))
+      // NULL fp for token-free docs (punctuation-only, non-Latin script):
+      // md5('') would otherwise collide every contentless doc into one
+      // spurious dup cluster. A NULL key never matches in the join, so
+      // such docs come out is_dup=false — the only defensible semantics
+      // for "no comparable content". (The oracle mirrors this with a
+      // CASE ... END key and SQL's NULL-never-equal join rule.)
+      val fp = expr(
+        "CASE WHEN size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) " +
+          "> 0 THEN md5(CAST(array_join(slice(regexp_extract_all(" +
+          "lower(text), '[a-z0-9]+', 0), 1, 30), ' ') AS BINARY)) END")
+      // persisted: the existing-side aggregate and the new-side probe
+      // both consume this projection — one corpus text scan, not two
+      // (16-byte fps + ids cached, never document bodies).
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), fp.as("fp"), bucket.as("bk"))
-      val existing = docs.filter(col("bk") < 90)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val existing = docs.filter(col("bk") < 90 && col("fp").isNotNull)
         .groupBy(col("fp")).agg(min(col("doc_id")).as("dup_of"))
       docs.filter(col("bk") >= 90)
         .join(existing.hint("shuffle_hash"), Seq("fp"), "left_outer")
@@ -693,17 +704,20 @@ object Dedup {
         |GROUP BY s.doc_id""".stripMargin,
 
     // dd12: DuckDB's 1-based inclusive list slice l[1:30] mirrors Spark's
-    // slice(l, 1, 30); both engines md5 the same space-joined prefix.
+    // slice(l, 1, 30); both engines md5 the same space-joined prefix, and
+    // both leave fp NULL for token-free docs (NULL never joins).
     "dd12_snapshot_dedup" ->
       """WITH f AS (SELECT doc_id,
-        |    md5(array_to_string(
-        |      regexp_extract_all(lower(text), '[a-z0-9]+')[1:30], ' ')) AS fp,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+        |      THEN md5(array_to_string(
+        |        regexp_extract_all(lower(text), '[a-z0-9]+')[1:30], ' '))
+        |      END AS fp,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |      % 100 AS bk
         |  FROM documents),
-        |e AS (SELECT fp, MIN(doc_id) AS dup_of FROM f WHERE bk < 90
-        |      GROUP BY fp)
+        |e AS (SELECT fp, MIN(doc_id) AS dup_of FROM f
+        |      WHERE bk < 90 AND fp IS NOT NULL GROUP BY fp)
         |SELECT n.doc_id, e.dup_of, e.dup_of IS NOT NULL AS is_dup
-        |FROM f n LEFT JOIN e USING (fp) WHERE n.bk >= 90""".stripMargin
+        |FROM f n LEFT JOIN e ON n.fp = e.fp WHERE n.bk >= 90""".stripMargin
   )
 }

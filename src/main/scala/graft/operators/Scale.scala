@@ -80,26 +80,13 @@ object Scale {
     * the relation size, for quantile arithmetic); `__pid` is dropped.
     */
   def globalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val ranged = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    var acc = 0L
-    val offsets = counts.map { case (pid, n) =>
-      val o = acc; acc += n; pid -> o
-    }.toMap
-    val offExpr = coalesce(element_at(
-      map(offsets.toSeq.sortBy(_._1)
-        .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-      col("__pid")), lit(0L))
+    val (ranged, offExpr, total) = partitionOffsets(df, order, lit(1L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(order: _*)
     ranged
       .withColumn("__rank", row_number().over(w).cast("long") + offExpr)
       .withColumn("__n", lit(total))
-      .drop("__pid")
+      .drop("__pid", "__v")
   }
 
   /** Exact inclusive running sum of `value` under the total order
@@ -112,28 +99,44 @@ object Scale {
     * input column. */
   def globalCumsum(df: DataFrame, order: Seq[Column],
       value: Column): DataFrame = {
-    val ranged = df.withColumn("__v", value.cast("long"))
-      .repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (pid, n) =>
-      val o = acc; acc += n; pid -> o
-    }.toMap
-    val offExpr =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(
-        map(offsets.toSeq.sortBy(_._1)
-          .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-        col("__pid")), lit(0L))
+    val (ranged, offExpr, _) = partitionOffsets(df, order, value)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     ranged.withColumn("__cum", sum(col("__v")).over(w) + offExpr)
       .drop("__pid", "__v")
+  }
+
+  /** Shared scaffolding for [[globalRank]]/[[globalCumsum]]: range
+    * repartition under `order`, tag rows with `__pid`/`__v` (NULL values
+    * count as 0 so a partition of all-NULL values cannot poison the
+    * offset collect), and build the per-partition exclusive-prefix
+    * offset expression from a partition-COUNT-bounded driver collect.
+    * The ranged relation stays persisted (MEMORY_AND_DISK) because the
+    * offset job and the caller's window job both consume it; like every
+    * per-query persist in this codebase, the session-level
+    * `catalog.clearCache()` after each query releases it. Returns
+    * (tagged relation, offset column, grand total). */
+  private def partitionOffsets(df: DataFrame, order: Seq[Column],
+      value: Column): (DataFrame, Column, Long) = {
+    val ranged = df
+      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) =>
+      val o = acc; acc += s; pid -> o
+    }
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("__pid")), lit(0L))
+    (ranged, offExpr, acc)
   }
 
   /** Exact NTILE(k) from [[globalRank]] output — the standard SQL bucket

@@ -559,12 +559,17 @@ object TextAnalysis {
     // join-back is 100 TB-legal; kept counts are binomial around keep_s
     // by design — exact-count selection would need a per-source rank,
     // a |sources|-partition window funnel this formulation refuses.
+    // Weights stand in for a user-supplied recipe table; they derive
+    // from md5(source) (not a parse of the id's digits) so ANY source
+    // string gets a weight — a non-numeric id would parse to NULL in
+    // Spark (silently skewing the mixture) but raise in DuckDB.
     "tx19_mixture_sample" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val stats = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n"))
         .withColumn("w",
-          expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
+          expr("CAST(conv(substring(md5(source), 1, 8), 16, 10) " +
+            "AS BIGINT) % 3 + 1"))
       val tw = stats.agg(sum(col("w")).as("tw"))
       val withTw = stats.crossJoin(broadcast(tw))
       val m = withTw.agg(min(expr("(n * tw) DIV w")).as("m"))
@@ -844,7 +849,8 @@ object TextAnalysis {
 
     "tx19_mixture_sample" ->
       """WITH s AS (SELECT source, COUNT(*) AS n,
-        |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
+        |    CAST(('0x' || substr(md5(source), 1, 8))::UBIGINT % 3 + 1
+        |      AS BIGINT) AS w
         |  FROM documents GROUP BY source),
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
         |m AS (SELECT MIN((n * tw) // w) AS m FROM s, t),

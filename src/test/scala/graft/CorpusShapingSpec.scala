@@ -13,10 +13,10 @@ class CorpusShapingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession()
   val sf = "/root/testdata/sf0.001"
 
-  /** Replicates the portable md5 doc_id bucket used by tx16/tx19/dd12. */
-  private def md5Bucket(id: Long, mod: Long): Long = {
+  /** Replicates the portable md5 bucket used by tx16/tx19/dd12. */
+  private def md5Bucket(key: String, mod: Long): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
+      .digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 8)
     java.lang.Long.parseLong(hex, 16) % mod
   }
@@ -72,12 +72,12 @@ class CorpusShapingSpec extends AnyFunSuite {
       .select(col("doc_id"), col("source")).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val n = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    val w = n.keys.map(s => s -> (s.drop(3).toLong % 3 + 1)).toMap
+    val w = n.keys.map(s => s -> (md5Bucket(s, 3L) + 1)).toMap
     val tw = w.values.sum
     val m = n.keys.map(s => n(s) * tw / w(s)).min
     val thresh = n.keys.map(s => s -> (m * w(s) / tw) * 1048576 / n(s)).toMap
     val expected = docs.filter { case (id, s) =>
-      md5Bucket(id, 1048576L) < thresh(s)
+      md5Bucket(id.toString, 1048576L) < thresh(s)
     }.toSet
     val got = SparkEntry.queries("tx19_mixture_sample")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
@@ -85,18 +85,29 @@ class CorpusShapingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sample selected nothing at sf0.001")
   }
 
-  test("tx19: kept mixture cannot exceed the weighted target share " +
-      "of the feasible total") {
-    // thresh_s = floor(keep_s * 2^20 / n_s) never over-admits: the kept
-    // count per source is at most n_s and the hash threshold targets
-    // keep_s <= n_s, so no source exceeds its feasible allocation.
-    val got = SparkEntry.queries("tx19_mixture_sample")(spark, sf)
-      .groupBy(col("source")).agg(count(lit(1)).as("k")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("tx19: per-source kept counts concentrate on the integer target " +
+      "keep_s (binomial bound), so the mixture arithmetic is live") {
     val n = graft.core.Tables(spark, sf, "documents")
       .groupBy(col("source")).agg(count(lit(1))).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    got.foreach { case (s, k) => assert(k <= n(s), s"$s upsampled") }
+    val w = n.keys.map(s => s -> (md5Bucket(s, 3L) + 1)).toMap
+    val tw = w.values.sum
+    val m = n.keys.map(s => n(s) * tw / w(s)).min
+    val got = SparkEntry.queries("tx19_mixture_sample")(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.keys.foreach { s =>
+      val keep = m * w(s) / tw
+      val k = got.getOrElse(s, 0L)
+      // md5 buckets are ~uniform, so k ~ Binomial(n_s, keep/n_s); a
+      // 5-sigma band (+1 for threshold floor) fails any broken
+      // threshold (e.g. keep-everything or keep-nothing) while never
+      // flaking on a correct one.
+      val slack = 5 * math.sqrt(keep.toDouble) + 1
+      assert(math.abs(k - keep) <= slack,
+        s"$s kept $k, target $keep (slack $slack)")
+      assert(k <= n(s), s"$s upsampled")
+    }
   }
 
   test("tx20: positions are an exact 1..N permutation matching a " +
@@ -132,7 +143,10 @@ class CorpusShapingSpec extends AnyFunSuite {
         if (i == 8 || i == 3) prefix("shared")
         else if (i == 20 || i == 25) prefix("newonly")
         else prefix(s"u$i")
-      i -> s"$p tail$i extra$i"
+      // docs 28 (new) and 5 (existing) are token-free: their fp must be
+      // NULL, never a shared md5('') that would fake a dup pair
+      if (i == 28 || i == 5) i -> "!!! ... ???"
+      else i -> s"$p tail$i extra$i"
     }.toMap
     val dir = java.nio.file.Files.createTempDirectory("dd12")
     ids.map(i => (i, text(i), "en", "s1", 0L))

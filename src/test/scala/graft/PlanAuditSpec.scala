@@ -150,7 +150,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // bounded by construction) are exempted by name below.
     // a no-partition spec's FIRST argument is the sort spec itself
     // (`col ASC NULLS FIRST, ...`); with partitioning it is a plain
-    // partition expression with no sort direction.
+    // partition expression with no sort direction. The first argument is
+    // recovered with a balanced-paren scan (NOT a regex on the raw line:
+    // a derived sort key like `sum(v)#12L ASC` contains parens/commas
+    // that a character-class regex silently fails to match).
     //
     // q27 is the one documented exemption: its window input is the
     // per-DAY revenue aggregate — cardinality bounded by the time
@@ -158,13 +161,37 @@ class PlanAuditSpec extends AnyFunSuite {
     // holds |days| rows no matter how large the fact table grows. The
     // rule exists for windows whose input is one row per corpus row.
     val exempt = Set("q27_moving_avg")
-    val noPart = "windowspecdefinition\\(([^(,]*?) (ASC|DESC)".r
+    def firstArgs(line: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[String]()
+      var i = line.indexOf("windowspecdefinition(")
+      while (i >= 0) {
+        val start = i + "windowspecdefinition(".length
+        var depth = 1
+        var j = start
+        var argEnd = -1
+        while (j < line.length && depth > 0) {
+          line(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' => if (depth == 1 && argEnd < 0) argEnd = j
+            case _ =>
+          }
+          j += 1
+        }
+        out += line.substring(start, if (argEnd >= 0) argEnd else j - 1)
+        i = line.indexOf("windowspecdefinition(", j)
+      }
+      out.toSeq
+    }
     SparkEntry.queries.keys.toSeq.sorted.filterNot(exempt).foreach { name =>
       val p = plan(name)
-      val bad = p.linesIterator.filter(l => noPart.findFirstIn(l).isDefined)
+      val bad = p.linesIterator.flatMap(firstArgs).filter(a =>
+        a.endsWith(" ASC NULLS FIRST") || a.endsWith(" ASC NULLS LAST") ||
+          a.endsWith(" DESC NULLS FIRST") || a.endsWith(" DESC NULLS LAST"))
         .toSeq
       assert(bad.isEmpty,
-        s"$name plans a no-partition window:\n${bad.mkString("\n")}")
+        s"$name plans a no-partition window (sort spec is the first " +
+          s"windowspecdefinition argument):\n${bad.mkString("\n")}")
     }
   }
 }
