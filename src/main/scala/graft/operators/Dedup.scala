@@ -514,6 +514,75 @@ object Dedup {
         .distinct()
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    // semantic near-dup pairs — k-means partitions the embedding space
+    // and candidates are generated ONLY within a cluster, so the global
+    // pair problem decomposes into k local ones: with k = N/TargetM the
+    // mean cluster holds ~TargetM members and within-cluster pairwise
+    // costs sum(m^2)/2 ~ TargetM*N/2 — LINEAR in N with the constant the
+    // paper's k choice implies, not N^2 (that is the whole point of the
+    // method). Members are ordered by distance-to-centroid (ties on
+    // vec_id) and each probes its next min(m - pos, TargetM - 1) ranked
+    // successors: for any cluster at or under TargetM members that is
+    // EXACTLY within-cluster all-pairs, while a skew-degenerate
+    // mega-cluster is windowed in radius order (|d(a,c) - d(b,c)| <=
+    // |a - b|, so the window keeps the nearest-radius candidates) instead
+    // of squared — per-row fan-out is hard-capped at TargetM - 1 at any
+    // skew. Every candidate is exact-rescored inline, so precision is 1
+    // vs dd05 by construction; recall < 1 is intrinsic (pairs split
+    // across clusters are never compared — the approximation the paper
+    // accepts) and is asserted with a measured floor in the spec. Scale
+    // shape: one cl-keyed exchange for the window, sort-merge position
+    // join, one shuffle-hash join back for the probe side's vector,
+    // k-bounded centroid broadcast (the driver-side codebook bound every
+    // IVF index shares). No SQL oracle (k-means is not SQL-expressible)
+    // — subset-of-dd05 + recall floor + determinism in NewOpsSpec.
+    "dd13_semantic_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+      import graft.functions.VectorFunctions.l2
+      val TargetM = 512
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val k = math.max(8, (e.count() / TargetM).toInt)
+      val (assigned, centroids) = Clustering.kmeansFull(e, k, iters = 2)
+      val a = assigned
+        .join(broadcast(centroids), "cl")
+        .select(col("cl"), col("vec_id"), col("embedding"),
+          l2_norm(col("embedding")).as("nrm"),
+          l2(col("embedding"), col("cvec")).as("cdist"))
+        .filter(col("nrm") > 0)
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
+      val pos = a
+        .withColumn("pos", row_number().over(
+          bw.orderBy(col("cdist").asc, col("vec_id").asc)))
+        .withColumn("m", count(lit(1)).over(bw))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // forward-only: (p, p+j), j = 1..min(m - p, TargetM - 1) — each
+      // unordered candidate pair generated exactly once, no distinct
+      // needed. The probe side drops its embedding before the explode
+      // (joined back below) so the fan-out carries ids only.
+      val probes = pos.filter(col("pos") < col("m"))
+        .withColumn("j",
+          explode(sequence(lit(1),
+            least(lit(TargetM - 1), col("m") - col("pos")))))
+        .select(col("cl"), col("vec_id").as("va"),
+          (col("pos") + col("j")).as("tpos"))
+      // position join pinned to sort-merge (pos is per-vector — never a
+      // broadcast build); the rescore join back to the per-vector
+      // relation co-partitions on vec_id via shuffle-hash.
+      val cand = probes.as("x").join(pos.hint("merge").as("y"),
+          col("x.cl") === col("y.cl") && col("x.tpos") === col("y.pos"))
+        .select(col("x.va").as("va"), col("y.vec_id").as("vb"),
+          col("y.embedding").as("eb"), col("y.nrm").as("nb"))
+      cand.join(pos.hint("shuffle_hash").as("z"),
+          col("va") === col("z.vec_id"))
+        .select(least(col("va"), col("vb")).as("v1"),
+          greatest(col("va"), col("vb")).as("v2"),
+          round(dot_product(col("z.embedding"), col("eb")) /
+            (col("z.nrm") * col("nb")), 6).as("cos_r"))
+        .filter(col("cos_r") >= 0.45)
+    }),
+
     // SimHash: 64 conditional-sum aggregates over token postings build the
     // 64-bit signature; Hamming<=3 pairs via Manku-style block
     // permutation (the web-scale SimHash dedup scheme): the 64 bits split

@@ -221,6 +221,33 @@ object Events {
           count(lit(1)).as("wau_7d"))
     }),
 
+    // Conversion latency: per user, seconds from the FIRST view to the
+    // first purchase at-or-after it — the time-to-convert primitive
+    // behind activation dashboards. One user_id exchange end to end:
+    // the running first-view timestamp comes from a RANGE-frame window
+    // (peers share a frame, so a purchase at exactly the first view's
+    // timestamp sees it — matching the oracle's ts >= t_view), and the
+    // per-user reduction reuses the window's partitioning. No
+    // self-join of the events table, no per-row range probe.
+    "ev13_conversion_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase" && col("fv").isNotNull)
+        .groupBy(col("user_id"))
+        // fv is constant over a user's qualifying purchases (the running
+        // min settles at the global first view before the first
+        // qualifying purchase, by definition of "qualifying"), so
+        // min(fv) IS the first-view timestamp.
+        .agg(min(col("ts")).as("t_conv"), min(col("fv")).as("t_view"))
+        .select(col("user_id"),
+          (col("t_conv").cast("long") - col("t_view").cast("long"))
+            .as("lag_sec"))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -343,6 +370,18 @@ object Events {
         |SELECT event_id, event_type, value
         |FROM events JOIN m ON event_type = et
         |WHERE value > mean + 3.0 * sd""".stripMargin,
+
+    "ev13_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_conv
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+        |  GROUP BY e.user_id)
+        |SELECT p.user_id, date_diff('second', v.t_view, p.t_conv) AS lag_sec
+        |FROM v JOIN p ON v.user_id = p.user_id""".stripMargin,
 
     "ev06_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

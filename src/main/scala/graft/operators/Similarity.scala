@@ -172,9 +172,25 @@ object Similarity {
     }
   }
 
+  /** Cosine threshold for sim06: low enough to return rows on random-ish
+    * unit vectors (64-dim cosine sd ~ 0.125), high enough to stay
+    * selective — output scales with the true neighbor count, not N·Q. */
+  val RangeTau = 0.30
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim01_knn_bruteforce" -> ((s, d) =>
       topkPerQuery(scoredCandidates(s, d))),
+
+    // Range (radius) search: EVERY corpus vector within cosine >= tau of
+    // each query — the "all near-duplicates of these items" retrieval
+    // form, complementing top-k (closest K regardless of distance).
+    // Same shape as sim01: queries broadcast, corpus scanned once and
+    // never shuffled, O(Q·N) codegen'd scoring; the threshold replaces
+    // the rank window, so there is no exchange at all — filter output
+    // is bounded by the true neighbor count.
+    "sim06_range_search" -> ((s, d) =>
+      scoredCandidates(s, d).filter(col("cos_r") >= RangeTau)
+        .select(col("qid"), col("vec_id"), col("cos_r"))),
 
     // Same answer as sim01 via the typed TopKAggregator: map-side partials
     // mean each partition forwards <= K candidates per query into the
@@ -313,7 +329,10 @@ object Similarity {
     })
   )
 
-  private lazy val sim01Oracle: String =
+  /** Shared q + scored CTE prefix: exact brute-force cosine of every
+    * (query, corpus vector) pair — consumed by the sim01/sim04 top-k
+    * oracle and the sim06 range oracle. */
+  private lazy val scoredCte: String =
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |  WHERE vec_id < $NQueries),
          |scored AS (
@@ -326,7 +345,10 @@ object Similarity {
          |       * sqrt(list_sum(list_transform(range(1, 65),
          |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
          |      6) AS cos_r
-         |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid)""".stripMargin
+
+  private lazy val sim01Oracle: String =
+      s"""$scoredCte
          |SELECT qid, rank, vec_id, cos_r FROM (
          |  SELECT qid, vec_id, cos_r, ROW_NUMBER() OVER
          |    (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rank
@@ -336,7 +358,11 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "sim01_knn_bruteforce" -> sim01Oracle,
     // sim04 must produce exactly sim01's rows through the typed Aggregator
-    "sim04_knn_aggregator" -> sim01Oracle
+    "sim04_knn_aggregator" -> sim01Oracle,
+    "sim06_range_search" ->
+      s"""$scoredCte
+         |SELECT qid, vec_id, cos_r FROM scored
+         |WHERE cos_r >= $RangeTau""".stripMargin
     // sim02/sim03: approximate — no SQL oracle; recall asserted in tests.
   )
 }

@@ -603,6 +603,37 @@ object TextAnalysis {
         .select(col("doc_id"), col("shuffle_key"), col("__rank").as("pos"))
     }),
 
+    // Cross-source contamination matrix: distinct word-trigram Jaccard
+    // between every source pair — the recipe-level "is split A leaking
+    // into split B" diagnostic (tx13 answers it per-document against one
+    // benchmark source; this answers it source-by-source). Postings
+    // shape: the corpus collapses to distinct (shingle, source) rows —
+    // one shuffle keyed by shingle — and pair fan-out per shingle is
+    // bounded by |sources|^2, a recipe constant, never by corpus size.
+    // The per-source set sizes are an aggregate of |sources| rows:
+    // broadcast-legal at any corpus scale.
+    "tx21_source_overlap" -> ((s, d) => {
+      val g = org.apache.spark.sql.graftx.WordShinglesFunctions
+      val ss = Tables(s, d, "documents")
+        .select(col("source"),
+          explode(g.word_shingles(col("text"), 3)).as("sh"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = ss.select(col("sh"), col("source").as("s1"))
+        .join(ss.select(col("sh"), col("source").as("s2")), "sh")
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"),
+          col("n").as("n1"))), "s1")
+        .join(broadcast(sizes.select(col("source").as("s2"),
+          col("n").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+    }),
+
     "tx13_decontaminate" -> ((s, d) => {
       // persisted: three consumers (benchmark distinct, per-doc totals,
       // shared counts) would otherwise each re-run the shingle scan
@@ -786,6 +817,22 @@ object TextAnalysis {
         |    / SUM(dc.cnt) / 1e6, 6) >= -5.42 AS keep
         |FROM dc JOIN prof ON dc.g = prof.g
         |GROUP BY dc.doc_id""".stripMargin,
+
+    "tx21_source_overlap" ->
+      s"""WITH t AS (SELECT source, $tokensSql AS w FROM documents),
+         |sh AS (SELECT DISTINCT source, s FROM (
+         |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM t WHERE len(w) >= 3)),
+         |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+         |i AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.s1, i.s2, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (x.n + y.n - i.inter), 6)
+         |    AS jaccard
+         |FROM i JOIN sz x ON i.s1 = x.source
+         |JOIN sz y ON i.s2 = y.source""".stripMargin,
 
     "tx13_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, source, $tokensSql AS w FROM documents),
