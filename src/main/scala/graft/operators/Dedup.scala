@@ -535,7 +535,17 @@ object Dedup {
     // shape: one cl-keyed exchange for the window, sort-merge position
     // join, one shuffle-hash join back for the probe side's vector,
     // k-bounded centroid broadcast (the driver-side codebook bound every
-    // IVF index shares). No SQL oracle (k-means is not SQL-expressible)
+    // IVF index shares). k is CAPPED at 64k: the codebook lives on the
+    // driver between Lloyd iterations (k x dim doubles; the per-iteration
+    // mean collect is k x dim rows), so k = N/512 unbounded would grow
+    // that collect with the corpus — at 1e9 vectors a ~1 GB codebook and
+    // a 128M-row driver collect, the exact defect class the per-document
+    // broadcast audit exists to catch. Capped, the codebook is <= 32 MB
+    // at any N (the paper itself runs a FIXED cluster count at 100x this
+    // corpus); above ~33M vectors mean cluster size grows past TargetM
+    // and the radius-ordered window becomes the work bound — recall
+    // degrades gracefully instead of the driver failing outright.
+    // No SQL oracle (k-means is not SQL-expressible)
     // — subset-of-dd05 + recall floor + determinism in NewOpsSpec.
     "dd13_semantic_dedup" -> ((s, d) => {
       import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
@@ -543,7 +553,7 @@ object Dedup {
       val TargetM = 512
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val k = math.max(8, (e.count() / TargetM).toInt)
+      val k = math.min(math.max(8, (e.count() / TargetM).toInt), 65536)
       val (assigned, centroids) = Clustering.kmeansFull(e, k, iters = 2)
       val a = assigned
         .join(broadcast(centroids), "cl")
