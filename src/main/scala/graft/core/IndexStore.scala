@@ -13,8 +13,13 @@ object IndexStore {
 
   def root(d: String): String = {
     val key = d.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    // v2: k-means assignment moved to the native NearestCentroid
+    // expression (squared-distance compare) — a v1 IVF index persisted by
+    // the struct/sqrt formulation could disagree on exact-tie cells, and
+    // the probe/fused bit-identity contract requires index and query to
+    // share one assignment code path.
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft_index") +
-      s"/v1_$key"
+      s"/v2_$key"
   }
 
   /** A parquet artifact counts as present only with its _SUCCESS marker —

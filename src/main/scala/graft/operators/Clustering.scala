@@ -28,17 +28,22 @@ import graft.functions.VectorFunctions.l2
 object Clustering {
 
   /** Nearest-centroid id as a projection over literal centroids; keeps the
-    * embedding column so callers need no join back to the corpus. */
-  private def assign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val structs = cents.map { case (cl, cv) =>
-      struct(l2(col("embedding"), typedLit(cv)).as("cdist"),
-        lit(cl).as("cl"))
-    }
-    // least() requires >= 2 args — k=1, or clusters emptying down to one
-    // survivor mid-run, must not crash the assignment
-    val best = if (structs.size > 1) least(structs: _*) else structs.head
-    e.select(col("vec_id"), col("embedding"), best.getField("cl").as("cl"))
-  }
+    * embedding column so callers need no join back to the corpus.
+    *
+    * Assignment runs through the native [[NearestCentroid]] expression
+    * (one codegen'd loop over a reference-carried double[k][dim]) rather
+    * than `least()` over k `struct(l2, cl)` subtrees: the struct form's
+    * expression tree grows linearly in k and its zip_with/aggregate
+    * lambdas are interpreted, which made plan CONSTRUCTION alone take
+    * minutes at dd13's k ~ 100 (119 s measured at sf1.0) and pushed
+    * scoring off whole-stage codegen. Ties keep the lower cluster id in
+    * both formulations. */
+  private def assign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      org.apache.spark.sql.graftx.NearestCentroidFunctions.nearest_centroid(
+        col("embedding"),
+        cents.map(_._2.toArray).toArray,
+        cents.map(_._1).toArray).as("cl"))
 
   /** Returns (assignments: vec_id -> (embedding, cluster), centroids). */
   def kmeansFull(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
