@@ -52,15 +52,28 @@ object Tables {
     }
     perSession.computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts is TIMESTAMP(NANOS) which Spark reads only as a raw long
-      // (spark.sql.legacy.parquet.nanosAsLong=true, set in the session);
-      // convert to a microsecond TimestampType here. Integer DIV, not double
-      // division — epoch-nanos (~1.7e18) overflows double's 53-bit mantissa.
-      if (name == "events")
-        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else df
+      if (name == "events") normalizeEventTs(df) else df
     })
   }
+
+  /** events.ts arrives in one of three physical forms depending on which
+    * generator wrote the file: raw epoch-nanos int64 (TIMESTAMP(NANOS)
+    * files read under nanosAsLong=true, and graft.ScaleData's bit-
+    * compatible longs), TIMESTAMP_NTZ (micros-precision driver files,
+    * which parquet marks isAdjustedToUTC=false), or an already-zoned
+    * TimestampType. Normalize all three to TimestampType under the
+    * session's UTC zone so every operator downstream sees ONE type and
+    * the DuckDB oracle (which reads the same naive micros) agrees
+    * bit-for-bit. Integer DIV for the nanos form, not double division —
+    * epoch-nanos (~1.7e18) overflows double's 53-bit mantissa. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Register every table as a temp view so `spark.sql` surfaces work too.
     * Idempotent per (session, dir): re-registering 10 views costs seconds

@@ -115,9 +115,8 @@ class EventStreamsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = graft.streaming.EventStreams
       .windowedCounts(stream, "1 day", "0 seconds")
       .writeStream.format("memory").queryName("rt")
