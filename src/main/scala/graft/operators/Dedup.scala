@@ -124,9 +124,11 @@ object Dedup {
     }
   }
 
-  /** Shared CTE block (everything after WITH) computing the >= 0.8
-    * Jaccard pairs as relation `jp(d1, d2, jaccard)`. */
-  private val jaccardCtes =
+  /** Shared CTE block (everything after WITH) computing the shingle
+    * inverted index and shared-count pairs `p(d1, d2, c)` with per-doc
+    * set sizes `sz(doc_id, n)` — the common prefix of every
+    * shingle-similarity oracle (Jaccard dd02..dd10, containment dd15). */
+  private val pairCtes =
     """t AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       |  FROM documents),
@@ -141,7 +143,12 @@ object Dedup {
       |p AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
       |  FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** [[pairCtes]] extended with the >= 0.8 Jaccard pair relation
+    * `jp(d1, d2, jaccard)`. */
+  private val jaccardCtes =
+    s"""$pairCtes,
       |jp AS (
       |  SELECT d1, d2,
       |    CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
@@ -722,8 +729,83 @@ object Dedup {
         .join(existing.hint("shuffle_hash"), Seq("fp"), "left_outer")
         .select(col("doc_id"), col("dup_of"),
           col("dup_of").isNotNull.as("is_dup"))
+    }),
+
+    // Quality-aware canonical selection: per near-dup cluster, keep the
+    // LONGEST member (n_chars; ties -> min doc_id) — the "keep best, drop
+    // rest" step real dedup recipes run after clustering (keep-longest is
+    // the standard no-model heuristic; swap the order column for a model
+    // score and nothing else changes). The membership relation is
+    // dup-rate-bounded, so the argmax window rides a tiny rep-keyed
+    // exchange; the n_chars lookup joins members against a TWO-column
+    // documents projection via co-partitioned shuffle-hash (the
+    // documents side is one row per corpus document — never a broadcast
+    // build; PlanAuditSpec's lineage rule audits exactly this).
+    "dd14_cluster_canonical" -> ((s, d) => {
+      val meta = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("rep"))
+        .orderBy(col("n_chars").desc, col("node").asc)
+      clusterMembers(s, d)
+        .join(meta.hint("shuffle_hash"), col("node") === col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("rep").as("cluster_rep"), col("node").as("kept_doc"),
+          col("n_chars"))
+    }),
+
+    // Directed containment pairs: c / min(|A|, |B|) >= 0.9 — the subset-
+    // duplication detector Jaccard structurally misses (a boilerplate
+    // paragraph fully contained in a long page has J ~ |A|/|B| ~ 0 but
+    // containment 1.0; quote/template mining is exactly this query).
+    // Same bounded inverted-index kernel as dd02, but NO length prune:
+    // the AllPairs ratio window is lossless only for symmetric Jaccard,
+    // and size-skewed pairs are the very target here. Sizes ride packed
+    // in the posting long (len << 48 | id — no join-back on the pair
+    // table); packed-order pairs re-normalize to id order afterwards,
+    // and a clamped-size corpus (any doc >= 2^15 shingles) falls back to
+    // the exact size join-back, mirroring jaccardFrom's two branches.
+    "dd15_containment_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.PairsWithinRatio
+      val idx = shingleIndex(s, d)
+      val post = explPostings(idx).select(col("s"),
+        PairsWithinRatio.pack(col("doc_id"), col("n")).as("pd"))
+      val unpacked = graft.core.InvertedIndex
+        .pairCounts(post, col("s"), col("pd"), MaxPostings)
+        .select(col("d1").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("i1"),
+          col("d2").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("i2"),
+          col("c"),
+          shiftrightunsigned(col("d1"), 48).as("n1"),
+          shiftrightunsigned(col("d2"), 48).as("n2"))
+      val maxN = idx.agg(max(size(col("sh")))).head.getInt(0)
+      val base =
+        if (maxN < PairsWithinRatio.LenCap) {
+          val cont = round(col("c").cast("double")
+            / least(col("n1"), col("n2")), 6)
+          unpacked.select(least(col("i1"), col("i2")).as("d1"),
+            greatest(col("i1"), col("i2")).as("d2"), col("c"),
+            cont.as("containment"))
+        } else {
+          // a clamped length may understate min(|A|, |B|): resolve exact
+          // sizes with the co-partitioned join (same shape, and same
+          // never-at-test-scale trigger, as jaccardFrom's fallback)
+          val sizes = idx.select(col("doc_id"), size(col("sh")).as("n"))
+            .hint("shuffle_hash")
+          unpacked
+            .join(sizes.as("s1"), col("i1") === col("s1.doc_id"))
+            .join(sizes.as("s2"), col("i2") === col("s2.doc_id"))
+            .select(least(col("i1"), col("i2")).as("d1"),
+              greatest(col("i1"), col("i2")).as("d2"), col("c"),
+              round(col("c").cast("double") / least(col("s1.n"), col("s2.n"))
+                .cast("long"), 6).as("containment"))
+        }
+      base.filter(col("containment") >= ContainTau)
     })
   )
+
+  /** Containment threshold for dd15. */
+  val ContainTau = 0.9
 
   def oracleSql: Map[String, String] = Map(
     "dd01_exact_dedup" ->
@@ -735,6 +817,31 @@ object Dedup {
     // pair-table forms must reproduce the inline queries exactly
     "dd09_clusters_from_pairs" -> clustersOracle,
     "dd10_dedup_corpus_from_pairs" -> dedupCorpusOracle,
+
+    "dd14_cluster_canonical" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2, d1 FROM jp),
+         |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT re.node, e.d2 FROM reach re JOIN edges e ON re.r = e.d1),
+         |m AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node),
+         |jm AS (SELECT m.rep, m.node, d.n_chars FROM m
+         |  JOIN documents d ON m.node = d.doc_id),
+         |rk AS (SELECT rep, node, n_chars, ROW_NUMBER() OVER (
+         |    PARTITION BY rep ORDER BY n_chars DESC, node ASC) AS rn
+         |  FROM jm)
+         |SELECT rep AS cluster_rep, node AS kept_doc, n_chars
+         |FROM rk WHERE rn = 1""".stripMargin,
+
+    "dd15_containment_pairs" ->
+      s"""WITH $pairCtes
+         |SELECT d1, d2, c,
+         |  round(CAST(c AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+         |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.9"""
+        .stripMargin,
     "dd08_dedup_corpus" -> dedupCorpusOracle,
     "dd05_embedding_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -248,6 +248,25 @@ object Events {
             .as("lag_sec"))
     }),
 
+    // User recency / churn features: per user, last active day, event
+    // count, and days inactive relative to the corpus horizon — the
+    // feature table a churn model trains on and the "dormant" flag a
+    // re-engagement job filters by. One user_id-keyed aggregate; the
+    // horizon is a 1-row aggregate broadcast over it (never a second
+    // scan-side shuffle). Day-granularity integer arithmetic keeps both
+    // engines bit-identical with no rounding guard.
+    "ev14_user_recency" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val gm = e.agg(max(col("ts")).as("gmax"))
+      val lag = datediff(col("gmax").cast("date"), col("last_ts").cast("date"))
+      e.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(gm))
+        .select(col("user_id"), col("last_ts").cast("date").as("last_day"),
+          col("n_events"), lag.cast("long").as("days_inactive"),
+          (lag >= 1).as("dormant"))
+    }),
+
     // HLL cardinality sketch: approximate, so no SQL oracle — the spec
     // asserts <2% relative error against ev04 instead. At 100 TB this is
     // the difference between a sketch merge and a full distinct shuffle.
@@ -382,6 +401,17 @@ object Events {
         |  GROUP BY e.user_id)
         |SELECT p.user_id, date_diff('second', v.t_view, p.t_conv) AS lag_sec
         |FROM v JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    "ev14_user_recency" ->
+      """WITH m AS (SELECT MAX(ts) AS gmax FROM events),
+        |u AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(last_ts AS DATE) AS last_day, n_events,
+        |  CAST(date_diff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE))
+        |    AS BIGINT) AS days_inactive,
+        |  date_diff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE)) >= 1
+        |    AS dormant
+        |FROM u, m""".stripMargin,
 
     "ev06_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -291,6 +291,24 @@ object Relational2 {
         .unpivot(Array(col("o_orderstatus")),
           Array(col("sum_price"), col("max_price"), col("n_orders")),
           "metric", "value")
+    }),
+
+    // Deterministic per-group MODE — Spark's builtin `mode()` breaks ties
+    // arbitrarily (and differently from DuckDB's), so the mode is spelled
+    // as a (group, value) census + a rank over the census with an explicit
+    // total order (count DESC, value ASC): bit-identical on both engines.
+    // The census is aggregate-bounded (|status| x |priority| rows), so the
+    // rank window rides a tiny partitioned exchange, never the corpus.
+    "q33_group_mode" -> ((s, d) => {
+      val c = Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n").as("n_mode"))
     })
   )
 
@@ -317,6 +335,14 @@ object Relational2 {
          |SELECT o_orderstatus, 'max_price', max_price FROM w
          |UNION ALL
          |SELECT o_orderstatus, 'n_orders', n_orders FROM w""".stripMargin,
+
+    "q33_group_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority ASC) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q30_topk_per_group" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (

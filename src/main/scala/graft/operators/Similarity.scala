@@ -177,6 +177,11 @@ object Similarity {
     * selective — output scales with the true neighbor count, not N·Q. */
   val RangeTau = 0.30
 
+  /** sim07 MMR knobs: relevance/diversity balance and the per-query
+    * candidate-pool size the driver greedy reranks over. */
+  val MmrLambda = 0.5
+  val MmrPool = 30
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim01_knn_bruteforce" -> ((s, d) =>
       topkPerQuery(scoredCandidates(s, d))),
@@ -304,6 +309,62 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cb = ProductQuantizer.train(e, PqM, PqDsub, PqKc, iters = 2)
       pqScore(s, d, cb, ProductQuantizer.encode(e, cb, PqDsub), e)
+    }),
+
+    // Diversified top-k (Maximal Marginal Relevance, Carbonell &
+    // Goldstein SIGIR'98): greedily pick argmax of
+    // lambda*rel(q, c) - (1 - lambda)*max sim(c, selected) — the
+    // standard redundancy-killer when near-duplicate corpus items would
+    // otherwise fill the whole top-k (which is precisely what a
+    // dedup-worthy corpus does). The DISTRIBUTED part is the expensive
+    // part: exact relevance scoring of Q x N through sim01's
+    // broadcast-queries scan, with TopKPerGroup map-side partials
+    // capping the exchange at P rows per query. The greedy rerank is
+    // inherently sequential in k and runs on the driver over the
+    // Q*P-bounded pool (same boundedness contract as sim05's query-LUT
+    // collect — bounded by the query batch, never the corpus). The
+    // candidate-vector lookup joins the corpus against the BROADCAST
+    // pool (aggregated, Q*P rows — broadcast-legal at any corpus size).
+    // Deterministic: pool membership rides on rounded scores with
+    // vec_id tie-breaks, and the driver greedy breaks score ties on
+    // vec_id. No SQL oracle (iterated argmax is not relational);
+    // invariants asserted in the spec.
+    "sim07_mmr_rerank" -> ((s, d) => {
+      val pool = Scale.topKPerGroup(
+        scoredCandidates(s, d), Seq("qid"), MmrPool,
+        col("cos_r").desc, col("vec_id").asc)
+      val withVec = Tables(s, d, "embeddings")
+        .join(broadcast(pool), "vec_id")
+        .select(col("qid"), col("vec_id"), col("cos_r"), col("embedding"))
+      val picked = withVec.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getAs[scala.collection.Seq[Float]](3).map(_.toDouble).toArray))
+        .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+          def cos(a: Array[Double], b: Array[Double]): Double = {
+            var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) {
+              dt += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+              i += 1
+            }
+            if (na == 0 || nb == 0) 0.0 else dt / math.sqrt(na * nb)
+          }
+          val remaining = scala.collection.mutable.ArrayBuffer(
+            rs.sortBy(c => (-c._3, c._2)): _*)
+          val selected = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Double, Array[Double])]
+          (1 to math.min(K, remaining.size)).map { rank =>
+            val (best, mmr) = remaining.map { c =>
+              val pen =
+                if (selected.isEmpty) 0.0
+                else selected.map(sl => cos(c._4, sl._4)).max
+              (c, MmrLambda * c._3 - (1 - MmrLambda) * pen)
+            }.minBy { case (c, m) => (-m, c._2) }
+            selected += best
+            remaining -= best
+            (qid, rank, best._2, math.rint(mmr * 1e6) / 1e6)
+          }
+        }
+      s.createDataFrame(picked).toDF("qid", "rank", "vec_id", "mmr_r")
     }),
 
     // PQ probe against the PERSISTED index: the codebook (M x Kc rows)

@@ -654,6 +654,64 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_sh"),
           coalesce(col("n_shared0"), lit(0L)).as("n_shared"),
           frac.as("contamination"), (frac >= 0.5).as("contaminated"))
+    }),
+
+    // Intra-document repetition signals (the Gopher/MassiveText repetition
+    // filters, Rae et al. 2021 §A1.1): fraction of duplicate word
+    // occurrences and the share of the most-repeated bigram. Everything is
+    // an array-lambda over the token list, so the query is ONE scan with
+    // NO shuffle at any corpus size (output grain = document): the per-doc
+    // bigram mode comes from the sorted-run trick — sort the bigram array,
+    // then the longest equal-adjacent run IS the modal count — instead of
+    // a (doc, bigram) exchange.
+    "tx22_repetition_stats" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .withColumn("toks", expr(tokensExpr))
+        .withColumn("n_tok", expr("size(toks)"))
+        .filter(col("n_tok") >= 2)
+        .withColumn("bgs", expr(
+          "array_sort(transform(sequence(0, size(toks) - 2), " +
+            "i -> concat(toks[i], ' ', toks[i + 1])))"))
+        // guard size<2 explicitly: sequence(1, 0) DESCENDS in Spark, and
+        // the aggregate would walk bogus indices instead of no-opping
+        .withColumn("max_bg", expr(
+          """IF(size(bgs) < 2, 1, aggregate(
+            |  sequence(1, size(bgs) - 1),
+            |  named_struct('cur', 1, 'best', 1),
+            |  (acc, i) -> IF(bgs[i] = bgs[i - 1],
+            |    named_struct('cur', acc.cur + 1,
+            |      'best', GREATEST(acc.best, acc.cur + 1)),
+            |    named_struct('cur', 1, 'best', acc.best)),
+            |  acc -> acc.best))""".stripMargin))
+        .select(col("doc_id"), col("n_tok"),
+          round(lit(1.0) - expr("size(array_distinct(toks))").cast("double")
+            / col("n_tok"), 6).as("dup_word_frac"),
+          round(col("max_bg").cast("double") / (col("n_tok") - 1), 6)
+            .as("top_bigram_frac"))
+    }),
+
+    // Vocabulary-growth (Heaps'-law) curve: cumulative distinct-token
+    // count at each corpus decile — the corpus-diversity diagnostic behind
+    // "is more data still adding new vocabulary". Computed by FIRST-
+    // OCCURRENCE inversion, not by re-scanning a growing prefix per
+    // checkpoint: one token-keyed exchange (vocab-bounded aggregation
+    // state) pins each token's first doc_id, each token lands in the
+    // decile of that first occurrence, and the 10-row decile census
+    // cumulates through a triangular broadcast join (bounded at 10x10 —
+    // deliberately NOT a no-partition window, which the plan audit bans).
+    "tx24_vocab_growth" -> ((s, d) => {
+      val firsts = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val maxd = Tables(s, d, "documents").agg(max(col("doc_id")).as("maxd"))
+      val census = firsts.crossJoin(broadcast(maxd))
+        .groupBy(expr("(fd * 10) DIV (maxd + 1)").as("decile"))
+        .agg(count(lit(1)).as("nw"))
+      census.as("a")
+        .join(broadcast(census.as("b")), col("b.decile") <= col("a.decile"))
+        .groupBy(col("a.decile").as("dec"))
+        .agg(sum(col("b.nw")).as("vocab_size"))
+        .select(((col("dec") + 1) * 10).as("pct"), col("vocab_size"))
     })
   )
 
@@ -916,6 +974,34 @@ object TextAnalysis {
         |  CAST(ROW_NUMBER() OVER (
         |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |    AS BIGINT) AS pos
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // tx22: the oracle takes the (doc, bigram) grouping route; the engine
+    // takes the shuffle-free sorted-run route — modal counts must agree.
+    "tx22_repetition_stats" ->
+      s"""WITH l AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |  FROM l WHERE len(toks) >= 2),
+         |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |bm AS (SELECT doc_id, MAX(c) AS mx FROM bc GROUP BY 1)
+         |SELECT l.doc_id, CAST(len(toks) AS INT) AS n_tok,
+         |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |    / len(toks), 6) AS dup_word_frac,
+         |  round(CAST(bm.mx AS DOUBLE) / (len(toks) - 1), 6)
+         |    AS top_bigram_frac
+         |FROM l JOIN bm ON l.doc_id = bm.doc_id
+         |WHERE len(toks) >= 2""".stripMargin,
+
+    "tx24_vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok
+         |  FROM documents),
+         |f AS (SELECT tok, MIN(doc_id) AS fd FROM t GROUP BY tok),
+         |m AS (SELECT MAX(doc_id) AS maxd FROM documents),
+         |c AS (SELECT (fd * 10) // (maxd + 1) AS decile, COUNT(*) AS nw
+         |  FROM f, m GROUP BY 1)
+         |SELECT CAST((decile + 1) * 10 AS BIGINT) AS pct,
+         |  CAST(SUM(nw) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+         |FROM c""".stripMargin
   )
 }
