@@ -31,6 +31,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window distinct active users — the streaming twin of the
+    * batch rolling-actives report (operators.Events ev12): every event
+    * lands in `width`/`slide` sliding event-time windows, per-(window,
+    * user) membership collapses in a FIRST stateful aggregation, and a
+    * second chained windowed aggregation counts the deduped members —
+    * Spark's multiple-stateful-operator support (the window column
+    * carries event-time lineage between the two, so both evict on the
+    * same watermark). State is bounded at (windows in horizon) x (active
+    * users), never raw events; append mode emits each window exactly
+    * once when the watermark passes its end. A window [s, s+width)
+    * corresponds to batch ev12's day s+width-1 (trailing-window form),
+    * which the spec pins on the real events fixture. */
+  def rollingActives(events: DataFrame, width: String = "7 days",
+      slide: String = "1 day", lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("active_users"))
+
   /** Streaming exact-once dedup by event id within the watermark horizon —
     * the declarative form of the reference's tuple-id dedup dict
     * (worker.py:446-453), with bounded instead of unbounded state. */

@@ -140,6 +140,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(finalizedDays == days - days.max)
   }
 
+  test("streaming 7-day rolling actives == batch ev12 on finalized " +
+      "windows") {
+    // chained stateful aggregations (per-(window, user) dedup -> window
+    // census) over the real events fixture; every finalized sliding
+    // window must agree with batch ev12's trailing-7-day count for the
+    // window's last day.
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("ra-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
+    val q = graft.streaming.EventStreams
+      .rollingActives(stream, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("ra")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ra")
+      .select(date_add(col("window_start").cast("date"), 6).as("day"),
+        col("active_users"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(streamed.nonEmpty, "no finalized windows emitted")
+    val batch = SparkEntry.queries("ev12_rolling_actives")(spark, sf)
+      .collect().map(r => (r.get(0).toString, r.getLong(2))).toMap
+    val common = streamed.keySet.intersect(batch.keySet)
+    assert(common.nonEmpty, s"no overlap: streamed=${streamed.keySet}")
+    common.foreach(d =>
+      assert(streamed(d) == batch(d),
+        s"day $d: streamed ${streamed(d)} vs batch ${batch(d)}"))
+  }
+
   test("streaming funnel over real events == batch ev08 counts, fed in " +
       "REVERSE order") {
     implicit val sqlCtx = spark.sqlContext
