@@ -22,6 +22,10 @@ object TextAnalysis {
   // DuckDB twin: its regexp_extract_all has no group argument.
   val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** tx23's fixed keyword query (all three terms exist in the corpus
+    * vocabulary at every SF). */
+  val BmTerms = Seq("spark", "table", "query")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: corpus-level stats per language. The per-doc token
     // count stays in the scan projection; only (lang -> 3 longs) shuffles.
@@ -690,6 +694,42 @@ object TextAnalysis {
             .as("top_bigram_frac"))
     }),
 
+    // BM25 keyword search: top-10 documents for a fixed conjunctive-OR
+    // term query (Robertson/Sparck-Jones idf, k1 = 1.2, b = 0.75) — the
+    // retrieval primitive behind corpus exploration and hard-negative
+    // mining. Scale shape: the corpus scan keeps only rows matching the
+    // (tiny, literal) term list, tf aggregates on (doc, term), df and the
+    // corpus stats are |terms|- and 1-row aggregates broadcast back, and
+    // the final top-10 is TakeOrderedAndProject (per-partition heaps +
+    // driver merge — no global sort). Doc length and avgdl use exact
+    // integer-valued sums, so both engines compute identical doubles; the
+    // summed score rounds to 6dp with a doc_id tie-break for a
+    // deterministic cut.
+    "tx23_bm25_topk" -> ((s, d) => {
+      val dl = Tables(s, d, "documents")
+        .select(col("doc_id"), expr(tokensExpr).as("toks"))
+        .select(col("doc_id"), expr("size(toks)").cast("double").as("dl"),
+          col("toks"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      val tf = dl
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+        .filter(col("t").isin(BmTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("t"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "t")
+        .crossJoin(broadcast(stats))
+        .withColumn("w",
+          log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id")).agg(round(sum(col("w")), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // Vocabulary-growth (Heaps'-law) curve: cumulative distinct-token
     // count at each corpus decile — the corpus-diversity diagnostic behind
     // "is more data still adding new vocabulary". Computed by FIRST-
@@ -992,6 +1032,22 @@ object TextAnalysis {
          |    AS top_bigram_frac
          |FROM l JOIN bm ON l.doc_id = bm.doc_id
          |WHERE len(toks) >= 2""".stripMargin,
+
+    "tx23_bm25_topk" ->
+      s"""WITH dl AS (SELECT doc_id, CAST(len($tokensSql) AS DOUBLE) AS dl,
+         |    $tokensSql AS toks FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         |    SUM(dl) / COUNT(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dl)
+         |  WHERE t IN ('spark', 'table', 'query') GROUP BY 1, 2, 3),
+         |df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+         |  GROUP BY 1)
+         |SELECT doc_id, round(SUM(
+         |    ln((nd - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+         |FROM tf JOIN df USING (t), st GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "tx24_vocab_growth" ->
       s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok
