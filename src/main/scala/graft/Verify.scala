@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — dump only those
+    // (dev loop for spot-checking one query at a big SF without paying
+    // for the whole surface; tools/check.py skips absent dumps)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Set.empty[String])
+      case Array(s, o, f) => (s, o, f.split(',').toSet)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +27,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses the whole
       // upstream plan into the single write task (measured at sf1.0:
       // dd05's parallel cartesian became one thread for the entire
