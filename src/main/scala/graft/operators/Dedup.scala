@@ -801,6 +801,29 @@ object Dedup {
                 .cast("long"), 6).as("containment"))
         }
       base.filter(col("containment") >= ContainTau)
+    }),
+
+    // Incremental NEAR-dup across snapshots: dd12 catches exact prefix
+    // duplicates of a new batch against the existing corpus; this is its
+    // fuzzy twin — every NEW document (dd12's >= 90 md5 bucket) whose
+    // shingle-Jaccard with an EXISTING document clears the 0.8 gate,
+    // with the matched doc and similarity. Pair mining reuses dd02's
+    // exact kernel VERBATIM (one code path, verified once); the
+    // cross-snapshot restriction is a pure projection on the pair table
+    // (the bucket is a function of doc_id alone), so the incremental
+    // query pays dd02's bounded cost and adds zero shuffles.
+    "dd16_incremental_neardup" -> ((s, d) => {
+      val idx = shingleIndex(s, d)
+      val jp = jaccardFrom(pairCounts(explPostings(idx)), idx)
+      def bk(c: String) =
+        s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16, 10) " +
+          s"AS BIGINT) % 100"
+      jp.withColumn("b1", expr(bk("d1"))).withColumn("b2", expr(bk("d2")))
+        .filter((col("b1") < 90) =!= (col("b2") < 90))
+        .select(
+          when(col("b1") >= 90, col("d1")).otherwise(col("d2")).as("doc_id"),
+          when(col("b1") >= 90, col("d2")).otherwise(col("d1")).as("dup_of"),
+          col("jaccard"))
     })
   )
 
@@ -834,6 +857,18 @@ object Dedup {
          |  FROM jm)
          |SELECT rep AS cluster_rep, node AS kept_doc, n_chars
          |FROM rk WHERE rn = 1""".stripMargin,
+
+    "dd16_incremental_neardup" ->
+      s"""WITH $jaccardCtes,
+         |b AS (SELECT d1, d2, jaccard,
+         |    ('0x' || substr(md5(CAST(d1 AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 100 AS b1,
+         |    ('0x' || substr(md5(CAST(d2 AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 100 AS b2
+         |  FROM jp)
+         |SELECT CASE WHEN b1 >= 90 THEN d1 ELSE d2 END AS doc_id,
+         |  CASE WHEN b1 >= 90 THEN d2 ELSE d1 END AS dup_of, jaccard
+         |FROM b WHERE (b1 < 90) <> (b2 < 90)""".stripMargin,
 
     "dd15_containment_pairs" ->
       s"""WITH $pairCtes

@@ -248,6 +248,32 @@ object Events {
             .as("lag_sec"))
     }),
 
+    // Per-session stats: session id, event count, and wall duration for
+    // every (user, session) — ev01's census expanded to the session
+    // grain (the input to engagement-length distributions and
+    // bot-session filters). ONE user_id exchange end to end: the lag
+    // window, the session-id running sum, and the (user, session)
+    // aggregate all cluster on user_id (hash partitioning on a key
+    // subset satisfies the grouped distribution, so Catalyst inserts no
+    // second exchange). Integer second arithmetic — bit-identical
+    // across engines.
+    "ev15_session_stats" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 600,
+            1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+            .as("duration_sec"))
+    }),
+
     // User recency / churn features: per user, last active day, event
     // count, and days inactive relative to the corpus horizon — the
     // feature table a churn model trains on and the "dormant" flag a
@@ -401,6 +427,29 @@ object Events {
         |  GROUP BY e.user_id)
         |SELECT p.user_id, date_diff('second', v.t_view, p.t_conv) AS lag_sec
         |FROM v JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    "ev15_session_stats" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR
+        |      date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM y)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+        |    AS duration_sec
+        |FROM z GROUP BY 1, 2""".stripMargin,
 
     "ev14_user_recency" ->
       """WITH m AS (SELECT MAX(ts) AS gmax FROM events),
