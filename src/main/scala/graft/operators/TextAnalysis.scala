@@ -730,28 +730,39 @@ object TextAnalysis {
         .limit(10)
     }),
 
-    // Vocabulary-growth (Heaps'-law) curve: cumulative distinct-token
-    // count at each corpus decile — the corpus-diversity diagnostic behind
-    // "is more data still adding new vocabulary". Computed by FIRST-
-    // OCCURRENCE inversion, not by re-scanning a growing prefix per
-    // checkpoint: one token-keyed exchange (vocab-bounded aggregation
-    // state) pins each token's first doc_id, each token lands in the
-    // decile of that first occurrence, and the 10-row decile census
-    // cumulates through a triangular broadcast join (bounded at 10x10 —
-    // deliberately NOT a no-partition window, which the plan audit bans).
+    // Vocabulary-growth (Heaps'-law) curve at two unit sizes: cumulative
+    // distinct UNIGRAM and WORD-TRIGRAM counts at each corpus decile —
+    // the corpus-diversity diagnostic behind "is more data still adding
+    // new vocabulary / new n-grams". Computed by FIRST-OCCURRENCE
+    // inversion, not by re-scanning a growing prefix per checkpoint: one
+    // unit-keyed exchange per unit size (vocab-bounded aggregation
+    // state) pins each unit's first doc_id, each unit lands in the
+    // decile of that first occurrence, and the <= 10-row decile censuses
+    // cumulate through a triangular broadcast join (bounded at 10x10 —
+    // deliberately NOT a no-partition window, which the plan audit
+    // bans). Trigrams use the same native WordShingles kernel as the
+    // dedup family.
     "tx24_vocab_growth" -> ((s, d) => {
-      val firsts = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
-        .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
       val maxd = Tables(s, d, "documents").agg(max(col("doc_id")).as("maxd"))
-      val census = firsts.crossJoin(broadcast(maxd))
-        .groupBy(expr("(fd * 10) DIV (maxd + 1)").as("decile"))
-        .agg(count(lit(1)).as("nw"))
-      census.as("a")
-        .join(broadcast(census.as("b")), col("b.decile") <= col("a.decile"))
+      def census(unit: org.apache.spark.sql.Column, name: String) =
+        Tables(s, d, "documents")
+          .select(col("doc_id"), explode(unit).as("u"))
+          .groupBy(col("u")).agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(maxd))
+          .groupBy(expr("(fd * 10) DIV (maxd + 1)").as("decile"))
+          .agg(count(lit(1)).as(name))
+      val joined = census(expr(tokensExpr), "n1")
+        .join(census(org.apache.spark.sql.graftx.WordShinglesFunctions
+          .word_shingles(col("text"), 3), "n3"), Seq("decile"), "full_outer")
+        .select(col("decile"), coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n3"), lit(0L)).as("n3"))
+      joined.as("a")
+        .join(broadcast(joined.as("b")), col("b.decile") <= col("a.decile"))
         .groupBy(col("a.decile").as("dec"))
-        .agg(sum(col("b.nw")).as("vocab_size"))
-        .select(((col("dec") + 1) * 10).as("pct"), col("vocab_size"))
+        .agg(sum(col("b.n1")).as("vocab_unigram"),
+          sum(col("b.n3")).as("vocab_trigram"))
+        .select(((col("dec") + 1) * 10).as("pct"),
+          col("vocab_unigram"), col("vocab_trigram"))
     })
   )
 
@@ -1049,15 +1060,28 @@ object TextAnalysis {
          |FROM tf JOIN df USING (t), st GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
 
+    // tx24: trigram unit mirrors pairCtes' shingle spelling (distinct
+    // word trigrams per doc — WordShingles emits the distinct set)
     "tx24_vocab_growth" ->
-      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok
-         |  FROM documents),
-         |f AS (SELECT tok, MIN(doc_id) AS fd FROM t GROUP BY tok),
-         |m AS (SELECT MAX(doc_id) AS maxd FROM documents),
-         |c AS (SELECT (fd * 10) // (maxd + 1) AS decile, COUNT(*) AS nw
-         |  FROM f, m GROUP BY 1)
+      s"""WITH m AS (SELECT MAX(doc_id) AS maxd FROM documents),
+         |t1 AS (SELECT doc_id, unnest($tokensSql) AS u FROM documents),
+         |f1 AS (SELECT u, MIN(doc_id) AS fd FROM t1 GROUP BY u),
+         |c1 AS (SELECT (fd * 10) // (maxd + 1) AS decile, COUNT(*) AS n1
+         |  FROM f1, m GROUP BY 1),
+         |w AS (SELECT doc_id, $tokensSql AS w FROM documents),
+         |t3 AS (SELECT DISTINCT doc_id, u FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u
+         |  FROM w WHERE len(w) >= 3)),
+         |f3 AS (SELECT u, MIN(doc_id) AS fd FROM t3 GROUP BY u),
+         |c3 AS (SELECT (fd * 10) // (maxd + 1) AS decile, COUNT(*) AS n3
+         |  FROM f3, m GROUP BY 1),
+         |j AS (SELECT COALESCE(c1.decile, c3.decile) AS decile,
+         |    COALESCE(n1, 0) AS n1, COALESCE(n3, 0) AS n3
+         |  FROM c1 FULL OUTER JOIN c3 ON c1.decile = c3.decile)
          |SELECT CAST((decile + 1) * 10 AS BIGINT) AS pct,
-         |  CAST(SUM(nw) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
-         |FROM c""".stripMargin
+         |  CAST(SUM(n1) OVER (ORDER BY decile) AS BIGINT) AS vocab_unigram,
+         |  CAST(SUM(n3) OVER (ORDER BY decile) AS BIGINT) AS vocab_trigram
+         |FROM j""".stripMargin
   )
 }

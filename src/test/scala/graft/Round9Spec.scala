@@ -47,19 +47,33 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
-  test("tx24: vocab growth is monotone and its endpoint is the exact " +
-      "corpus vocabulary") {
+  test("tx24: vocab growth is monotone at both unit sizes and the " +
+      "endpoints are the exact corpus vocabularies") {
     val rows = SparkEntry.queries("tx24_vocab_growth")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     assert(rows.nonEmpty)
     assert(rows.map(_._2).sliding(2).forall(w =>
-      w.length < 2 || w(0) <= w(1)), "cumulative vocab must be monotone")
-    val vocab = graft.core.Tables(spark, sf, "documents")
+      w.length < 2 || w(0) <= w(1)), "unigram curve must be monotone")
+    assert(rows.map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)), "trigram curve must be monotone")
+    // the synthetic corpus's trigram space is rich enough that the curve
+    // must actually GROW across deciles (the unigram one saturates)
+    assert(rows.last._3 > rows.head._3,
+      "trigram curve is flat — degenerate checkpointing")
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val vocab1 = docs
       .select(explode(expr(graft.operators.TextAnalysis.tokensExpr))
         .as("tok"))
       .agg(countDistinct(col("tok"))).head.getLong(0)
-    assert(rows.last._2 == vocab,
-      s"endpoint ${rows.last._2} != exact vocab $vocab")
+    val vocab3 = docs
+      .select(explode(org.apache.spark.sql.graftx.WordShinglesFunctions
+        .word_shingles(col("text"), 3)).as("sh"))
+      .agg(countDistinct(col("sh"))).head.getLong(0)
+    assert(rows.last._2 == vocab1,
+      s"unigram endpoint ${rows.last._2} != exact $vocab1")
+    assert(rows.last._3 == vocab3,
+      s"trigram endpoint ${rows.last._3} != exact $vocab3")
   }
 
   test("dd15: containment pairs == brute-force shingle containment at " +
