@@ -274,6 +274,21 @@ object Events {
             .as("duration_sec"))
     }),
 
+    // Activity heatmap: event volume by (ISO day-of-week, hour-of-day) —
+    // the seasonality matrix behind capacity planning and anomaly
+    // baselines. A pure projection into a <= 168-cell census: one tiny
+    // aggregate exchange regardless of corpus size. Integer calendar
+    // arithmetic (no locale-dependent day names) keeps engines aligned;
+    // dayofweek is ISO-mapped explicitly since Spark counts from Sunday.
+    "ev16_activity_heatmap" -> ((s, d) => {
+      Tables(s, d, "events")
+        .select((pmod(dayofweek(col("ts")) + lit(5), lit(7)) + 1)
+          .as("iso_dow"),
+          hour(col("ts")).as("hh"), col("value"))
+        .groupBy(col("iso_dow"), col("hh"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    }),
+
     // User recency / churn features: per user, last active day, event
     // count, and days inactive relative to the corpus horizon — the
     // feature table a churn model trains on and the "dormant" flag a
@@ -427,6 +442,12 @@ object Events {
         |  GROUP BY e.user_id)
         |SELECT p.user_id, date_diff('second', v.t_view, p.t_conv) AS lag_sec
         |FROM v JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    "ev16_activity_heatmap" ->
+      s"""SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+         |  CAST(hour(ts) AS INT) AS hh, COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ev15_session_stats" ->
       """WITH x AS (
