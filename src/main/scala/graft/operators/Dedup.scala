@@ -124,6 +124,217 @@ object Dedup {
     }
   }
 
+  /** Containment pairs (c / min(|A|, |B|) >= [[ContainTau]]) over a
+    * shingle index `(doc_id, sh)` via PPJoin-style prefix filtering
+    * (Chaudhuri/Ganti/Kaushik ICDE'06 prefix filter; Xiao et al. WWW'08):
+    * a qualifying pair needs c >= tmin(|A|) shared shingles where A is
+    * the smaller doc, so at most |A| - tmin of A's shingles miss B — and
+    * among A's first k = |A| - tmin + 1 shingles IN ANY FIXED ORDER at
+    * least one must land in the intersection. Only those k "prefix"
+    * shingles probe the inverted index for candidates (vs every shingle
+    * in the unpruned kernel); ordering the prefix RAREST-FIRST (df asc)
+    * makes the probed postings lists the shortest ones, so candidate
+    * fan-out is sum_s |prefix(s)| * df(s) concentrated on small df
+    * instead of sum_s df(s)^2. Two refinements on top of the classic
+    * recipe (both lossless, both measured against this corpus's
+    * uniform-df/bounded-vocab worst case):
+    *  - shingles are relabeled to 8-byte sids with a RUNTIME-CHECKED
+    *    injective hash (collision -> exact fallback), so the pair-scale
+    *    exchanges move longs, never strings;
+    *  - the prefix is over-long (e + m, [[PrefixSlack]]) and admission
+    *    demands min(m, plen - e) prefix collisions — the pigeonhole
+    *    still guarantees them for qualifying pairs, while the
+    *    one-shared-rare-token false candidates (the quadratic bulk at
+    *    bounded vocab: measured 50M pairs at sf2 for ~4k true rows) die
+    *    before the verify join instead of inside it.
+    * Exact verify is unchanged in spirit: every admitted pair is
+    * rescored from the full capped shingle arrays (array_intersect), so
+    * the emitted rows are IDENTICAL to the unpruned kernel's — the
+    * prune is lossless (PpjoinContainmentSpec proves result equality
+    * against [[containmentPairsUnpruned]] incl. planted boundary pairs).
+    *
+    * Three soundness details the spec pins:
+    *  - tmin is the smallest integer c with round(c/n, 6) >= tau —
+    *    computed in exact long arithmetic (`floor((A*n + S-1)/S)` with
+    *    A = tau*2e6 - 1, S = 2e6), never a floating tau*n (which drops
+    *    true boundary pairs);
+    *  - the prefix is drawn from the doc's CAPPED postings (df in
+    *    [2, cap]): the intersection is itself a subset of those, so the
+    *    "at most k-1 non-intersecting" budget still covers the first k —
+    *    and singleton/stop shingles never waste a probe;
+    *  - a doc with fewer than k capped shingles probes with ALL of them:
+    *    any qualifying intersection (c >= 1) is a subset and still hits.
+    *
+    * Sizes n are the FULL shingle-set sizes, packed in the posting long
+    * (n << 48 | id) so the (n, id)-orientation (probe = packed-smaller
+    * doc) and the containment denominator need no join-back. A corpus
+    * with any doc >= 2^15 shingles falls back to
+    * [[containmentPairsUnpruned]]'s exact size-join branch (packed
+    * lengths saturate there), mirroring jaccardFrom.
+    *
+    * Scale shape: one postings exchange to group by shingle (the dd02
+    * kernel), one to group capped postings by doc (df-sorted sid
+    * arrays), a probe join on the sid, a map-side-combinable pair
+    * collision count, and two co-partitioned verify joins on the packed
+    * id over the (now tiny) admitted set — every aggregation state
+    * df-cap- or doc-size-bounded. Replaces the unpruned kernel whose
+    * pair fan-out grew ~N^2/vocab on bounded-vocabulary corpora
+    * (measured sf1->sf2: 36.8 -> 129.4 s, 3.52x for 2x; rewritten:
+    * ~14.5 -> ~28 s, ~1.9x — the AllPairs length prune dd02 uses is
+    * unsound for containment, size-skewed pairs being the target). */
+  /** Extra prefix length beyond the minimal e + 1 (see
+    * [[containmentPairs]]): qualifying pairs must collide on
+    * min(m, plen - e) prefix shingles, which filters the
+    * single-shared-rare-token false candidates that otherwise dominate
+    * the verify join on bounded-vocabulary corpora. */
+  private val PrefixSlack = 3
+
+  private[graft] def containmentPairs(idx: DataFrame,
+      cap: Int = MaxPostings): DataFrame = {
+    import org.apache.spark.sql.graftx.PairsWithinRatio
+    val maxN = idx.agg(max(size(col("sh")))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (maxN >= PairsWithinRatio.LenCap.toInt)
+      return containmentPairsUnpruned(idx, cap)
+    val post = explPostings(idx).select(col("s"),
+      PairsWithinRatio.pack(col("doc_id"), col("n")).as("pd"))
+    // (s, ds) — df-capped per-shingle doc lists, the candidate index side
+    val grouped = graft.core.InvertedIndex
+      .groupedPostings(post, col("s"), col("pd"), cap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Relabel shingles as 8-byte sids = xxhash64(s): every downstream
+    // stage — the probe join key, and above all the verify arrays
+    // shipped through two pair-scale shuffles — then moves longs
+    // instead of ~30-byte strings (measured 8-10x on the verify
+    // exchange, the kernel's dominant cost; string arrays drove it to
+    // 36 s of dd15's 47 s at sf1). The relabeling only has to be
+    // INJECTIVE ON THIS CORPUS'S CAPPED VOCABULARY for correctness (c
+    // counts equalities, so any 1:1 relabeling leaves the result
+    // bit-identical) — and unlike the kernel-wide no-hash-keys rule
+    // (InvertedIndex's doc), injectivity is CHECKED at runtime here: one
+    // vocab-sized aggregate compares distinct shingles vs distinct
+    // hashes, and on a collision (P ~ V^2/2^65; certain at web-corpus
+    // vocab, never seen below ~1e9 keys) the query falls back to the
+    // unpruned exact kernel instead of ever emitting a wrong count.
+    val hashOk = grouped
+      .agg(count_distinct(col("s")).as("ns"),
+        count_distinct(xxhash64(col("s"))).as("nh"))
+      .head()
+    if (hashOk.getLong(0) != hashOk.getLong(1))
+      return containmentPairsUnpruned(idx, cap)
+    // per-doc capped shingles ordered rarest-first ((df, sid) — any
+    // GLOBAL total order works, see the prefix argument above);
+    // aggregation state is bounded by the doc's own shingle count
+    // (< 2^15 in this branch)
+    val nCol = shiftrightunsigned(col("pd"), 48)
+    // smallest c with round(c/n, 6) >= tau, in exact long arithmetic
+    val a = math.round(ContainTau * 2000000L) - 1
+    def tminOf(n: Column): Column =
+      floor((lit(a) * n + lit(1999999L)) / lit(2000000L))
+    val tmin = tminOf(nCol)
+    // OVER-LONG prefix: e + m rarest shingles (e = n - tmin misses
+    // allowed, m = PrefixSlack) instead of the minimal e + 1. The
+    // pigeonhole then guarantees a qualifying pair collides on >= m
+    // prefix shingles (at most e of the e + m can miss B), so candidate
+    // admission can demand m collisions instead of one — and false
+    // pairs, which share ~n^2/vocab ~ 0.1 shingles on average, almost
+    // never share m RARE ones. Measured at sf2: 50M single-collision
+    // candidates -> the m = 3 count filter admits orders of magnitude
+    // fewer, collapsing the verify join that dominated the kernel.
+    val kCol = (nCol - tmin + lit(PrefixSlack.toLong)).cast("int")
+    val docIdx = grouped
+      .select(xxhash64(col("s")).as("sid"), size(col("ds")).as("df"),
+        explode(col("ds")).as("pd"))
+      .groupBy(col("pd"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("tk"))
+      .select(col("pd"), col("tk").getField("sid").as("csh"),
+        slice(col("tk").getField("sid"), lit(1), kCol).as("pref"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // candidates: prefix sids probe the full capped postings (rebuilt
+    // from the encoded arrays — one narrow explode, no second string
+    // exchange); the packed comparison orients probe = (n, id)-min
+    // side. The per-pair collision count is map-side combinable (the
+    // same shuffle class the plain distinct paid), and the admission
+    // threshold r = max(1, min(m, plen - e)) degrades soundly when a
+    // doc has fewer than e + m capped shingles: its prefix is then ALL
+    // of them, any non-empty intersection is a subset, and r = 1.
+    val n1 = shiftrightunsigned(col("p1"), 48)
+    val e1 = n1 - tminOf(n1)
+    val cands = docIdx
+      .select(col("pd").as("p1"), size(col("pref")).as("plen"),
+        explode(col("pref")).as("sid"))
+      .join(docIdx.select(col("pd").as("p2"),
+        explode(col("csh")).as("sid")).hint("shuffle_hash"), Seq("sid"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"), col("plen"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= greatest(lit(1L),
+        least(lit(PrefixSlack.toLong), col("plen") - e1)))
+      .select(col("p1"), col("p2"))
+    // exact rescore: both verify joins co-partition on the packed id
+    // against the per-doc array relation (one row per DOCUMENT — never a
+    // broadcast build; same rule as jaccardFrom's fallback)
+    val arr = docIdx.select(col("pd"), col("csh")).hint("shuffle_hash")
+    cands
+      .join(arr.as("a1"), col("p1") === col("a1.pd"))
+      .join(arr.as("a2"), col("p2") === col("a2.pd"))
+      .select(col("p1"), col("p2"),
+        size(array_intersect(col("a1.csh"), col("a2.csh")))
+          .cast("long").as("c"))
+      .select(
+        least(col("p1").bitwiseAND(lit(PairsWithinRatio.IdMask)),
+          col("p2").bitwiseAND(lit(PairsWithinRatio.IdMask))).as("d1"),
+        greatest(col("p1").bitwiseAND(lit(PairsWithinRatio.IdMask)),
+          col("p2").bitwiseAND(lit(PairsWithinRatio.IdMask))).as("d2"),
+        col("c"),
+        // p1 is the (n, id)-min side, so n1 = min(|A|, |B|) exactly
+        round(col("c").cast("double")
+          / shiftrightunsigned(col("p1"), 48), 6).as("containment"))
+      .filter(col("containment") >= ContainTau)
+  }
+
+  /** The pre-r8 unpruned containment kernel (dd02's inverted index with
+    * the length prune OFF — it is unsound for containment). Kept as the
+    * fallback for packed-length-saturated corpora and as the ground
+    * truth PpjoinContainmentSpec proves [[containmentPairs]] equal to. */
+  private[graft] def containmentPairsUnpruned(idx: DataFrame,
+      cap: Int = MaxPostings): DataFrame = {
+    import org.apache.spark.sql.graftx.PairsWithinRatio
+    val post = explPostings(idx).select(col("s"),
+      PairsWithinRatio.pack(col("doc_id"), col("n")).as("pd"))
+    val unpacked = graft.core.InvertedIndex
+      .pairCounts(post, col("s"), col("pd"), cap)
+      .select(col("d1").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("i1"),
+        col("d2").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("i2"),
+        col("c"),
+        shiftrightunsigned(col("d1"), 48).as("n1"),
+        shiftrightunsigned(col("d2"), 48).as("n2"))
+    val maxN = idx.agg(max(size(col("sh")))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val base =
+      if (maxN < PairsWithinRatio.LenCap) {
+        val cont = round(col("c").cast("double")
+          / least(col("n1"), col("n2")), 6)
+        unpacked.select(least(col("i1"), col("i2")).as("d1"),
+          greatest(col("i1"), col("i2")).as("d2"), col("c"),
+          cont.as("containment"))
+      } else {
+        // a clamped length may understate min(|A|, |B|): resolve exact
+        // sizes with the co-partitioned join (same shape, and same
+        // never-at-test-scale trigger, as jaccardFrom's fallback)
+        val sizes = idx.select(col("doc_id"), size(col("sh")).as("n"))
+          .hint("shuffle_hash")
+        unpacked
+          .join(sizes.as("s1"), col("i1") === col("s1.doc_id"))
+          .join(sizes.as("s2"), col("i2") === col("s2.doc_id"))
+          .select(least(col("i1"), col("i2")).as("d1"),
+            greatest(col("i1"), col("i2")).as("d2"), col("c"),
+            round(col("c").cast("double") / least(col("s1.n"), col("s2.n"))
+              .cast("long"), 6).as("containment"))
+      }
+    base.filter(col("containment") >= ContainTau)
+  }
+
   /** Shared CTE block (everything after WITH) computing the shingle
     * inverted index and shared-count pairs `p(d1, d2, c)` with per-doc
     * set sizes `sz(doc_id, n)` — the common prefix of every
@@ -759,49 +970,9 @@ object Dedup {
     // duplication detector Jaccard structurally misses (a boilerplate
     // paragraph fully contained in a long page has J ~ |A|/|B| ~ 0 but
     // containment 1.0; quote/template mining is exactly this query).
-    // Same bounded inverted-index kernel as dd02, but NO length prune:
-    // the AllPairs ratio window is lossless only for symmetric Jaccard,
-    // and size-skewed pairs are the very target here. Sizes ride packed
-    // in the posting long (len << 48 | id — no join-back on the pair
-    // table); packed-order pairs re-normalize to id order afterwards,
-    // and a clamped-size corpus (any doc >= 2^15 shingles) falls back to
-    // the exact size join-back, mirroring jaccardFrom's two branches.
-    "dd15_containment_pairs" -> ((s, d) => {
-      import org.apache.spark.sql.graftx.PairsWithinRatio
-      val idx = shingleIndex(s, d)
-      val post = explPostings(idx).select(col("s"),
-        PairsWithinRatio.pack(col("doc_id"), col("n")).as("pd"))
-      val unpacked = graft.core.InvertedIndex
-        .pairCounts(post, col("s"), col("pd"), MaxPostings)
-        .select(col("d1").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("i1"),
-          col("d2").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("i2"),
-          col("c"),
-          shiftrightunsigned(col("d1"), 48).as("n1"),
-          shiftrightunsigned(col("d2"), 48).as("n2"))
-      val maxN = idx.agg(max(size(col("sh")))).head.getInt(0)
-      val base =
-        if (maxN < PairsWithinRatio.LenCap) {
-          val cont = round(col("c").cast("double")
-            / least(col("n1"), col("n2")), 6)
-          unpacked.select(least(col("i1"), col("i2")).as("d1"),
-            greatest(col("i1"), col("i2")).as("d2"), col("c"),
-            cont.as("containment"))
-        } else {
-          // a clamped length may understate min(|A|, |B|): resolve exact
-          // sizes with the co-partitioned join (same shape, and same
-          // never-at-test-scale trigger, as jaccardFrom's fallback)
-          val sizes = idx.select(col("doc_id"), size(col("sh")).as("n"))
-            .hint("shuffle_hash")
-          unpacked
-            .join(sizes.as("s1"), col("i1") === col("s1.doc_id"))
-            .join(sizes.as("s2"), col("i2") === col("s2.doc_id"))
-            .select(least(col("i1"), col("i2")).as("d1"),
-              greatest(col("i1"), col("i2")).as("d2"), col("c"),
-              round(col("c").cast("double") / least(col("s1.n"), col("s2.n"))
-                .cast("long"), 6).as("containment"))
-        }
-      base.filter(col("containment") >= ContainTau)
-    }),
+    // PPJoin-style prefix-filtered: see [[containmentPairs]].
+    "dd15_containment_pairs" -> ((s, d) =>
+      containmentPairs(shingleIndex(s, d))),
 
     // Incremental NEAR-dup across snapshots: dd12 catches exact prefix
     // duplicates of a new batch against the existing corpus; this is its

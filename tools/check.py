@@ -39,13 +39,19 @@ def main(sf_dir, out_dir, skip=()):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_nodump = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
             print(f"SKIP {name}")
             continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            # partial Verify dump (its query-filter arg): not a failure
+            # Either a partial Verify dump (its query-filter arg) or a
+            # query that CRASHED mid-Verify (it catches per-query errors
+            # and moves on). Loudly distinguishable from PASS/FAIL so a
+            # run that silently lost dumps cannot read as clean — r8's
+            # dd15 rewrite burned two timing runs on exactly that.
+            print(f"SKIP {name} (no dump)")
+            n_nodump += 1
             continue
         try:
             got = con.execute(
@@ -74,7 +80,8 @@ def main(sf_dir, out_dir, skip=()):
                 only_w = [r for r in w if r not in set(map(tuple, g))][:3]
                 print(f"   only-spark: {only_g}\n   only-duck : {only_w}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    nodump = f", {n_nodump} no-dump" if n_nodump else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{nodump}")
     return 1 if n_fail else 0
 
 
