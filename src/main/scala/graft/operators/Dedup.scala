@@ -740,13 +740,13 @@ object Dedup {
     // costs sum(m^2)/2 ~ TargetM*N/2 — LINEAR in N with the constant the
     // paper's k choice implies, not N^2 (that is the whole point of the
     // method). Members are ordered by distance-to-centroid (ties on
-    // vec_id) and each probes its next min(m - pos, TargetM - 1) ranked
-    // successors: for any cluster at or under TargetM members that is
+    // vec_id) and each probes its next min(m - pos, W(m)) ranked
+    // successors under an occupancy-adaptive window (the W(m) comment
+    // below): for any cluster at or under TargetM members that is
     // EXACTLY within-cluster all-pairs, while a skew-degenerate
     // mega-cluster is windowed in radius order (|d(a,c) - d(b,c)| <=
-    // |a - b|, so the window keeps the nearest-radius candidates) instead
-    // of squared — per-row fan-out is hard-capped at TargetM - 1 at any
-    // skew. Every candidate is exact-rescored inline, so precision is 1
+    // |a - b|, so the window keeps the nearest-radius candidates) with
+    // per-CELL candidate volume capped at ~TargetM^2 at any skew. Every candidate is exact-rescored inline, so precision is 1
     // vs dd05 by construction; recall < 1 is intrinsic (pairs split
     // across clusters are never compared — the approximation the paper
     // accepts) and is asserted with a measured floor in the spec. Scale
@@ -785,14 +785,36 @@ object Dedup {
           bw.orderBy(col("cdist").asc, col("vec_id").asc)))
         .withColumn("m", count(lit(1)).over(bw))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // forward-only: (p, p+j), j = 1..min(m - p, TargetM - 1) — each
-      // unordered candidate pair generated exactly once, no distinct
-      // needed. The probe side drops its embedding before the explode
-      // (joined back below) so the fan-out carries ids only.
+      // forward-only: (p, p+j), j = 1..min(m - p, W(m)) — each unordered
+      // candidate pair generated exactly once, no distinct needed. The
+      // probe side drops its embedding before the explode (joined back
+      // below) so the fan-out carries ids only.
+      //
+      // W(m) is OCCUPANCY-ADAPTIVE: TargetM - 1 for cells at or under
+      // TargetM members (exact within-cluster all-pairs — the paper's
+      // regime, and the only regime below ~33M vectors where mean
+      // occupancy <= TargetM), shrinking as TargetM^2/m for oversized
+      // cells so per-CELL candidate volume is capped at ~TargetM^2
+      // no matter how skewed the occupancy distribution gets. The
+      // previous fixed cap (TargetM - 1 per row) bounded per-ROW fan-out
+      // but let a cell of m members cost m * TargetM — and k-means
+      // occupancy skew under 2 Lloyd iterations made exactly that the
+      // measured sf1->sf2 super-linearity (2.54x for 2x data): the mass
+      // in oversized cells grows faster than N. With the per-cell cap,
+      // total work is <= k * TargetM^2 + N * MinW — linear in N by
+      // construction. The MinW = 64 floor keeps radius-adjacent
+      // near-duplicates (cdist delta ~ perturbation size, so positions
+      // differ by a handful of ranks) inside the window even in a
+      // degenerate mega-cell; recall for the true-near-dup regime is
+      // unchanged (planted-pair spec), while far-apart marginal pairs in
+      // mega-cells — already best-effort under any windowing — are the
+      // only candidates dropped.
+      val MinW = 64
+      val win = greatest(lit(MinW), least(lit(TargetM - 1),
+        (lit(TargetM.toLong * TargetM) / col("m")).cast("int")))
       val probes = pos.filter(col("pos") < col("m"))
         .withColumn("j",
-          explode(sequence(lit(1),
-            least(lit(TargetM - 1), col("m") - col("pos")))))
+          explode(sequence(lit(1), least(win, col("m") - col("pos")))))
         .select(col("cl"), col("vec_id").as("va"),
           (col("pos") + col("j")).as("tpos"))
       // position join pinned to sort-merge (pos is per-vector — never a

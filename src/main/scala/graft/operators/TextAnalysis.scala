@@ -163,39 +163,51 @@ object TextAnalysis {
             .word_shingles(col("text"), 3)).as("t"))
       val n = Tables(s, d, "documents")
         .agg(count(lit(1)).cast("double").as("nd"))
-      // Shared bounded inverted-index kernel (InvertedIndex): one
-      // exchange groups postings into state-capped per-term doc lists;
-      // df is the list size (no separate df aggregate, no join back) and
-      // — because the weight is pure idf, identical for both docs of a
-      // pair — each shared term contributes exactly w^2 to the dot
-      // product. minDf = 1: singleton terms carry no pairs but DO count
-      // toward norms, mirroring the oracle. Materialized once: norms and
-      // the packed-postings rebuild both read it.
-      val grouped = graft.core.InvertedIndex
-        .groupedPostings(sh, col("t"), col("doc_id"), minDf = 1)
+      // df via a COUNT aggregate, not a bounded_collect grouping: the
+      // partial aggregate collapses each map partition to at most |vocab|
+      // rows before the wire, so the exchange carries ~partitions x vocab
+      // counts where the old first grouping shuffled every posting into
+      // full collect_list state — and then rebuilt the SAME state a second
+      // time after the norm attach. The stop-key cap (df <= StopKeyCap)
+      // keeps its old semantics: capped terms drop from norms AND pairs,
+      // exactly as the oracle's HAVING clause prescribes. `tw` is
+      // vocabulary-sized (an aggregate, so broadcast-legal by the audit
+      // rule) but shingle vocabulary grows with the corpus — the join
+      // below stays a shuffle join on t, never a broadcast build.
+      val tw = sh.groupBy(col("t"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= graft.core.InvertedIndex.StopKeyCap)
         .crossJoin(broadcast(n))
-        .select(col("t"), col("ds"),
-          log(col("nd") / size(col("ds"))).as("w"))
+        .select(col("t"),
+          (log(col("nd") / col("df")) * log(col("nd") / col("df"))).as("w2"))
+      // Postings restricted to surviving terms with the per-term weight
+      // attached — one t-keyed shuffle join. minDf = 1 semantics are
+      // preserved: singleton terms survive tw (df = 1) and count toward
+      // norms; pair generation drops them naturally (a 1-element list
+      // emits no pairs). Persisted: norms and the packed rebuild both
+      // read it.
+      val shw = sh.join(tw.hint("shuffle_hash"), Seq("t"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val norms = grouped
-        .select(explode(col("ds")).as("doc_id"), (col("w") * col("w")).as("w2"))
+      val norms = shw
         .groupBy("doc_id").agg(sqrt(sum(col("w2"))).as("nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Rebuild postings with the quantized norm packed into the doc id
-      // (len << 48 | id). Both sides of the norm attach are postings- or
-      // doc-sized — co-partitioned shuffle join on doc_id, never a
-      // broadcast (norms is one row per DOCUMENT). The term re-group
-      // recomputes w from the rebuilt list size (identical by
-      // construction) rather than carrying it through the join.
+      // Pack the quantized norm into the doc id (len << 48 | id). Both
+      // sides of the norm attach are postings- or doc-sized —
+      // co-partitioned shuffle join on doc_id, never a broadcast (norms
+      // is one row per DOCUMENT).
       val qn = when(col("nrm") * NormScale < 100, lit(PairsWithinRatio.LenCap))
         .otherwise(least(floor(col("nrm") * NormScale).cast("long"),
           lit(PairsWithinRatio.LenCap)))
-      val packed = grouped
-        .select(col("t"), explode(col("ds")).as("doc_id"))
+      val packed = shw
         .join(norms.select(col("doc_id"), qn.as("qn")).hint("shuffle_hash"),
           Seq("doc_id"))
         .select(col("t"),
           (shiftleft(col("qn"), 48) + col("doc_id")).as("pd"))
+      // The ONE postings grouping in the query (the old shape ran two):
+      // state-capped per-term lists of packed (norm, id) longs. w is
+      // recomputed from the list size — identical to tw's by
+      // construction, since every posting of a surviving term reaches
+      // here.
       val repacked = graft.core.InvertedIndex
         .groupedPostings(packed, col("t"), col("pd"))
         .crossJoin(broadcast(n))
@@ -718,6 +730,12 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("dl"), col("t"))
         .agg(count(lit(1)).cast("double").as("tf"))
       val df = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+      // per-term scores are summed SCALED (floor(w*1e9 + 0.5) as exact
+      // longs, the repo's Num convention): a plain double SUM's addend
+      // order differs between Spark partial aggregation and DuckDB, and
+      // at a 6dp-rounding boundary that low-bit drift could flip the
+      // top-10 cut. The 1e9 scale keeps ~3 sub-1e3 addends far inside
+      // long range and the /1e9 + 6dp round far above the scaling error.
       tf.join(broadcast(df), "t")
         .crossJoin(broadcast(stats))
         .withColumn("w",
@@ -725,7 +743,8 @@ object TextAnalysis {
             * col("tf") * 2.2
             / (col("tf") + lit(1.2) * (lit(0.25)
               + lit(0.75) * col("dl") / col("avgdl"))))
-        .groupBy(col("doc_id")).agg(round(sum(col("w")), 6).as("bm25"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(floor(col("w") * 1e9 + 0.5)) / 1e9, 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(10)
     }),
@@ -1044,6 +1063,9 @@ object TextAnalysis {
          |FROM l JOIN bm ON l.doc_id = bm.doc_id
          |WHERE len(toks) >= 2""".stripMargin,
 
+    // the term list interpolates from BmTerms — single source of truth
+    // with the Spark side; per-term scores sum as floor(w*1e9 + 0.5)
+    // BIGINTs (order-independent exact sum, mirroring the engine)
     "tx23_bm25_topk" ->
       s"""WITH dl AS (SELECT doc_id, CAST(len($tokensSql) AS DOUBLE) AS dl,
          |    $tokensSql AS toks FROM documents),
@@ -1051,12 +1073,14 @@ object TextAnalysis {
          |    SUM(dl) / COUNT(*) AS avgdl FROM dl),
          |tf AS (SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
          |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dl)
-         |  WHERE t IN ('spark', 'table', 'query') GROUP BY 1, 2, 3),
+         |  WHERE t IN (${BmTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
          |df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
          |  GROUP BY 1)
-         |SELECT doc_id, round(SUM(
+         |SELECT doc_id, round(SUM(CAST(floor(
          |    ln((nd - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
-         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |    * 1e9 + 0.5) AS BIGINT)) / 1e9, 6) AS bm25
          |FROM tf JOIN df USING (t), st GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
 

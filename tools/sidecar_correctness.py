@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Assemble a CORRECTNESS_sf<N>.json evidence sidecar from a Verify dump.
+
+Runs the DuckDB oracle for every query in oracle_sql.json (check.py's
+comparison, same canonicalization), the independent Python checkers for
+the three operators that have them (dd05 numpy, dd04 xxh64+simhash
+brute force, sim07 MMR replica), and records row counts + a
+`no_oracle (spec-gated)` marker for the rest. Output format matches the
+hand-assembled round-7 sidecar so cross-round diffs stay trivial.
+
+Usage: python3 tools/sidecar_correctness.py <sfDir> <verifyOutDir> <sf> <out.json>
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import check  # noqa: E402
+import check_dd04  # noqa: E402
+import check_dd05  # noqa: E402
+import check_sim07  # noqa: E402
+
+SPECIAL = {
+    "dd05_embedding_neardup": ("numpy (tools/check_dd05.py)",
+                               check_dd05.main),
+    "dd04_simhash_pairs": ("xxh64 brute force (tools/check_dd04.py)",
+                           check_dd04.main),
+    "sim07_mmr_rerank": ("MMR replica (tools/check_sim07.py)",
+                         check_sim07.main),
+}
+
+
+def main(sf_dir, out_dir, sf, out_path):
+    con = duckdb.connect()
+    for t in check.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    dumped = sorted(d for d in os.listdir(out_dir)
+                    if os.path.isdir(os.path.join(out_dir, d)))
+    queries = {}
+    for name in dumped:
+        rows = con.execute(
+            f"SELECT COUNT(*) FROM '{out_dir}/{name}/*.parquet'"
+        ).fetchone()[0]
+        if name in SPECIAL:
+            label, fn = SPECIAL[name]
+            ok = fn(sf_dir, out_dir) == 0
+            queries[name] = {"oracle": label, "pass": ok,
+                             "spark_rows": int(rows)}
+            continue
+        if name not in oracle:
+            queries[name] = {"oracle": None, "pass": None,
+                             "spark_rows": int(rows),
+                             "err": "no_oracle (spec-gated)"}
+            print(f"NO-ORACLE {name} ({rows} rows)")
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            want = con.execute(oracle[name]).fetchdf()
+            cols_ok = sorted(c.lower() for c in got.columns) == sorted(
+                c.lower() for c in want.columns)
+            ok = cols_ok and check.canon(got) == check.canon(want)
+        except Exception as e:
+            queries[name] = {"oracle": "duckdb", "pass": False,
+                             "spark_rows": int(rows), "err": str(e)[:200]}
+            print(f"FAIL {name}: {e}")
+            continue
+        queries[name] = {"oracle": "duckdb", "pass": bool(ok),
+                         "spark_rows": int(rows)}
+        print(f"{'PASS' if ok else 'FAIL'} {name} ({rows} rows)")
+    oracled = [q for q in queries.values() if q["oracle"]]
+    doc = {
+        "sf": float(sf),
+        "data": sf_dir + (" (graft.ScaleData, deterministic, driver-shape)"
+                          if "testdata_gen" in sf_dir else ""),
+        "n_queries": len(queries),
+        "n_oracled": len(oracled),
+        "n_pass": sum(1 for q in oracled if q["pass"]),
+        "n_fail": sum(1 for q in oracled if not q["pass"]),
+        "queries": queries,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"\n{doc['n_pass']}/{doc['n_oracled']} oracled pass, "
+          f"{doc['n_fail']} fail, {len(queries)} queries -> {out_path}")
+    return 1 if doc["n_fail"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]))
