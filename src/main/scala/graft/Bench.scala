@@ -72,7 +72,13 @@ object Bench {
     val nVec = try graft.core.Tables(spark, sfDir, "embeddings").count()
       catch { case _: Throwable => 0L }
     val gateDd05 = nVec > 60000
+    // Optional subset run (comma-separated names): the targeted-sidecar
+    // dev loop — e.g. the sf4 pair-kernel trend point only times the five
+    // pair kernels instead of paying for the whole 109-query surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
     val benchQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
       .filterNot { case (n, _) => gateDd05 && n == "dd05_embedding_neardup" }
 
     // Warm every query's codegen/scan path at the tiniest sf so timed

@@ -289,6 +289,41 @@ object Events {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     }),
 
+    // Peak concurrency: the max number of simultaneously active sessions
+    // per day — the capacity-planning number behind provisioning and
+    // rate-limit budgets. Classic sweep-line, distributed: sessions
+    // (ev15's 10-min-gap definition) emit (+1 at start, -1 at end)
+    // deltas, the running level is an EXACT distributed prefix sum
+    // (Scale.globalCumsum: range repartition + parallel per-partition
+    // windows — never the no-partition window funnel that dies at 1e9
+    // sweep points), and the per-day max is a <= |days| census. Tie
+    // order (ts ASC, delta DESC, user_id, sess_id) is total and counts
+    // boundary-touching sessions as overlapping, so a single-event
+    // session still registers level >= 1 at its instant.
+    "ev17_peak_concurrency" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val sess = Tables(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 600,
+            1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("et"))
+      val sweep = sess.select(col("st").as("ts"), lit(1L).as("delta"),
+          col("user_id"), col("sess_id"))
+        .unionAll(sess.select(col("et").as("ts"), lit(-1L).as("delta"),
+          col("user_id"), col("sess_id")))
+      Scale.globalCumsum(sweep,
+          Seq(col("ts").asc, col("delta").desc, col("user_id").asc,
+            col("sess_id").asc), col("delta"))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(max(col("__cum")).as("peak_sessions"))
+    }),
+
     // User recency / churn features: per user, last active day, event
     // count, and days inactive relative to the corpus horizon — the
     // feature table a churn model trains on and the "dormant" flag a
@@ -448,6 +483,39 @@ object Events {
          |  CAST(hour(ts) AS INT) AS hh, COUNT(*) AS n_events,
          |  ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ev17: same session CTEs as ev15; the sweep's ROWS window under the
+    // identical total order makes the running level engine-exact
+    "ev17_peak_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR
+        |      date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM y),
+        |sess AS (SELECT user_id, sess_id, MIN(ts) AS st, MAX(ts) AS et
+        |  FROM z GROUP BY 1, 2),
+        |sweep AS (
+        |  SELECT st AS ts, 1 AS delta, user_id, sess_id FROM sess
+        |  UNION ALL
+        |  SELECT et AS ts, -1 AS delta, user_id, sess_id FROM sess),
+        |c AS (SELECT ts, SUM(delta) OVER (
+        |    ORDER BY ts ASC, delta DESC, user_id ASC, sess_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sweep)
+        |SELECT CAST(ts AS DATE) AS day,
+        |  CAST(MAX(cum) AS BIGINT) AS peak_sessions
+        |FROM c GROUP BY 1""".stripMargin,
 
     "ev15_session_stats" ->
       """WITH x AS (

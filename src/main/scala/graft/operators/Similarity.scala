@@ -70,11 +70,15 @@ object Similarity {
   // in OperatorsSpec).
 
   val IvfK = 8
-  // R = 12*K rescore pool: with M=8 x Kc=16 codebooks the ADC ranking is
-  // noisy enough that a 4*K pool capped recall@5 at ~0.56 on this corpus;
-  // 12*K lifts the exact-rescore tier to ~0.9 (spec gate 0.8) while the
-  // rescore stays Q-bounded (R rows per query, a broadcast join).
-  val PqM = 8; val PqDsub = 8; val PqKc = 16; val PqR = 12 * K
+  // R = 64*K rescore pool: with M=8 x Kc=16 codebooks the ADC ranking is
+  // noisy enough that a 4*K pool capped recall@5 at ~0.56 on this corpus
+  // and 12*K decayed from ~0.9 at 500 vectors to 0.78 at 5k (the ADC
+  // noise floor admits more impostors as N grows). R is the cheap recall
+  // knob — the exact rescore touches R rows per QUERY via a broadcast
+  // join, independent of corpus size, so 64*K costs the same at 1e9
+  // vectors as at 5e2 — and holds recall@5 >= 0.8 (the spec/sidecar
+  // floor) through the measured scale range.
+  val PqM = 8; val PqDsub = 8; val PqKc = 16; val PqR = 64 * K
 
   private def indexRoot(d: String): String = graft.core.IndexStore.root(d)
 

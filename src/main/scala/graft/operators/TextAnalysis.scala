@@ -782,6 +782,51 @@ object TextAnalysis {
           sum(col("b.n3")).as("vocab_trigram"))
         .select(((col("dec") + 1) * 10).as("pct"),
           col("vocab_unigram"), col("vocab_trigram"))
+    }),
+
+    // DSIR-style importance weights (Xie et al., NeurIPS'23 "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every raw document by the log-likelihood ratio of a hashed-unigram
+    // bag-of-words model of the TARGET domain (source = 'src0', the same
+    // benchmark convention tx13/tx17 use) against the RAW pool —
+    // the standard pretraining-data selection signal (sample raw docs
+    // proportional to exp(weight) to match the target distribution).
+    // Feature hashing (md5 -> 4096 buckets, the tx16 parity trick) keeps
+    // the model CONSTANT-SIZED no matter how the vocabulary grows, which
+    // is what makes this a 100 TB operator: the bucket census is one
+    // map-side-combinable <= B-row aggregate, the log-ratio table is a
+    // B-bounded broadcast (aggregate-bounded, audit-legal), and the
+    // per-doc score is one doc_id-keyed exchange. Two exchanges total,
+    // both linear; nothing scales with |vocab| or |target|.
+    // Cross-engine exactness: per-bucket log-ratios are computed once
+    // (identical expression shape in DuckDB), scaled to BIGINT at 1e9
+    // (tx23's convention — order-independent integer sums), and
+    // add-1-smoothed so target-only/raw-only buckets stay finite.
+    "tx25_dsir_weights" -> ((s, d) => {
+      val B = 4096
+      val bucket = expr(
+        "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 4096")
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(expr(tokensExpr)).as("t"))
+        .select(col("doc_id"), col("source"), bucket.as("b"))
+      val census = tok.groupBy(col("b")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+      val totals = census.agg(sum(col("ct")).as("st"),
+        sum(col("cr")).as("sr"))
+      // identical op order to the oracle: (ct+1)/(st+B) / ((cr+1)/(sr+B)),
+      // one ln, scaled-floor to BIGINT
+      val lr = census.crossJoin(broadcast(totals))
+        .select(col("b"), floor(log(
+          ((col("ct") + 1).cast("double") / (col("st") + B).cast("double")) /
+            ((col("cr") + 1).cast("double") / (col("sr") + B).cast("double")))
+          * 1e9 + 0.5).cast("long").as("slr"))
+      tok.filter(col("source") =!= "src0")
+        .join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("slr")).cast("double") / 1e9, 6)
+          .as("dsir_logratio"))
     })
   )
 
@@ -1106,6 +1151,34 @@ object TextAnalysis {
          |SELECT CAST((decile + 1) * 10 AS BIGINT) AS pct,
          |  CAST(SUM(n1) OVER (ORDER BY decile) AS BIGINT) AS vocab_unigram,
          |  CAST(SUM(n3) OVER (ORDER BY decile) AS BIGINT) AS vocab_trigram
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    // tx25: bucket hashing mirrors tx16's md5-hex parity; the log-ratio
+    // expression shape ((ct+1)/(st+B)) / ((cr+1)/(sr+B)) and the 1e9
+    // scaled-floor match the Spark side operation for operation
+    "tx25_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest($tokensSql) AS t
+         |  FROM documents),
+         |bk AS (SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 4096 AS BIGINT)
+         |      AS b
+         |  FROM tok),
+         |c AS (SELECT b,
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ct,
+         |    CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cr
+         |  FROM bk GROUP BY b),
+         |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS st,
+         |    CAST(SUM(cr) AS BIGINT) AS sr FROM c),
+         |lr AS (SELECT b, CAST(floor(ln(
+         |      (CAST(ct + 1 AS DOUBLE) / CAST(st + 4096 AS DOUBLE)) /
+         |      (CAST(cr + 1 AS DOUBLE) / CAST(sr + 4096 AS DOUBLE)))
+         |    * 1e9 + 0.5) AS BIGINT) AS slr
+         |  FROM c, t)
+         |SELECT doc_id,
+         |  round(CAST(SUM(slr) AS DOUBLE) / 1e9, 6) AS dsir_logratio
+         |FROM bk JOIN lr USING (b) WHERE source <> 'src0'
+         |GROUP BY doc_id""".stripMargin
   )
 }

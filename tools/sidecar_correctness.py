@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check  # noqa: E402
 import check_dd04  # noqa: E402
 import check_dd05  # noqa: E402
+import check_derived  # noqa: E402
 import check_sim07  # noqa: E402
 
 SPECIAL = {
@@ -52,10 +53,21 @@ def main(sf_dir, out_dir, sf, out_path):
                              "spark_rows": int(rows)}
             continue
         if name not in oracle:
-            queries[name] = {"oracle": None, "pass": None,
-                             "spark_rows": int(rows),
-                             "err": "no_oracle (spec-gated)"}
-            print(f"NO-ORACLE {name} ({rows} rows)")
+            # Sketch/recall-specific queries: graded by the independent
+            # derived checks (exact DuckDB quantities or another dump whose
+            # own correctness is separately pinned) where one exists; the
+            # residue stays spec-gated.
+            if name in check_derived.CHECKS:
+                ok, msg = check_derived.CHECKS[name](con, sf_dir, out_dir)
+                queries[name] = {
+                    "oracle": "derived (tools/check_derived.py)",
+                    "pass": bool(ok), "spark_rows": int(rows), "note": msg}
+                print(f"{'PASS' if ok else 'FAIL'} {name} (derived): {msg}")
+            else:
+                queries[name] = {"oracle": None, "pass": None,
+                                 "spark_rows": int(rows),
+                                 "err": "no_oracle (spec-gated)"}
+                print(f"NO-ORACLE {name} ({rows} rows)")
             continue
         try:
             got = con.execute(
