@@ -70,15 +70,17 @@ object Similarity {
   // in OperatorsSpec).
 
   val IvfK = 8
-  // R = 64*K rescore pool: with M=8 x Kc=16 codebooks the ADC ranking is
-  // noisy enough that a 4*K pool capped recall@5 at ~0.56 on this corpus
-  // and 12*K decayed from ~0.9 at 500 vectors to 0.78 at 5k (the ADC
-  // noise floor admits more impostors as N grows). R is the cheap recall
-  // knob — the exact rescore touches R rows per QUERY via a broadcast
-  // join, independent of corpus size, so 64*K costs the same at 1e9
-  // vectors as at 5e2 — and holds recall@5 >= 0.8 (the spec/sidecar
-  // floor) through the measured scale range.
-  val PqM = 8; val PqDsub = 8; val PqKc = 16; val PqR = 64 * K
+  // Kc = 64 (6-bit codes) and R = 256*K rescore pool, tuned on the
+  // measured recall-vs-N curve: the original Kc=16/R=12*K point decayed
+  // from ~0.9 recall@5 at 500 vectors to 0.78 at 5k and 0.55 at 50k —
+  // ADC ranking noise admits more impostors as N grows, and 4-bit
+  // codebooks on random 64-dim data sit near the noise floor. Both knobs
+  // are scale-cheap where it matters: Kc multiplies TRAIN/encode cost
+  // (linear scans, amortized over probes in the persisted-index path)
+  // but not per-candidate ADC cost (still M lookups), and R touches R
+  // rows per QUERY via a broadcast join, independent of corpus size.
+  // Measured at 50k vectors: recall@5 = 0.92 (sidecar floor 0.8).
+  val PqM = 8; val PqDsub = 8; val PqKc = 64; val PqR = 256 * K
 
   private def indexRoot(d: String): String = graft.core.IndexStore.root(d)
 
@@ -275,7 +277,8 @@ object Similarity {
     // rest). Builds the index lazily on first touch; identical rows to
     // sim03 (same kernels, deterministic k-means) — asserted in the spec.
     "sim03_probe" -> ((s, d) => {
-      val root = indexRoot(d) + "/ivf"
+      // hyperparameter-versioned like sim05_probe's codebook path
+      val root = indexRoot(d) + s"/ivf_k$IvfK"
       if (!indexReady(s, root + "/centroids")) {
         val (assigned, centroids) = Clustering.kmeansFull(
           Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
@@ -378,7 +381,11 @@ object Similarity {
     // on first touch; identical rows to sim05 (same kernel, deterministic
     // training, exact double round-trip) — asserted in the spec.
     "sim05_probe" -> ((s, d) => {
-      val root = indexRoot(d) + "/pq"
+      // hyperparameters in the path: a codebook persisted under one
+      // (M, Dsub, Kc) must never serve a probe compiled with another —
+      // a stale index would silently break the probe/fused bit-identity
+      // contract (caught live when Kc moved 16 -> 64)
+      val root = indexRoot(d) + s"/pq_m${PqM}d${PqDsub}k$PqKc"
       if (!indexReady(s, root + "/codebook")) {
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"))

@@ -822,11 +822,19 @@ object TextAnalysis {
           ((col("ct") + 1).cast("double") / (col("st") + B).cast("double")) /
             ((col("cr") + 1).cast("double") / (col("sr") + B).cast("double")))
           * 1e9 + 0.5).cast("long").as("slr"))
+      // 6dp output via INTEGER half-away-from-zero on the exact scaled
+      // sum — round(sum/1e9, 6) on a double flipped 3 of 47,511 rows at
+      // sf1 (engines decimalize the quotient differently at a .5e-6
+      // boundary); (s + 500) DIV 1000 on the guarded-positive long is
+      // engine-exact, and r6/1e6 maps equal integers to equal doubles.
       tok.filter(col("source") =!= "src0")
         .join(broadcast(lr), Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("slr")).cast("double") / 1e9, 6)
-          .as("dsir_logratio"))
+        .agg(sum(col("slr")).as("ssum"))
+        .select(col("doc_id"),
+          (when(col("ssum") >= 0, expr("(ssum + 500) DIV 1000"))
+            .otherwise(-expr("(-ssum + 500) DIV 1000"))
+            .cast("double") / 1e6).as("dsir_logratio"))
     })
   )
 
@@ -1175,10 +1183,14 @@ object TextAnalysis {
          |      (CAST(ct + 1 AS DOUBLE) / CAST(st + 4096 AS DOUBLE)) /
          |      (CAST(cr + 1 AS DOUBLE) / CAST(sr + 4096 AS DOUBLE)))
          |    * 1e9 + 0.5) AS BIGINT) AS slr
-         |  FROM c, t)
+         |  FROM c, t),
+         |s AS (SELECT doc_id, CAST(SUM(slr) AS BIGINT) AS ssum
+         |  FROM bk JOIN lr USING (b) WHERE source <> 'src0'
+         |  GROUP BY doc_id)
          |SELECT doc_id,
-         |  round(CAST(SUM(slr) AS DOUBLE) / 1e9, 6) AS dsir_logratio
-         |FROM bk JOIN lr USING (b) WHERE source <> 'src0'
-         |GROUP BY doc_id""".stripMargin
+         |  CAST(CASE WHEN ssum >= 0 THEN (ssum + 500) // 1000
+         |       ELSE -((-ssum + 500) // 1000) END AS DOUBLE) / 1e6
+         |    AS dsir_logratio
+         |FROM s""".stripMargin
   )
 }

@@ -57,8 +57,12 @@ class Round10Spec extends AnyFunSuite {
     val want = docs.filter(_._2 != "src0").flatMap { case (id, _, t) =>
       val toks = tokre.findAllIn(t).toSeq
       if (toks.isEmpty) None
-      else Some(id -> math.rint(toks.map(tok => slr(bucket(tok))).sum
-        / 1e9 * 1e6) / 1e6)
+      else {
+        val s = toks.map(tok => slr(bucket(tok))).sum
+        // integer 6dp half-away-from-zero, mirroring the operator
+        val r6 = if (s >= 0) (s + 500) / 1000 else -((-s + 500) / 1000)
+        Some(id -> r6 / 1e6)
+      }
     }.toMap
     val got = SparkEntry.queries("tx25_dsir_weights")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -19,6 +19,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def create_views(con, sf_dir):
+    """One view per table; `events.ts` is normalized to TIMESTAMP.
+
+    The physical type of events.ts varies by generation (TESTDATA.md /
+    PLANS.md): TIMESTAMP(NANOS) and micros TIMESTAMP_NTZ read as
+    timestamps directly, but graft.ScaleData's sf>=1 fixtures store raw
+    epoch-NANOS int64 — the oracle SQL (date_diff/date_trunc on ts) needs
+    the same `timestamp_micros(ts DIV 1000)` normalization the engine's
+    Tables.normalizeEventTs applies, or every events oracle binder-fails.
+    """
+    for t in TABLES:
+        src = f"'{sf_dir}/{t}.parquet'"
+        if t == "events":
+            ty = con.execute(
+                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+            if ty in ("BIGINT", "HUGEINT", "UBIGINT"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
+                continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -35,9 +58,7 @@ def canon(df):
 
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    create_views(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_nodump = 0
     for name, sql in sorted(oracle.items()):

@@ -205,14 +205,10 @@ CHECKS = {
         lambda c, s, o: _identical(c, o, "sim05_probe", "sim05_pq_knn"),
 }
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
 def main(sf_dir, out_dir, names=()):
+    import check
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    check.create_views(con, sf_dir)
     rc = 0
     for name, fn in sorted(CHECKS.items()):
         if names and name not in names:

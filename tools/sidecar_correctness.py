@@ -35,9 +35,7 @@ SPECIAL = {
 
 def main(sf_dir, out_dir, sf, out_path):
     con = duckdb.connect()
-    for t in check.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    check.create_views(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     dumped = sorted(d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d)))
