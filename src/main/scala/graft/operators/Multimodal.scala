@@ -190,6 +190,7 @@ object Multimodal {
         .withColumn("cemb",
           expr("zip_with(emb, mean, (x, y) -> CAST(x - y AS FLOAT))"))
       val own = centered.select(col("media_id"), col("kind"),
+        xxhash64(col("emb")).as("ehash"),
         posexplode(sign_buckets(col("cemb"), B, L)).as(Seq("tbl", "bucket")))
       // own-bucket candidates only: L independent tables already give the
       // recall diversity; Hamming-1 multiprobe would multiply the (stub-
@@ -219,8 +220,17 @@ object Multimodal {
       val W = 8
       val bw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("kind"), col("tbl"), col("bucket"))
+      // Ring order = (embedding hash, media_id), NOT media_id alone:
+      // identical embeddings become CONTIGUOUS runs, so a duplicate's
+      // twin sits at ring distance 1 regardless of how many foreign
+      // vectors share the (stub-degenerate) mega-bucket. Under media_id
+      // order, a mega-bucket interleaves duplicate GROUPS and a media's
+      // W successors could all be foreign — caught at sf1 by
+      // tools/check_mm04.py: an exact twin > W positions away reported
+      // top-1 sim 0.9994 instead of 1.0.
       val pos = own
-        .withColumn("pos", row_number().over(bw.orderBy(col("media_id"))))
+        .withColumn("pos", row_number().over(
+          bw.orderBy(col("ehash"), col("media_id"))))
         .withColumn("m", count(lit(1)).over(bw))
       // j = 1..min(W, m-1) cyclic steps; m = 1 buckets have no pairs.
       // tpos != pos by construction (j mod m is never 0), so no
@@ -235,12 +245,19 @@ object Multimodal {
       // media); the rescore joins co-partition the per-media `e` against
       // the candidate set on media_id via shuffle-hash for the same
       // reason (PlanAuditSpec).
-      val cand = probes.as("x").join(pos.hint("merge").as("y"),
+      val candDir = probes.as("x").join(pos.hint("merge").as("y"),
           col("x.kind") === col("y.kind") && col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.tpos") === col("y.pos"))
         .select(col("x.media_id").as("media_id"),
           col("y.media_id").as("neighbor_id"))
+      // score BOTH directions: the last member of a contiguous duplicate
+      // run probes only forward (outside its run), but it is probed BY
+      // its predecessor — the reverse rows close the exact-duplicate
+      // contract for every run member at any m. A pair surfaced twice
+      // scores identically; the k=1 selection dedupes for free.
+      val cand = candDir.unionAll(candDir.select(
+        col("neighbor_id").as("media_id"), col("media_id").as("neighbor_id")))
       val pairs = cand.as("c")
         .join(e.hint("shuffle_hash").as("a"),
           col("c.media_id") === col("a.media_id"))

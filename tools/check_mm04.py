@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Independent contract check for mm04_media_embed_knn.
+
+mm04's candidate generation is blocking-specific (mean-centered sign-LSH
+buckets + a sorted-neighborhood ring), so an exact SQL oracle does not
+exist; its documented CONTRACT, though, is independently checkable
+outside Spark by replicating the deterministic stub encoder
+(emb[i % 8] += byte — integer-valued float32 slots, exact up to 2^24, so
+the replica is bit-faithful):
+
+  1. soundness — every output row names a distinct same-kind neighbor
+     and its `sim` is a valid 6-decimal rounding of the true cosine of
+     the two stub embeddings (|sim - cos| <= 5e-7 + 1e-12);
+  2. exact-duplicate recall — every media whose embedding is IDENTICAL
+     to another same-kind media's (the stub's duplicate clusters, the
+     adversarial case the ring window was built for) must appear with
+     sim = 1.0: identical vectors co-bucket at any plane count, the
+     ring probes at least one successor in an m >= 2 bucket, and an
+     identical neighbor scores exactly 1.0.
+
+Usage: python3 tools/check_mm04.py <sfDir> <verifyOutDir>
+"""
+import sys
+
+import duckdb
+import numpy as np
+
+
+def embed(text: str) -> np.ndarray:
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    emb = np.zeros(8, dtype=np.int64)
+    for r in range(8):
+        emb[r] = int(b[r::8].sum(dtype=np.int64))
+    return emb.astype(np.float64)  # exact: integer-valued float32 slots
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    kinds = {d: ("image", "audio", "video")[d % 3] for d, _ in docs}
+    embs = {d: embed(t) for d, t in docs}
+    nrm = {d: float(np.sqrt((e * e).sum())) for d, e in embs.items()}
+    rows = con.execute(
+        f"SELECT media_id, kind, neighbor_id, sim FROM "
+        f"'{out_dir}/mm04_media_embed_knn/*.parquet'").fetchall()
+    seen = {}
+    for mid, kind, nid, sim in rows:
+        if mid in seen:
+            return fail(f"media {mid} appears twice")
+        seen[mid] = sim
+        if nid == mid:
+            return fail(f"media {mid} is its own neighbor")
+        if kinds[mid] != kind or kinds[nid] != kind:
+            return fail(f"pair ({mid},{nid}) crosses kinds")
+        if nrm[mid] == 0 or nrm[nid] == 0:
+            return fail(f"pair ({mid},{nid}) includes a zero-norm vector")
+        cos = float(embs[mid] @ embs[nid]) / (nrm[mid] * nrm[nid])
+        if abs(sim - cos) > 5e-7 + 1e-12:
+            return fail(f"({mid},{nid}): sim {sim} vs true cosine {cos}")
+    # exact-duplicate recall: same-kind identical embeddings must hit 1.0
+    groups = {}
+    for d, e in embs.items():
+        if nrm[d] > 0:
+            groups.setdefault((kinds[d],) + tuple(e), []).append(d)
+    n_dup = 0
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        for d in members:
+            n_dup += 1
+            if seen.get(d) != 1.0:
+                return fail(
+                    f"media {d} has an identical same-kind twin but "
+                    f"reports sim {seen.get(d)}")
+    print(f"mm04 OK: {len(rows)} rows sound vs the replicated stub "
+          f"encoder; all {n_dup} exact-duplicate media report sim 1.0")
+    return 0
+
+
+def fail(msg):
+    print(f"mm04 MISMATCH: {msg}")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

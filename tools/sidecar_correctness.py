@@ -21,7 +21,9 @@ import check  # noqa: E402
 import check_dd04  # noqa: E402
 import check_dd05  # noqa: E402
 import check_derived  # noqa: E402
+import check_mm04  # noqa: E402
 import check_sim07  # noqa: E402
+import check_tx05  # noqa: E402
 
 SPECIAL = {
     "dd05_embedding_neardup": ("numpy (tools/check_dd05.py)",
@@ -30,6 +32,10 @@ SPECIAL = {
                            check_dd04.main),
     "sim07_mmr_rerank": ("MMR replica (tools/check_sim07.py)",
                          check_sim07.main),
+    "tx05_winnow_pairs": ("winnowing brute force (tools/check_tx05.py)",
+                          check_tx05.main),
+    "mm04_media_embed_knn": ("stub-encoder contract (tools/check_mm04.py)",
+                             check_mm04.main),
 }
 
 
