@@ -38,12 +38,21 @@ object Similarity {
   val NQueries = 10
 
   /** Rank candidates per query on (rounded cosine desc, vec_id) — the
-    * rounding makes cross-engine ordering exact. */
+    * rounding makes cross-engine ordering exact.
+    *
+    * Selection runs through [[Scale.topKPerGroup]] (partial per-partition
+    * heaps, <= K rows per (query x partition) on the wire), NOT a
+    * per-qid rank window: `Window.partitionBy(qid)` repartitions the
+    * ENTIRE Q x N scored relation into Q partitions — at 1e9 vectors
+    * that funnels every scored row through |Q| tasks. The rank column is
+    * attached afterwards on the K*Q-bounded survivors, where a window is
+    * size-legal at any corpus scale. */
   private def topkPerQuery(scored: DataFrame): DataFrame = {
+    val top = Scale.topKPerGroup(scored, Seq("qid"), K,
+      col("cos_r").desc, col("vec_id").asc)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    top.withColumn("rank", row_number().over(w))
       .select(col("qid"), col("rank"), col("vec_id"), col("cos_r"))
   }
 
@@ -143,12 +152,15 @@ object Similarity {
         "a.n2 + lutn2[a.m][c]), " +
         "a -> CASE WHEN a.n2 > 0 AND qnorm > 0 " +
         "THEN a.dt / (qnorm * sqrt(a.n2)) ELSE CAST(-2 AS DOUBLE) END)")
-    val wA = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    val cand = encoded.crossJoin(broadcast(lutDf))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adc", adc)
-      .withColumn("r", row_number().over(wA)).filter(col("r") <= PqR)
+    // top-R ADC candidates via partial/final heaps (Scale.topKPerGroup),
+    // not a per-qid rank window — same N*Q funnel argument as
+    // topkPerQuery; (adc desc, vec_id asc) is a total order
+    val cand = Scale.topKPerGroup(
+      encoded.crossJoin(broadcast(lutDf))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", adc)
+        .select(col("qid"), col("vec_id"), col("adc")),
+      Seq("qid"), PqR, col("adc").desc, col("vec_id").asc)
       .select(col("qid"), col("vec_id"))
     // exact rescore of R*|Q| candidate rows against the raw vectors
     val exact = e.join(broadcast(cand), "vec_id")

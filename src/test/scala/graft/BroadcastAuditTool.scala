@@ -49,6 +49,9 @@ object BroadcastAuditTool {
       case _: org.apache.spark.sql.execution.CollectLimitExec => true
       case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
       case _: org.apache.spark.sql.execution.window.WindowExec => true
+      // the custom partial/final top-k operator caps output at k rows per
+      // group — the same bounded-selection class as a window rank-filter
+      case _: org.apache.spark.sql.graftx.TopKPerGroupExec => true
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.metadata.get("PushedFilters").exists(s =>
           s.replaceAll("IsNotNull\\([^)]*\\)", "").exists(_.isLetter))
