@@ -835,6 +835,33 @@ object TextAnalysis {
           (when(col("ssum") >= 0, expr("(ssum + 500) DIV 1000"))
             .otherwise(-expr("(-ssum + 500) DIV 1000"))
             .cast("double") / 1e6).as("dsir_logratio"))
+    }),
+
+    // Per-document token (Shannon) entropy — the quality signal that
+    // separates natural prose from keyword stuffing / boilerplate /
+    // low-diversity spam at a glance: H = ln(n) - (1/n) * sum_t c_t ln c_t
+    // over the token census. Shape: one (doc, token) aggregate, then the
+    // per-doc rollup REUSES its hash partitioning (grouping on a key
+    // subset inserts no second exchange) — one shuffle total, linear.
+    // Cross-engine exactness: the sum over tokens is accumulation-order-
+    // sensitive in doubles, so each c*ln(c) term is floor-scaled to a
+    // BIGINT at 1e9 (tx23's convention) and summed exactly; the final
+    // H is transcendental (never sits on a decimal rounding boundary,
+    // unlike tx25's integer-ratio sums), so round(H, 6) agrees.
+    "tx26_token_entropy" -> ((s, d) => {
+      val census = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      census.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+            * 1e9 + 0.5).cast("long")).as("sclnc"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          round(log(col("n_tok").cast("double")) -
+            col("sclnc").cast("double") / 1e9 / col("n_tok").cast("double"),
+            6).as("entropy"))
     })
   )
 
@@ -1191,6 +1218,23 @@ object TextAnalysis {
          |  CAST(CASE WHEN ssum >= 0 THEN (ssum + 500) // 1000
          |       ELSE -((-ssum + 500) // 1000) END AS DOUBLE) / 1e6
          |    AS dsir_logratio
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // tx26: the c*ln(c) scaled-BIGINT terms and the H expression mirror
+    // the Spark side operation for operation
+    "tx26_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |    COUNT(*) AS n_types,
+         |    CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sclnc
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tok, n_types,
+         |  round(ln(CAST(n_tok AS DOUBLE)) -
+         |    CAST(sclnc AS DOUBLE) / 1e9 / CAST(n_tok AS DOUBLE), 6)
+         |    AS entropy
+         |FROM g""".stripMargin
   )
 }

@@ -72,6 +72,39 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("tx26: entropy equals the driver-side recomputation and respects " +
+      "the 0 <= H <= ln(n_types) bound") {
+    val tokre = "[a-z0-9]+".r
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, t) =>
+      val counts = tokre.findAllIn(t).toSeq.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      if (counts.isEmpty) None else {
+        val n = counts.values.sum
+        val s = counts.values.map(c => math.floor(
+          c.toDouble * math.log(c.toDouble) * 1e9 + 0.5).toLong).sum
+        val h = math.log(n.toDouble) - s.toDouble / 1e9 / n.toDouble
+        Some(id -> ((n, counts.size.toLong,
+          math.rint(h * 1e6) / 1e6)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("tx26_token_entropy")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (n, ty, h)) =>
+      val (wn, wty, wh) = want(id)
+      assert(n == wn && ty == wty, s"doc $id counts")
+      assert(math.abs(h - wh) < 1e-9, s"doc $id: H $h vs $wh")
+      // 5e-7 slack: H is reported at 6dp, and a uniform doc sits at
+      // H = ln(n_types) EXACTLY, which can round up past the raw bound
+      assert(h >= -5e-7 && h <= math.log(ty.toDouble) + 5e-7,
+        s"doc $id: H $h outside [0, ln($ty)]")
+    }
+  }
+
   test("ev17: per-day peak equals a brute-force interval sweep on " +
       "collected sessions") {
     // recompute sessions directly (same 10-min gap rule) driver-side.
