@@ -22,6 +22,22 @@ object Bench {
     "sim01_knn_bruteforce", "tx08_tfidf_pairs", "ev01_sessionize",
     "gr01_grep_lines", "rs01_simple_app")
 
+  /** Queries that consume a lazily-built persisted IndexStore artifact
+    * (pair table / IVF cells / PQ codebook+codes). Their first timed
+    * pass pays the one-time index BUILD — real user-facing work that a
+    * plain min-of-2 would silently swallow (dd09's sf2 passes were
+    * [41.3 s, 0.53 s] and the headline said 0.53) — so the bench wipes
+    * the sfDir's index store up front (pass 1 = deterministic
+    * build+query, pass 2 = steady state) and reports both: the headline
+    * `queries` map carries the steady number, `index_build` carries
+    * {first_pass_s, steady_s, build_s}. Within a pass the FIRST query
+    * to touch an artifact builds it (alphabetical order: dd09 builds the
+    * pair table that dd10/dd14 reuse; sim03_probe the IVF index;
+    * sim05_pq_knn the PQ codebook+codes that sim05_probe reuses). */
+  private val IndexBacked = Seq(
+    "dd09_clusters_from_pairs", "dd10_dedup_corpus_from_pairs",
+    "dd14_cluster_canonical", "sim03_probe", "sim05_pq_knn", "sim05_probe")
+
   private def jnum(v: Double): String = f"$v%.3f"
 
   def main(args: Array[String]): Unit = {
@@ -74,12 +90,23 @@ object Bench {
     val gateDd05 = nVec > 60000
     // Optional subset run (comma-separated names): the targeted-sidecar
     // dev loop — e.g. the sf4 pair-kernel trend point only times the five
-    // pair kernels instead of paying for the whole 109-query surface.
+    // pair kernels instead of paying for the full query surface.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
     val benchQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .filterNot { case (n, _) => gateDd05 && n == "dd05_embedding_neardup" }
+
+    // Deterministic index-build accounting (see IndexBacked): wipe the
+    // measured dataset's persisted index store so pass 1 always pays the
+    // build and pass 2 is always steady-state — without this, whether a
+    // stale index from an earlier run exists silently decides what the
+    // first pass measures.
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(graft.core.IndexStore.root(sfDir)))
 
     // Warm every query's codegen/scan path at the tiniest sf so timed
     // numbers measure the query, not one-time JVM/compile startup
@@ -143,18 +170,36 @@ object Bench {
       .mkString(""","streaming_rec_s":{""", ",", "}")
     val passesJson = pass1.zip(pass2).map { case ((k, a), (_, b)) =>
       s""""$k":[${jnum(a)},${jnum(b)}]""" }.mkString("{", ",", "}")
+    // Index build cost, split out per IndexBacked query: build_s is the
+    // first-touch premium over steady state (clamped at 0 — noise can
+    // make a warm pass slower than a cold one on non-building reusers).
+    val indexJson = pass1.zip(pass2)
+      .filter { case ((k, _), _) => IndexBacked.contains(k) }
+      .map { case ((k, a), (_, b)) =>
+        val build = if (a >= 0 && b >= 0) math.max(0.0, a - b) else -1.0
+        s""""$k":{"first_pass_s":${jnum(a)},"steady_s":${jnum(b)},"build_s":${jnum(build)}}"""
+      }.mkString(""","index_build":{""", ",", "}")
     val gateJson = if (gateDd05)
       s""","dd05_gated":"excluded: O(N^2) recall anchor, corpus ${nVec} vectors > 60k sf1 bound (PLANS.md)""""
       else ""
     val fullJson =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$streamJson$gateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     println(s"BENCH_DETAIL $fullJson")
 
     val headQs = results.filter(r => Headline.contains(r._1))
       .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$headQs$streamJson$gateJson,"detail":"bench_full.json","sf":"$sfDir"}""")
+    // compact build/steady split for the headline (full detail incl.
+    // first_pass_s is in bench_full.json); short keys keep the line
+    // within the driver's bounded stdout tail
+    val headIdx = pass1.zip(pass2)
+      .filter { case ((k, _), _) => IndexBacked.contains(k) }
+      .map { case ((k, a), (_, b)) =>
+        val build = if (a >= 0 && b >= 0) math.max(0.0, a - b) else -1.0
+        s""""$k":{"build_s":${jnum(build)},"steady_s":${jnum(b)}}"""
+      }.mkString(""","index_build":{""", ",", "}")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$headQs$headIdx$streamJson$gateJson,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * `<table>.parquet` so the output dir is path-compatible with the driver
   * testdata layout consumed by Verify/Bench and tools/check.py.
   *
-  * Usage: runMain graft.ScaleData <sf> <outDir>   (sf=1.0 -> 6M lineitem)
+  * Usage: runMain graft.ScaleData <sf> <outDir> [open]
+  * (sf=1.0 -> 6M lineitem; "open" switches the documents table to the
+  * open-vocabulary Zipf fixture — see [[documents]])
   */
 object ScaleData {
 
@@ -34,6 +36,7 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val sf = args(0).toDouble
     val out = args(1)
+    val openVocab = args.length > 2 && args(2) == "open"
     val spark = SparkSession.builder()
       .appName(s"graft-scaledata-sf$sf")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -41,11 +44,12 @@ object ScaleData {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, out)
+    generate(spark, sf, out, openVocab)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, sf: Double, out: String): Unit = {
+  def generate(spark: SparkSession, sf: Double, out: String,
+      openVocab: Boolean = false): Unit = {
     val nCust = (sf * 150000).toLong
     val nSupp = (sf * 10000).toLong
     val nPart = (sf * 200000).toLong
@@ -160,21 +164,38 @@ object ScaleData {
       .withColumn("props", concat(lit("{\"k\": "),
         pmod(xxhash64($"event_id", lit("p")), lit(100L)), lit("}"))))
 
-    write(out, "documents", documents(spark, nDocs))
+    write(out, "documents", documents(spark, nDocs, openVocab))
     write(out, "embeddings", embeddings(spark, nVecs))
   }
 
   /** Bag-of-words docs over the driver vocab; ~5% are near-dup copies of
     * an earlier doc sharing the full word-sequence prefix but with the
     * tail extended/truncated by 1-2 words (J in [0.9, 0.99] on 3-word
-    * shingles), a small fraction of those exact copies. */
-  private def documents(spark: SparkSession, n: Long): DataFrame = {
+    * shingles), a small fraction of those exact copies.
+    *
+    * `openVocab = false` (the default) reproduces the DRIVER testdata's
+    * 30-word closed vocabulary — oracle continuity with every previous
+    * round, but its 3-shingle vocabulary saturates at 27k from sf1, so
+    * per-shingle df grows linearly in N and candidate pair-work grows
+    * quadratically BY FIXTURE CONSTRUCTION (PLANS.md measures this) —
+    * useless for judging whether the pair kernels are linear on real
+    * corpora. `openVocab = true` is that evidence fixture: a Zipf-tailed
+    * vocabulary that GROWS with the corpus (V = max(30, nDocs) word
+    * types, rank drawn as floor(V^u) — the standard log-uniform
+    * inverse-CDF giving P(r) ~ 1/r, Zipf s=1), the Heaps-law regime real
+    * text lives in, where the shingle-key count grows with N and
+    * per-key df stays bounded, so a linear kernel measures linear. The
+    * near-dup copy mechanism is vocab-independent (copies replay the
+    * base doc's word sequence), so dedup oracles work identically. */
+  private def documents(spark: SparkSession, n: Long,
+      openVocab: Boolean = false): DataFrame = {
     import spark.implicits._
     val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
       "value", "part", "hash", "merge", "batch", "a", "the", "line", "sort",
       "window", "spark", "order", "data", "column", "join", "small",
       "customer", "query", "big", "filter", "group", "vector", "stream")
     val vocabArr = array(vocab.map(lit): _*)
+    val vOpen = math.max(vocab.size.toLong, n)
     def hh(salt: String): Column = xxhash64($"doc_id", lit(salt))
     def baseLen(x: Column): Column =
       (pmod(xxhash64(x, lit("len")), lit(93L)) + 8).cast("int")
@@ -191,9 +212,15 @@ object ScaleData {
           element_at(array(lit(-2), lit(-1), lit(1), lit(2)),
             (pmod(hh("tail"), lit(4L)) + 1).cast("int")))).otherwise(lit(0)))
       .withColumn("text", array_join(transform(sequence(lit(1), $"len"),
-        i => element_at(vocabArr,
-          (pmod(xxhash64($"base", i, lit("w")), lit(vocab.size.toLong)) + 1)
-            .cast("int"))), " "))
+        i =>
+          if (openVocab)
+            // Zipf s=1 via inverse CDF: rank = floor(V^u), u uniform
+            concat(lit("w"), floor(pow(lit(vOpen.toDouble),
+              u(xxhash64($"base", i, lit("w"))))).cast("long"))
+          else
+            element_at(vocabArr,
+              (pmod(xxhash64($"base", i, lit("w")), lit(vocab.size.toLong))
+                + 1).cast("int"))), " "))
       .withColumn("lang", when(pmod(hh("lang"), lit(1000L)) < 420, "en")
         .when(pmod(hh("lang"), lit(1000L)) < 565, "zh")
         .when(pmod(hh("lang"), lit(1000L)) < 710, "es")

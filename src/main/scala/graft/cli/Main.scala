@@ -41,16 +41,32 @@ object Main {
     // stays searchable: `dgrep logs/ -- -c` greps for the string "-c".
     case "dgrep" :: glob :: rest if rest.nonEmpty =>
       parseDgrep(rest) match {
-        case Some((flags, pattern)) =>
+        case Some(DgrepArgs(flags, pattern, limit, out)) =>
           val spark = session("graft-dgrep")
           val lines = Grep.grepLogs(spark, glob, pattern,
             ignoreCase = flags('i'), invert = flags('v'), fixed = flags('F'))
           if (flags('c'))
+            // count path: one row per FILE — bounded by the input file
+            // set, the collect stays
             Grep.grepCount(lines).orderBy(col("file")).collect()
               .foreach(r => println(s"${r.get(0)}: ${r.get(1)}"))
-          else
-            lines.select(concat_ws(": ", col("file"), col("value"))).collect()
-              .foreach(r => println(r.getString(0)))
+          else {
+            val capped = limit.fold(lines)(lines.limit)
+            val rendered =
+              capped.select(concat_ws(": ", col("file"), col("value")))
+            out match {
+              // --out: matches never touch the driver at all — a
+              // distributed text write, the shape that survives a
+              // frequent pattern over 100 TB of logs
+              case Some(dir) => rendered.write.mode("overwrite").text(dir)
+              // stdout path: stream partition-at-a-time instead of
+              // collect() — driver memory is bounded by one partition,
+              // not the (unbounded) full match set; --limit N caps the
+              // job itself (CollectLimit stops the scan early)
+              case None => rendered.toLocalIterator().forEachRemaining(
+                r => println(r.getString(0)))
+            }
+          }
           spark.stop()
         case None => usage()
       }
@@ -93,17 +109,40 @@ object Main {
       usage()
   }
 
+  private[graft] case class DgrepArgs(flags: Set[Char], pattern: String,
+    limit: Option[Int], out: Option[String])
+
   /** dgrep argv after the glob: grep-style short flags anywhere, `--`
     * ends flag parsing (a flag-shaped literal pattern stays searchable),
-    * exactly one pattern. Returns (flag set, pattern) or None. */
-  private[graft] def parseDgrep(rest: List[String]): Option[(Set[Char], String)] = {
+    * `--limit N` caps emitted match lines (grep's -m shape) and
+    * `--out DIR` writes them distributed instead of to stdout, exactly
+    * one pattern. Returns None on malformed argv. */
+  private[graft] def parseDgrep(rest: List[String]): Option[DgrepArgs] = {
     val known = Set('c', 'i', 'v', 'F', 'E')
     val (beforeSep, afterSep) = rest.span(_ != "--")
-    val (flagArgs, patBefore) = beforeSep.partition(a =>
+    // pull the two value-taking long options out first ("--limit"/"--out"
+    // are not the "--" separator, so they participate in flag parsing)
+    var limit = Option.empty[Int]
+    var out = Option.empty[String]
+    val plain = List.newBuilder[String]
+    var cur = beforeSep
+    var bad = false
+    while (cur.nonEmpty) cur match {
+      case "--limit" :: v :: t =>
+        limit = v.toIntOption.filter(_ > 0); bad ||= limit.isEmpty; cur = t
+      case "--out" :: v :: t => out = Some(v); cur = t
+      case ("--limit" | "--out") :: Nil => bad = true; cur = Nil
+      case h :: t => plain += h; cur = t
+      case Nil =>
+    }
+    if (bad) return None
+    val (flagArgs, patBefore) = plain.result().partition(a =>
       a.length > 1 && a.startsWith("-") &&
         a.drop(1).forall(known.contains))
     patBefore ++ afterSep.drop(1) match {
-      case pattern :: Nil => Some((flagArgs.flatMap(_.drop(1)).toSet, pattern))
+      case pattern :: Nil =>
+        Some(DgrepArgs(flagArgs.flatMap(_.drop(1)).toSet, pattern,
+          limit, out))
       case _ => None
     }
   }
@@ -161,7 +200,7 @@ object Main {
   private def usage(): Unit = {
       System.err.println(
         """usage:
-          |  dgrep <glob> <pattern> [-c] [-i] [-v] [-E] [-F]
+          |  dgrep <glob> <pattern> [-c] [-i] [-v] [-E] [-F] [--limit N] [--out DIR]
           |  rainstorm simple <pattern> <idx1> <idx2> <inDir> <outDir> <ckpt>
           |  rainstorm complex <filterIdx> <filterVal> <keyIdx> <inDir> <outDir> <ckpt>
           |  sql <sfDir> <file.sql | statement>

@@ -107,4 +107,40 @@ object InvertedIndex {
         shiftrightunsigned(col("__p1"), 48).as("n1"),
         shiftrightunsigned(col("__p2"), 48).as("n2"))
   }
+
+  /** [[pairCountsLengthPruned]] restricted to CROSS-group pairs: `flag`
+    * marks each posting's side (true = new/probe) and only pairs whose
+    * flags differ are generated — via
+    * [[org.apache.spark.sql.graftx.CrossPairsWithinRatio]], which splits
+    * each (still df-capped, so cap semantics are IDENTICAL to the full
+    * kernel's) postings list into its flagged/unflagged runs and emits
+    * per flagged element only its in-ratio window of the other side.
+    * This is the incremental-dedup kernel (dd16): per-key work is
+    * |new-in-key| x window, so a 1% increment pays ~1% of the full
+    * kernel's pair generation instead of re-mining the corpus.
+    *
+    * Output matches [[pairCountsLengthPruned]]'s (d1, d2, c, n1, n2) on
+    * the cross subset exactly — the flag is a pure function of the doc
+    * id on every call site, so equal ids pack identically and the
+    * (d1, d2) aggregation keys are unchanged. Requires ids < 2^47 (the
+    * flag rides in bit 47). */
+  def pairCountsLengthPrunedCross(post: DataFrame, key: Column,
+      docId: Column, len: Column, flag: Column, tau: Double,
+      cap: Int = StopKeyCap): DataFrame = {
+    import org.apache.spark.sql.graftx.{CrossPairsWithinRatio, PairsWithinRatio}
+    val packed = post.select(key.as("__k"),
+      CrossPairsWithinRatio.packFlagged(docId, len, flag).as("__pd"))
+    groupedPostings(packed, col("__k"), col("__pd"), cap)
+      .select(CrossPairsWithinRatio
+        .cross_pairs_within_ratio(col("ds"), tau)
+        .as(Seq("__p1", "__p2")))
+      .groupBy(col("__p1"), col("__p2"))
+      .agg(count(lit(1)).as("c"))
+      .select(
+        col("__p1").bitwiseAND(lit(CrossPairsWithinRatio.IdMask47)).as("d1"),
+        col("__p2").bitwiseAND(lit(CrossPairsWithinRatio.IdMask47)).as("d2"),
+        col("c"),
+        shiftrightunsigned(col("__p1"), 48).as("n1"),
+        shiftrightunsigned(col("__p2"), 48).as("n2"))
+  }
 }

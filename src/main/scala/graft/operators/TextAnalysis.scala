@@ -840,9 +840,16 @@ object TextAnalysis {
     // Per-document token (Shannon) entropy — the quality signal that
     // separates natural prose from keyword stuffing / boilerplate /
     // low-diversity spam at a glance: H = ln(n) - (1/n) * sum_t c_t ln c_t
-    // over the token census. Shape: one (doc, token) aggregate, then the
-    // per-doc rollup REUSES its hash partitioning (grouping on a key
-    // subset inserts no second exchange) — one shuffle total, linear.
+    // over the token census. Shape: two aggregates, two exchanges — the
+    // (doc, token) census shuffles map-side-combined census rows, then
+    // the per-doc rollup re-shuffles on doc_id (HashPartitioning(doc, t)
+    // does NOT satisfy a doc_id-only clustering — subset grouping needs
+    // its own exchange; the reverse, superset grouping, is ev15's
+    // one-exchange case). Both exchanges move AGGREGATED relations
+    // (census <= distinct (doc, token) pairs, rollup = one row per doc),
+    // never the raw token stream — a single pre-repartition on doc_id
+    // would fuse them into one exchange but ship every raw token
+    // unreduced, strictly more bytes. Linear either way.
     // Cross-engine exactness: the sum over tokens is accumulation-order-
     // sensitive in doubles, so each c*ln(c) term is floor-scaled to a
     // BIGINT at 1e9 (tx23's convention) and summed exactly; the final

@@ -99,6 +99,25 @@ class GrepGoldenSpec extends AnyFunSuite {
       fixed = true).count() > 0)
   }
 
+  test("--limit caps the line output; --out writes it distributed") {
+    // the CLI's bounded line-output shapes (cli.Main dgrep): a limit
+    // caps the emitted match set at the PLAN level (CollectLimit — the
+    // scan stops early, the driver never gathers the full set)...
+    val lines = Grep.grepLogs(spark, s"$logDir/*.log", "GET_frequent")
+    val capped = lines.limit(7)
+      .select(concat_ws(": ", col("file"), col("value")))
+    val got = capped.collect().map(_.getString(0))
+    assert(got.length == 7)
+    assert(got.forall(_.contains("GET_frequent")))
+    // ...and --out's distributed text write round-trips every match
+    // without a driver gather
+    val outDir = Files.createTempDirectory("dgrep-out").toFile
+    val target = new java.io.File(outDir, "matches")
+    lines.select(concat_ws(": ", col("file"), col("value")))
+      .write.mode("overwrite").text(target.getPath)
+    assert(spark.read.text(target.getPath).count() == 600L * nMachines)
+  }
+
   test("matching lines carry their source file, scatter/gather style") {
     val lines = Grep.grepLogs(spark, s"$logDir/*.log", "DEL_rare")
       .withColumn("machine",

@@ -154,10 +154,19 @@ class Round10Spec extends AnyFunSuite {
 
   test("ev17: plan has no no-partition window (the sweep runs on " +
       "Scale.globalCumsum's range-partitioned form)") {
-    val plan = SparkEntry.queries("ev17_peak_concurrency")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window [") ||
-      !plan.contains("windowspecdefinition()"),
-      "unexpected no-partition window in ev17 plan")
+    // inspect the WindowExec nodes directly: a string probe for
+    // "windowspecdefinition()" is vacuous (the rendered spec always
+    // carries order/frame args, so the literal never appears)
+    val windows = BroadcastAuditTool.expand(
+        SparkEntry.queries("ev17_peak_concurrency")(spark, sf)
+          .queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    // non-vacuous: the cumsum's per-partition window must be THERE...
+    assert(windows.nonEmpty, "expected globalCumsum's WindowExec in plan")
+    // ...and every window keyed (on __pid), never the global funnel
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unexpected no-partition window in ev17 plan: " +
+        windows.filter(_.partitionSpec.isEmpty).mkString("; "))
   }
 }

@@ -6,20 +6,35 @@ import graft.cli.Main
 class SqlSplitSpec extends AnyFunSuite {
 
   test("dgrep argv: flags anywhere, combos, and -- literal escape") {
-    assert(Main.parseDgrep(List("pat")) == Some((Set.empty[Char], "pat")))
-    assert(Main.parseDgrep(List("-c", "pat")) == Some((Set('c'), "pat")))
-    assert(Main.parseDgrep(List("pat", "-i", "-v")) ==
-      Some((Set('i', 'v'), "pat")))
-    assert(Main.parseDgrep(List("-ivE", "pat")) ==
-      Some((Set('i', 'v', 'E'), "pat")))
+    def p(args: String*): Option[(Set[Char], String)] =
+      Main.parseDgrep(args.toList).map(a => (a.flags, a.pattern))
+    assert(p("pat") == Some((Set.empty[Char], "pat")))
+    assert(p("-c", "pat") == Some((Set('c'), "pat")))
+    assert(p("pat", "-i", "-v") == Some((Set('i', 'v'), "pat")))
+    assert(p("-ivE", "pat") == Some((Set('i', 'v', 'E'), "pat")))
     // grep-style --: a flag-shaped literal pattern stays searchable
-    assert(Main.parseDgrep(List("--", "-c")) == Some((Set.empty[Char], "-c")))
-    assert(Main.parseDgrep(List("-i", "--", "-vc")) ==
-      Some((Set('i'), "-vc")))
+    assert(p("--", "-c") == Some((Set.empty[Char], "-c")))
+    assert(p("-i", "--", "-vc") == Some((Set('i'), "-vc")))
     // unknown flag chars are treated as the pattern, not silently eaten
-    assert(Main.parseDgrep(List("-x", "pat")) == None)
-    assert(Main.parseDgrep(List("-c")) == None) // no pattern
-    assert(Main.parseDgrep(List("a", "b")) == None) // two patterns
+    assert(p("-x", "pat") == None)
+    assert(p("-c") == None) // no pattern
+    assert(p("a", "b") == None) // two patterns
+  }
+
+  test("dgrep argv: --limit and --out take values, anywhere before --") {
+    assert(Main.parseDgrep(List("--limit", "10", "-i", "pat")) ==
+      Some(Main.DgrepArgs(Set('i'), "pat", Some(10), None)))
+    assert(Main.parseDgrep(List("pat", "--out", "/tmp/o")) ==
+      Some(Main.DgrepArgs(Set.empty, "pat", None, Some("/tmp/o"))))
+    assert(Main.parseDgrep(List("--limit", "5", "--out", "o", "--", "-c")) ==
+      Some(Main.DgrepArgs(Set.empty, "-c", Some(5), Some("o"))))
+    // malformed: missing/invalid value is an argv error, not a pattern
+    assert(Main.parseDgrep(List("--limit", "pat")) == None)
+    assert(Main.parseDgrep(List("pat", "--limit")) == None)
+    assert(Main.parseDgrep(List("--limit", "0", "pat")) == None)
+    // after the -- separator they are literal patterns again
+    assert(Main.parseDgrep(List("--", "--limit")) ==
+      Some(Main.DgrepArgs(Set.empty, "--limit", None, None)))
   }
 
   test("splits on top-level semicolons only") {

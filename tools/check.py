@@ -32,8 +32,10 @@ def create_views(con, sf_dir):
     for t in TABLES:
         src = f"'{sf_dir}/{t}.parquet'"
         if t == "events":
+            # read the type from the SCHEMA, not a data row — on an empty
+            # events.parquet a LIMIT 1 probe returns no row and crashes
             ty = con.execute(
-                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+                f"DESCRIBE SELECT ts FROM {src}").fetchone()[1]
             if ty in ("BIGINT", "HUGEINT", "UBIGINT"):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * REPLACE "
