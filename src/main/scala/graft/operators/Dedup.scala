@@ -1030,8 +1030,20 @@ object Dedup {
         .withColumn("is_new", expr(bk("doc_id")) >= 90)
         .select(col("doc_id"), col("is_new"), size(col("sh")).as("n"),
           explode(col("sh")).as("s"))
+      // Restrict the GROUPING, not just pair generation, to shingles the
+      // new batch touches: a cross pair's shared shingles are new-doc
+      // shingles by definition, and a key with no new doc generates no
+      // cross pair — so the semi-join is lossless (kept keys keep their
+      // FULL posting lists, so df-cap semantics are unchanged too). The
+      // new-shingle set is bounded by the new batch (AQE broadcasts it
+      // at any realistic increment), turning the kernel's O(corpus)
+      // postings exchange into a streamed scan-side filter + a grouping
+      // over only the touched keys — with the cross generator below,
+      // total incremental cost is ~ |new| x df, grouping included.
+      val newSh = post.filter(col("is_new")).select(col("s")).distinct()
+      val touched = post.join(newSh, Seq("s"), "left_semi")
       val cross = graft.core.InvertedIndex.pairCountsLengthPrunedCross(
-        post, col("s"), col("doc_id"), col("n"), col("is_new"),
+        touched, col("s"), col("doc_id"), col("n"), col("is_new"),
         JaccardTau, MaxPostings)
       val jp = jaccardFrom(cross, idx)
       // orientation (new side -> doc_id) re-derives the bucket on the

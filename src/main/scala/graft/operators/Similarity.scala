@@ -332,7 +332,17 @@ object Similarity {
         .select(col("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cb = readCodebook(s, ensurePqIndex(s, d) + "/codebook")
-      pqScore(s, d, cb, ProductQuantizer.encode(e, cb, PqDsub), e)
+      // The persist is a correctness-of-cost BARRIER, not a cache nicety:
+      // without it CollapseProject folds the pq_codes projection into the
+      // ADC cross join's output and the encoder re-runs PER (row, query)
+      // pair — measured 17.3 s vs 6.0 s probe at sf2 (Q x the 1.4 s
+      // encode), exactly the fused row's unexplained premium. Cached,
+      // the scored relation is the same narrow (vec_id, codes) the probe
+      // reads from parquet. ~13 bytes/row — corpus-scale-safe to cache,
+      // and spillable regardless.
+      val codes = ProductQuantizer.encode(e, cb, PqDsub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pqScore(s, d, cb, codes, e)
     }),
 
     // Diversified top-k (Maximal Marginal Relevance, Carbonell &
