@@ -772,7 +772,13 @@ object Dedup {
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val k = math.min(math.max(8, (e.count() / TargetM).toInt), 65536)
-      val (assigned, centroids) = Clustering.kmeansFull(e, k, iters = 2)
+      // adaptive quantizer: flat Lloyd's below k ~ 2e3 (each pass is
+      // scan-bound there — see Clustering.TwoLevelMinK), two-level
+      // above, where the flat N x k assignment is the N^2/512 cliff
+      // (at 1e9 vectors, k ~ 2M: flat is ~2e15 distance evals; the
+      // two-level N * 2*sqrt(k) path is ~5e4x less).
+      val (assigned, centroids) = Clustering.kmeansTwoLevelFull(e, k,
+        iters = 2)
       val a = assigned
         .join(broadcast(centroids), "cl")
         .select(col("cl"), col("vec_id"), col("embedding"),
