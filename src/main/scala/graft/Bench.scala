@@ -36,7 +36,8 @@ object Bench {
     * sim05_pq_knn the PQ codebook+codes that sim05_probe reuses). */
   private val IndexBacked = Seq(
     "dd09_clusters_from_pairs", "dd10_dedup_corpus_from_pairs",
-    "dd14_cluster_canonical", "sim03_probe", "sim05_pq_knn", "sim05_probe")
+    "dd14_cluster_canonical", "dd17_incremental_probe",
+    "sim03_probe", "sim05_pq_knn", "sim05_probe")
 
   private def jnum(v: Double): String = f"$v%.3f"
 

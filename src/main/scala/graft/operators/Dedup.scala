@@ -369,6 +369,21 @@ object Dedup {
   private val jaccardOracle =
     s"WITH $jaccardCtes\nSELECT d1, d2, jaccard FROM jp"
 
+  /** Cross-snapshot (new x old) pairs oriented new -> (doc_id, dup_of);
+    * shared by dd16 (inline) and dd17 (persisted-index probe), which
+    * must produce identical rows. */
+  private val incrementalOracle =
+    s"""WITH $jaccardCtes,
+       |b AS (SELECT d1, d2, jaccard,
+       |    ('0x' || substr(md5(CAST(d1 AS VARCHAR)), 1, 8))::UBIGINT
+       |      % 100 AS b1,
+       |    ('0x' || substr(md5(CAST(d2 AS VARCHAR)), 1, 8))::UBIGINT
+       |      % 100 AS b2
+       |  FROM jp)
+       |SELECT CASE WHEN b1 >= 90 THEN d1 ELSE d2 END AS doc_id,
+       |  CASE WHEN b1 >= 90 THEN d2 ELSE d1 END AS dup_of, jaccard
+       |FROM b WHERE (b1 < 90) <> (b2 < 90)""".stripMargin
+
   /** Connected components over jp via a recursive transitive closure;
     * cluster id = min reachable node. */
   private val clustersOracle =
@@ -497,6 +512,48 @@ object Dedup {
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
+  }
+
+  /** The md5 snapshot bucket shared by dd12/dd16/dd17: a pure function
+    * of doc_id (>= 90 = the "new batch"). */
+  private def snapshotBucket(c: String): String =
+    s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16, 10) " +
+      s"AS BIGINT) % 100"
+
+  /** The EXISTING snapshot's postings (s, doc_id, n = exact shingle-set
+    * size), materialized once per dataset under [[graft.core.IndexStore]]
+    * — dd17's probe-side index. Exact (unclamped) n rides along so even
+    * the saturated-length fallback needs no corpus access. At 100 TB
+    * this table is the standard inverted-index artifact (~tokens-sized);
+    * partition/bucket it by a shingle hash so probes prune at the scan
+    * (here a plain parquet + broadcast semi-join carries the same
+    * plan shape). */
+  private def oldPostings(s: SparkSession, d: String): DataFrame = {
+    val path = graft.core.IndexStore.root(d) + "/postings_old"
+    if (!graft.core.IndexStore.ready(s, path)) {
+      val post = shingleIndex(s, d)
+        .filter(expr(snapshotBucket("doc_id")) < 90)
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+      post.write.mode("overwrite").parquet(path)
+    }
+    // index-level stats, computed once at BUILD time (separate ready
+    // check so an index persisted by an earlier layout self-heals): the
+    // probe's saturation decision needs max(n) over the old side, and
+    // paying a full index scan per increment for one number defeats
+    // the point of the index
+    if (!graft.core.IndexStore.ready(s, path + "_stats"))
+      s.read.parquet(path).agg(max(col("n")).as("max_n"))
+        .coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+    s.read.parquet(path)
+  }
+
+  /** Build-time max shingle-set size of the old snapshot (see
+    * [[oldPostings]]); 0 for an empty index. */
+  private def oldPostingsMaxN(s: SparkSession, d: String): Int = {
+    val r = s.read.parquet(
+      graft.core.IndexStore.root(d) + "/postings_old_stats").head(1)
+    if (r.isEmpty || r(0).isNullAt(0)) 0 else r(0).getInt(0)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1028,9 +1085,7 @@ object Dedup {
     // the unchanged oracle).
     "dd16_incremental_neardup" -> ((s, d) => {
       val idx = shingleIndex(s, d)
-      def bk(c: String) =
-        s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16, 10) " +
-          s"AS BIGINT) % 100"
+      def bk(c: String) = snapshotBucket(c)
       // flag computed once per DOCUMENT (pre-explode), not per posting
       val post = idx
         .withColumn("is_new", expr(bk("doc_id")) >= 90)
@@ -1055,6 +1110,72 @@ object Dedup {
       // orientation (new side -> doc_id) re-derives the bucket on the
       // tiny pair relation; the XOR filter is a kernel-contract
       // assertion — every generated pair is cross-snapshot already
+      jp.withColumn("b1", expr(bk("d1"))).withColumn("b2", expr(bk("d2")))
+        .filter((col("b1") < 90) =!= (col("b2") < 90))
+        .select(
+          when(col("b1") >= 90, col("d1")).otherwise(col("d2")).as("doc_id"),
+          when(col("b1") >= 90, col("d2")).otherwise(col("d1")).as("dup_of"),
+          col("jaccard"))
+    }),
+
+    // dd16's PROBE form over the PERSISTED inverted index ([[oldPostings]],
+    // built once per dataset) — the topology an actually-incremental
+    // pipeline runs: the existing corpus is never re-read, let alone
+    // re-shingled. Per increment the query (1) shingles ONLY the new
+    // batch, (2) broadcast-semi-joins the stored postings down to the
+    // touched keys (kept keys keep their FULL old lists, so the df-cap
+    // sees exactly the lists dd16's inline union would — bit-identical
+    // admission), (3) runs the same cross-pair kernel on stored-old +
+    // fresh-new postings. Rows identical to dd16 (same oracle): an
+    // untouched key has no new doc and so no cross pair either way.
+    // Cost: |new| shingling + touched-postings scan + |new| x df pair
+    // work — nothing scales with the corpus except the one-time build.
+    "dd17_incremental_probe" -> ((s, d) => {
+      val SatCap = org.apache.spark.sql.graftx.PairsWithinRatio.LenCap
+      def bk(c: String) = snapshotBucket(c)
+      val newPost = Tables(s, d, "documents")
+        .filter(expr(bk("doc_id")) >= 90)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftx.WordShinglesFunctions
+            .word_shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSh = newPost.select(col("s")).distinct()
+      val touchedOld = oldPostings(s, d).join(newSh, Seq("s"), "left_semi")
+      val post = touchedOld.withColumn("is_new", lit(false))
+        .unionByName(newPost.withColumn("is_new", lit(true)))
+      val cross = graft.core.InvertedIndex.pairCountsLengthPrunedCross(
+        post, col("s"), col("doc_id"), col("n"), col("is_new"),
+        JaccardTau, MaxPostings)
+      // jaccardFrom's exact contract WITHOUT the corpus-wide shingle
+      // index: the saturation decision combines the index's BUILD-time
+      // max_n stat with a max over the (persisted) new batch — no
+      // probe-time index scan for one number — and the
+      // never-at-test-scale size join-back derives from the touched
+      // postings' exact carried n (every doc in a cross pair appears
+      // there by construction)
+      val jac = (n1: Column, n2: Column) =>
+        (col("c").cast("double") / (n1 + n2 - col("c"))).as("jaccard")
+      val newMaxRow = newPost.agg(max(col("n"))).head(1)
+      val newMax =
+        if (newMaxRow.isEmpty || newMaxRow(0).isNullAt(0)) 0
+        else newMaxRow(0).getInt(0)
+      val maxN = math.max(oldPostingsMaxN(s, d), newMax)
+      val jp =
+        if (maxN < SatCap)
+          cross.select(col("d1"), col("d2"), jac(col("n1"), col("n2")))
+            .filter(col("jaccard") >= JaccardTau)
+        else {
+          val sizes = post.select(col("doc_id"), col("n")).distinct()
+            .hint("shuffle_hash")
+          cross
+            .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+            .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+            .select(col("d1"), col("d2"),
+              jac(col("s1.n").cast("long"), col("s2.n").cast("long")))
+            .filter(col("jaccard") >= JaccardTau)
+        }
       jp.withColumn("b1", expr(bk("d1"))).withColumn("b2", expr(bk("d2")))
         .filter((col("b1") < 90) =!= (col("b2") < 90))
         .select(
@@ -1095,17 +1216,9 @@ object Dedup {
          |SELECT rep AS cluster_rep, node AS kept_doc, n_chars
          |FROM rk WHERE rn = 1""".stripMargin,
 
-    "dd16_incremental_neardup" ->
-      s"""WITH $jaccardCtes,
-         |b AS (SELECT d1, d2, jaccard,
-         |    ('0x' || substr(md5(CAST(d1 AS VARCHAR)), 1, 8))::UBIGINT
-         |      % 100 AS b1,
-         |    ('0x' || substr(md5(CAST(d2 AS VARCHAR)), 1, 8))::UBIGINT
-         |      % 100 AS b2
-         |  FROM jp)
-         |SELECT CASE WHEN b1 >= 90 THEN d1 ELSE d2 END AS doc_id,
-         |  CASE WHEN b1 >= 90 THEN d2 ELSE d1 END AS dup_of, jaccard
-         |FROM b WHERE (b1 < 90) <> (b2 < 90)""".stripMargin,
+    "dd16_incremental_neardup" -> incrementalOracle,
+    // dd17 is dd16's persisted-index probe form — rows must be identical
+    "dd17_incremental_probe" -> incrementalOracle,
 
     "dd15_containment_pairs" ->
       s"""WITH $pairCtes
