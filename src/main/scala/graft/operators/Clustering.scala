@@ -54,7 +54,19 @@ object Clustering {
     // than re-reading the source every pass. Stays persisted because the
     // returned assignment lazily references it; callers/benchmarks drop it
     // via clearCache.
+    //
+    // Repartitioned to FULL parallelism first: assignment is the one
+    // stage whose per-row cost grows with k (k*dim flops), and the
+    // source's file-split partitioning silently caps its parallelism —
+    // measured at sf8 (400k vectors, one ~110 MB parquet file, 16 MB
+    // splits): ~7 scan partitions left 25/32 cores idle and ONE
+    // assignment pass took 68 s; the same pass is sub-second at full
+    // width. One cheap one-time exchange of a relation that is about to
+    // be cached and re-scanned iters+2 times; results are partitioning-
+    // independent by construction (order-independent scaled-long means,
+    // row-wise assignment, deterministic init).
     val ein = e.select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: the k lowest vec_ids (no RNG), re-keyed 0..k-1; float widens
     // to double exactly
