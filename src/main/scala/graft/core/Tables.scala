@@ -56,6 +56,27 @@ object Tables {
     })
   }
 
+  /** [[apply]] projected to `cols` and width-normalized to full
+    * parallelism — for pipelines whose MAP SIDE does per-row-heavy work
+    * (shingling, n-gram counting, regex passes, vector math). Parquet
+    * scan parallelism is bounded by ROW GROUPS, not split planning: a
+    * single-row-group file (the layout the driver and ScaleData fixtures
+    * actually have — measured 1 row group for every documents/embeddings
+    * file through sf8) scans on ONE core no matter maxPartitionBytes,
+    * and everything up to the first exchange inherits that width
+    * (measured: dd02 14.7 -> 3.1 s at open sf2 from this one change;
+    * one flat k-means assignment pass 68 -> <1 s at sf8). The explicit
+    * projection keeps the exchange narrow — only the columns the
+    * pipeline consumes move. Do NOT use where a pushed-down scan filter
+    * or a cheap map side makes the exchange pure overhead; on
+    * well-laid-out multi-row-group data this is a no-op-sized cost next
+    * to the work it parallelizes, but it is still one avoidable
+    * exchange. */
+  def wide(spark: SparkSession, dir: String, name: String,
+      cols: String*): DataFrame =
+    apply(spark, dir, name).select(cols.map(col): _*)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** events.ts arrives in one of three physical forms depending on which
     * generator wrote the file: raw epoch-nanos int64 (TIMESTAMP(NANOS)
     * files read under nanosAsLong=true, and graft.ScaleData's bit-

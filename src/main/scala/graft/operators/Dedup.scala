@@ -52,6 +52,17 @@ object Dedup {
     * so downstream branches reuse it instead of recomputing. */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
+      // width-normalized BEFORE the shingle projection: parquet scan
+      // parallelism is bounded by row groups, not split planning (a
+      // single-row-group file scans on ONE core no matter the split
+      // config — the layout the driver/ScaleData fixtures actually
+      // have), and everything from shingling through the postings
+      // exchange's map-side partial aggregation inherits that width.
+      // One exchange of the raw two-column text relation — smaller than
+      // the shingle arrays it unlocks parallel construction of, and
+      // the persisted index is re-scanned by every downstream branch.
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         org.apache.spark.sql.graftx.WordShinglesFunctions
           .word_shingles(col("text"), 3).as("sh"))
@@ -697,7 +708,7 @@ object Dedup {
       import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
       // persist so projection collapse cannot re-inline l2_norm into the
       // per-pair projection (which would silently undo the precompute)
-      val e = Tables(s, d, "embeddings")
+      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
         .select(col("vec_id"), col("embedding"),
           l2_norm(col("embedding")).as("nrm"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -738,7 +749,7 @@ object Dedup {
       import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
       import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
       val L = 8
-      val e = Tables(s, d, "embeddings")
+      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
         .select(col("vec_id"), col("embedding"),
           l2_norm(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0)
@@ -910,7 +921,7 @@ object Dedup {
     // pair set identical under either blocking.
     // No SQL oracle (hash-function specific) — rows-only.
     "dd04_simhash_pairs" -> ((s, d) => {
-      val toks = Tables(s, d, "documents")
+      val toks = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("t"))
         .withColumn("h", xxhash64(col("t")))
       val bitSums = (0 until 64).map(b =>
@@ -966,7 +977,7 @@ object Dedup {
     // shrink the exchanges ~6x at the cost of bit-exactness.
     "dd11_span_dedup" -> ((s, d) => {
       val SpanW = 10
-      val spans = Tables(s, d, "documents")
+      val spans = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= SpanW)
         .select(col("doc_id"), explode(expr(

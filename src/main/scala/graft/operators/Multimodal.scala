@@ -39,7 +39,8 @@ object Multimodal {
     * of the text (a stand-in blob), kind round-robins image/audio/video,
     * metadata derived deterministically from doc fields. */
   def mediaCatalog(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents").select(
+    Tables.wide(s, d, "documents",
+        "doc_id", "text", "lang", "source", "n_chars").select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),

@@ -64,7 +64,8 @@ object Similarity {
     * sim04, which are verified against the same oracle and must stay in
     * lockstep. */
   private def scoredCandidates(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings").crossJoin(broadcast(queriesDf(s, d)))
+    Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+      .crossJoin(broadcast(queriesDf(s, d)))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
@@ -328,8 +329,7 @@ object Similarity {
       // because the returned plan lazily references it. Callers own the
       // release via spark.catalog.clearCache() (the Verify/Bench harness
       // contract, same as Clustering.kmeansFull documents).
-      val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cb = readCodebook(s, ensurePqIndex(s, d) + "/codebook")
       // The persist is a correctness-of-cost BARRIER, not a cache nicety:
@@ -425,8 +425,7 @@ object Similarity {
   private def ensurePqIndex(s: SparkSession, d: String): String = {
     val root = indexRoot(d) + s"/pq_m${PqM}d${PqDsub}k$PqKc"
     if (!indexReady(s, root + "/codebook")) {
-      val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cb = ProductQuantizer.train(e, PqM, PqDsub, PqKc, iters = 2)
       ProductQuantizer.encode(e, cb, PqDsub)

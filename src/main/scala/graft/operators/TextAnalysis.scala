@@ -83,7 +83,7 @@ object TextAnalysis {
     // >= 5 selected k-gram hashes — substring-level near-dup evidence.
     // Hash-specific output -> rows-only check; properties in the spec.
     "tx05_winnow_pairs" -> ((s, d) => {
-      val fp = Tables(s, d, "documents")
+      val fp = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"),
           explode(org.apache.spark.sql.graftx.GraftFunctions
             .winnow_fingerprint(col("text"))).as("f"))
@@ -157,7 +157,7 @@ object TextAnalysis {
     "tx08_tfidf_pairs" -> ((s, d) => {
       import org.apache.spark.sql.graftx.PairsWithinRatio
       val NormScale = 100
-      val sh = Tables(s, d, "documents")
+      val sh = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"),
           explode(org.apache.spark.sql.graftx.WordShinglesFunctions
             .word_shingles(col("text"), 3)).as("t"))
@@ -253,7 +253,7 @@ object TextAnalysis {
     // explode + one grouped count, and everything downstream runs on the
     // (doc, trigram) aggregate — the shape holds at corpus scale.
     "tx09_charngram_langid" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
+      val docs = Tables.wide(s, d, "documents", "doc_id", "lang", "text")
         .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       // (doc, lang, trigram) counts via the native CharNGramCounts kernel:
       // the per-doc aggregate is computed inside the scan (one byte pass,
@@ -338,7 +338,7 @@ object TextAnalysis {
     // occurrences. One explode + one groupBy; the total is a broadcast
     // scalar. The exact twin of the tx11 sketch.
     "tx10_token_heavy_hitters" -> ((s, d) => {
-      val tok = Tables(s, d, "documents")
+      val tok = Tables.wide(s, d, "documents", "text")
         .select(explode(expr(tokensExpr)).as("t"))
       val total = tok.agg(count(lit(1)).as("n_total"))
       tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
@@ -390,7 +390,7 @@ object TextAnalysis {
       // count is |bigrams| + 1 for every doc that survives the n >= 2
       // filter — so no third pass
       val g = org.apache.spark.sql.graftx.WordShinglesFunctions
-      val toks = Tables(s, d, "documents")
+      val toks = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"),
           g.word_grams(col("text"), 2).as("bg"),
           size(g.word_shingles(col("text"), 1)).as("nd"))
@@ -425,7 +425,7 @@ object TextAnalysis {
     // bit-identical across engines and partitionings; one gram scan,
     // profile broadcast, one per-doc aggregate.
     "tx14_lm_quality" -> ((s, d) => {
-      val dc = Tables(s, d, "documents")
+      val dc = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"),
           explode(org.apache.spark.sql.graftx.NGramFunctions
             .char_ngram_counts(lower(col("text")), 3)).as("e"))
@@ -510,7 +510,7 @@ object TextAnalysis {
     // oracle by construction (sketch-specific).
     "tx17_bloom_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.graftx.BloomFunctions._
-      val sh = Tables(s, d, "documents")
+      val sh = Tables.wide(s, d, "documents", "doc_id", "source", "text")
         .select(col("doc_id"), col("source"),
           explode(org.apache.spark.sql.graftx.WordShinglesFunctions
             .word_shingles(col("text"), 3)).as("sg"))
@@ -630,7 +630,7 @@ object TextAnalysis {
     // broadcast-legal at any corpus scale.
     "tx21_source_overlap" -> ((s, d) => {
       val g = org.apache.spark.sql.graftx.WordShinglesFunctions
-      val ss = Tables(s, d, "documents")
+      val ss = Tables.wide(s, d, "documents", "source", "text")
         .select(col("source"),
           explode(g.word_shingles(col("text"), 3)).as("sh"))
         .distinct()
@@ -653,7 +653,7 @@ object TextAnalysis {
     "tx13_decontaminate" -> ((s, d) => {
       // persisted: three consumers (benchmark distinct, per-doc totals,
       // shared counts) would otherwise each re-run the shingle scan
-      val sh = Tables(s, d, "documents")
+      val sh = Tables.wide(s, d, "documents", "doc_id", "source", "text")
         .select(col("doc_id"), col("source"),
           explode(org.apache.spark.sql.graftx.WordShinglesFunctions
             .word_shingles(col("text"), 3)).as("sg"))
@@ -681,7 +681,7 @@ object TextAnalysis {
     // then the longest equal-adjacent run IS the modal count — instead of
     // a (doc, bigram) exchange.
     "tx22_repetition_stats" -> ((s, d) => {
-      Tables(s, d, "documents")
+      Tables.wide(s, d, "documents", "doc_id", "text")
         .withColumn("toks", expr(tokensExpr))
         .withColumn("n_tok", expr("size(toks)"))
         .filter(col("n_tok") >= 2)
@@ -806,7 +806,7 @@ object TextAnalysis {
       val B = 4096
       val bucket = expr(
         "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 4096")
-      val tok = Tables(s, d, "documents")
+      val tok = Tables.wide(s, d, "documents", "doc_id", "source", "text")
         .select(col("doc_id"), col("source"),
           explode(expr(tokensExpr)).as("t"))
         .select(col("doc_id"), col("source"), bucket.as("b"))
@@ -856,7 +856,7 @@ object TextAnalysis {
     // H is transcendental (never sits on a decimal rounding boundary,
     // unlike tx25's integer-ratio sums), so round(H, 6) agrees.
     "tx26_token_entropy" -> ((s, d) => {
-      val census = Tables(s, d, "documents")
+      val census = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), explode(expr(tokensExpr)).as("t"))
         .groupBy(col("doc_id"), col("t"))
         .agg(count(lit(1)).as("c"))
