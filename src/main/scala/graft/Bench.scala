@@ -92,8 +92,11 @@ object Bench {
     // Optional subset run (comma-separated names): the targeted-sidecar
     // dev loop — e.g. the sf4 pair-kernel trend point only times the five
     // pair kernels instead of paying for the full query surface.
+    // an empty-but-set variable means "no subset", not "match nothing"
+    // (a shell `VAR=''` passthrough silently benched zero queries)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val benchQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .filterNot { case (n, _) => gateDd05 && n == "dd05_embedding_neardup" }
