@@ -84,7 +84,9 @@ object Events {
     // worker.py:52-62; here JSON is a first-class column): parse the props
     // payload, extract a typed field, aggregate on it.
     "ev06_json_extract" -> ((s, d) => {
-      Tables(s, d, "events")
+      // width-normalized: the per-row JSON parse is the whole cost and
+      // a single-row-group events file would run it on one core
+      Tables.wide(s, d, "events", "event_type", "props")
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy(col("event_type"))
