@@ -32,12 +32,13 @@ object Bench {
     * `queries` map carries the steady number, `index_build` carries
     * {first_pass_s, steady_s, build_s}. Within a pass the FIRST query
     * to touch an artifact builds it (alphabetical order: dd09 builds the
-    * pair table that dd10/dd14 reuse; sim03_probe the IVF index;
-    * sim05_pq_knn the PQ codebook+codes that sim05_probe reuses). */
+    * pair table that dd10/dd14 reuse; sim03_ivf_knn the IVF index that
+    * sim03_probe reuses; sim05_pq_knn the PQ codebook+codes that
+    * sim05_probe reuses). */
   private val IndexBacked = Seq(
     "dd09_clusters_from_pairs", "dd10_dedup_corpus_from_pairs",
     "dd14_cluster_canonical", "dd17_incremental_probe",
-    "sim03_probe", "sim05_pq_knn", "sim05_probe")
+    "sim03_ivf_knn", "sim03_probe", "sim05_pq_knn", "sim05_probe")
 
   private def jnum(v: Double): String = f"$v%.3f"
 
@@ -101,17 +102,6 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
       .filterNot { case (n, _) => gateDd05 && n == "dd05_embedding_neardup" }
 
-    // Deterministic index-build accounting (see IndexBacked): wipe the
-    // measured dataset's persisted index store so pass 1 always pays the
-    // build and pass 2 is always steady-state — without this, whether a
-    // stale index from an earlier run exists silently decides what the
-    // first pass measures.
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rmTree)
-      f.delete(); ()
-    }
-    rmTree(new java.io.File(graft.core.IndexStore.root(sfDir)))
-
     // Warm every query's codegen/scan path at the tiniest sf so timed
     // numbers measure the query, not one-time JVM/compile startup
     // (otherwise whichever query runs first absorbs ~3-8 s of warmup).
@@ -126,6 +116,23 @@ object Bench {
       catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
     }
+
+    // Deterministic index-build accounting (see IndexBacked): wipe the
+    // measured dataset's persisted index store so pass 1 always pays the
+    // build and pass 2 is always steady-state — without this, whether a
+    // stale index from an earlier run exists silently decides what the
+    // first pass measures. AFTER the warmup loop: when the sf0.001
+    // sibling is absent warmup falls back to sfDir itself and would
+    // rebuild every index off the clock, silently voiding the invariant
+    // (with a distinct warmDir the ordering is a no-op). Deleted through
+    // the Hadoop FS API — IndexStore supports SPARK_GRAFT_INDEX_DIR on
+    // HDFS/S3, where a java.io.File delete silently no-ops and a stale
+    // remote index would decide what pass 1 measures.
+    val idxRoot = new org.apache.hadoop.fs.Path(
+      graft.core.IndexStore.root(sfDir))
+    idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(idxRoot, true)
+
     def timedPass(): Seq[(String, Double)] =
       benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
