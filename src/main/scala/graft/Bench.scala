@@ -51,8 +51,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // see Verify: keeps single-file table scans parallel at sf>=1.0
+      // see Verify: keeps single-file table scans parallel at sf>=1.0,
+      // and the open-cost floor at the fixtures' 512 KB row-group size
+      // so mid-size tables reach full scan width natively
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

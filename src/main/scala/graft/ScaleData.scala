@@ -50,6 +50,17 @@ object ScaleData {
 
   def generate(spark: SparkSession, sf: Double, out: String,
       openVocab: Boolean = false): Unit = {
+    // Bounded parquet row groups (512 KB vs the 128 MB default): row
+    // groups are the scan-parallelism unit — a single-row-group file
+    // scans on ONE core no matter the split config (the r9 finding that
+    // silently starved every per-row-heavy map side), and the driver's
+    // own single-file layout had exactly one group per table through
+    // sf8. 512 KB keeps every table >= ~32 groups from sf1 up, so scans
+    // parallelize natively and Tables.wide's gated repartition becomes a
+    // no-op on well-laid-out data. Set on the session's hadoop conf —
+    // the value ParquetOutputFormat actually reads at write time.
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 512 * 1024)
     val nCust = (sf * 150000).toLong
     val nSupp = (sf * 10000).toLong
     val nPart = (sf * 200000).toLong
@@ -255,8 +266,8 @@ object ScaleData {
   }
 
   /** Write as a single parquet FILE `<out>/<name>.parquet` (driver testdata
-    * layout). Single-file is fine at these sizes; the READ side of every
-    * query remains splittable (parquet row groups). */
+    * layout). Single-file is fine at these sizes; the READ side stays
+    * parallel because [[generate]] bounds row groups at 512 KB. */
   private def write(out: String, name: String, df: DataFrame): Unit = {
     val tmp = s"$out/.tmp_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)

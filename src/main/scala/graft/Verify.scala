@@ -23,6 +23,12 @@ object Verify {
       // the 128 MB default every scan is ONE partition and starves the
       // whole plan; 16 MB keeps local[N] scans at cluster parallelism
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // the 4 MB default open-cost floors split size at 4 MB, which caps
+      // a 20 MB table at ~5 splits no matter its row-group layout; the
+      // fixtures are one file per table (no small-file amplification to
+      // guard against), so a 512 KB floor — matching ScaleData's row
+      // groups — lets mid-size tables scan at full width natively
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -56,26 +56,96 @@ object Tables {
     })
   }
 
+  /** Below this row count a width-normalizing exchange costs more than
+    * the single-core work it parallelizes, even for the heaviest map
+    * sides (shingling): measured at 5k docs the exchange ADDED
+    * 0.3-1.0 s/query (r9 sf0.1: tx09 +1.0 s, tx21 +0.8 s, tx26 +0.3 s)
+    * while at 50k docs it SAVES multi-second single-core stages
+    * (dd02 14.7 -> 3.1 s at open sf2). Crossover sits near ~10k rows
+    * for shingle-grade per-row cost. */
+  val WideMinRows = 10000L
+
+  /** A scan counts as "wide enough" at min(parallelism, rows/1k)
+    * partitions — below ~1k rows/task, task scheduling overhead beats
+    * the parallelism gained. */
+  val RowsPerTask = 1000L
+
+  /** Parquet physical-layout stats for one table file (or dir of files),
+    * read once from the footers and cached — files are immutable by the
+    * same contract as the plan cache above. `rowGroups` is the REAL scan
+    * parallelism bound: split planning assigns a row group to the one
+    * split holding its midpoint, so a single-row-group file scans on one
+    * core no matter maxPartitionBytes. */
+  final case class Layout(bytes: Long, rows: Long, rowGroups: Int)
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Layout]()
+
+  def layout(spark: SparkSession, path: String): Layout =
+    layoutCache.computeIfAbsent(path, _ => {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")).map(_.getPath).toSeq
+        else Seq(p)
+      var bytes = 0L; var rows = 0L; var groups = 0
+      files.foreach { f =>
+        bytes += fs.getFileStatus(f).getLen
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try {
+          val bs = rd.getFooter.getBlocks
+          groups += bs.size()
+          bs.forEach(b => rows += b.getRowCount)
+        } finally rd.close()
+      }
+      Layout(bytes, rows, groups)
+    })
+
   /** [[apply]] projected to `cols` and width-normalized to full
     * parallelism — for pipelines whose MAP SIDE does per-row-heavy work
     * (shingling, n-gram counting, regex passes, vector math). Parquet
     * scan parallelism is bounded by ROW GROUPS, not split planning: a
-    * single-row-group file (the layout the driver and ScaleData fixtures
-    * actually have — measured 1 row group for every documents/embeddings
-    * file through sf8) scans on ONE core no matter maxPartitionBytes,
-    * and everything up to the first exchange inherits that width
-    * (measured: dd02 14.7 -> 3.1 s at open sf2 from this one change;
-    * one flat k-means assignment pass 68 -> <1 s at sf8). The explicit
-    * projection keeps the exchange narrow — only the columns the
-    * pipeline consumes move. Do NOT use where a pushed-down scan filter
-    * or a cheap map side makes the exchange pure overhead; on
-    * well-laid-out multi-row-group data this is a no-op-sized cost next
-    * to the work it parallelizes, but it is still one avoidable
-    * exchange. */
+    * single-row-group file (the layout the driver fixtures have at every
+    * sf) scans on ONE core no matter maxPartitionBytes, and everything
+    * up to the first exchange inherits that width (measured: dd02
+    * 14.7 -> 3.1 s at open sf2 from this one change; one flat k-means
+    * assignment pass 68 -> <1 s at sf8). The explicit projection keeps
+    * the exchange narrow — only the columns the pipeline consumes move.
+    *
+    * The repartition is GATED on the actual physical layout (read once
+    * from the parquet footers), because it is pure overhead in two
+    * regimes: (a) tiny inputs, where the exchange's fixed stage cost
+    * exceeds the single-core work — measured as r9's sf0.1 regressions
+    * (sim01 2.1x, tx09 +44%); (b) well-laid-out multi-row-group data
+    * (ScaleData now writes it; any production lakehouse layout), where
+    * the scan is already parallel and the exchange just moves bytes.
+    * Skips when rows < [[WideMinRows]], or when the scan's effective
+    * width — min(rowGroups, planned splits) — already reaches
+    * min(parallelism, rows/[[RowsPerTask]]). Split count mirrors
+    * Spark's FilePartition.maxSplitBytes formula analytically so no
+    * RDD has to be planned to ask. */
   def wide(spark: SparkSession, dir: String, name: String,
-      cols: String*): DataFrame =
-    apply(spark, dir, name).select(cols.map(col): _*)
-      .repartition(spark.sparkContext.defaultParallelism)
+      cols: String*): DataFrame = {
+    val base = apply(spark, dir, name).select(cols.map(col): _*)
+    val st = layout(spark, s"$dir/$name.parquet")
+    val par = spark.sparkContext.defaultParallelism.toLong
+    val desired = math.min(par, st.rows / RowsPerTask)
+    if (st.rows < WideMinRows) base
+    else {
+      val sqlConf = spark.sessionState.conf
+      val openCost = sqlConf.filesOpenCostInBytes
+      val totalBytes = st.bytes + openCost // single dir = one listed "file" batch
+      val maxSplit = math.min(sqlConf.filesMaxPartitionBytes,
+        math.max(openCost, totalBytes / par))
+      val splits = math.max(1L, (totalBytes + maxSplit - 1) / maxSplit)
+      if (math.min(st.rowGroups.toLong, splits) >= desired) base
+      else base.repartition(par.toInt)
+    }
+  }
 
   /** events.ts arrives in one of three physical forms depending on which
     * generator wrote the file: raw epoch-nanos int64 (TIMESTAMP(NANOS)

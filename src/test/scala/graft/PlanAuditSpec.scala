@@ -194,4 +194,70 @@ class PlanAuditSpec extends AnyFunSuite {
           s"windowspecdefinition argument):\n${bad.mkString("\n")}")
     }
   }
+
+  test("Tables.wide gates its exchange on the physical parquet layout") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("wide-gate").toFile
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // single-FILE layout (driver testdata shape): move the part file
+    def writeTable(dir: java.io.File, rows: Long, blockBytes: Int): Unit = {
+      dir.mkdirs()
+      val prev = hconf.getInt("parquet.block.size", 128 * 1024 * 1024)
+      hconf.setInt("parquet.block.size", blockBytes)
+      try {
+        val tmp = new java.io.File(dir, ".tmp")
+        spark.range(0, rows, 1, 4).toDF("doc_id")
+          .withColumn("text", sha2(concat_ws("-", col("doc_id"),
+            lit("pad")), 512))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(dir, "documents.parquet").toPath)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+      } finally hconf.setInt("parquet.block.size", prev)
+    }
+    def widePlan(dir: java.io.File) = {
+      val df = graft.core.Tables.wide(spark, dir.getPath, "documents",
+        "doc_id", "text")
+      (df, df.queryExecution.optimizedPlan.toString)
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val nBig = 30000L
+
+    // (a) multi-row-group layout: scan is natively wide enough — the
+    // exchange must be SKIPPED and the scan itself must satisfy the
+    // audit width of min(parallelism, rows/1k)
+    val multi = new java.io.File(root, "multi")
+    writeTable(multi, nBig, 64 * 1024)
+    val stMulti = graft.core.Tables.layout(
+      spark, s"${multi.getPath}/documents.parquet")
+    assert(stMulti.rowGroups >= par,
+      s"fixture writer produced ${stMulti.rowGroups} row groups")
+    val (dfMulti, pMulti) = widePlan(multi)
+    assert(!pMulti.contains("Repartition"), pMulti)
+    assert(dfMulti.rdd.getNumPartitions >=
+      math.min(par.toLong, nBig / graft.core.Tables.RowsPerTask), pMulti)
+
+    // (b) single-row-group layout (the r9 finding: scans on ONE core no
+    // matter the split config): the exchange must fire and restore width
+    val single = new java.io.File(root, "single")
+    writeTable(single, nBig, 1 << 30)
+    val stSingle = graft.core.Tables.layout(
+      spark, s"${single.getPath}/documents.parquet")
+    assert(stSingle.rowGroups == 1,
+      s"expected 1 row group, got ${stSingle.rowGroups}")
+    val (dfSingle, pSingle) = widePlan(single)
+    assert(pSingle.contains("Repartition"), pSingle)
+    assert(dfSingle.rdd.getNumPartitions >=
+      math.min(par.toLong, nBig / graft.core.Tables.RowsPerTask), pSingle)
+
+    // (c) tiny input: the exchange's fixed cost exceeds the single-core
+    // work — skipped even on a single-row-group layout
+    val tiny = new java.io.File(root, "tiny")
+    writeTable(tiny, graft.core.Tables.WideMinRows / 2, 1 << 30)
+    val (_, pTiny) = widePlan(tiny)
+    assert(!pTiny.contains("Repartition"), pTiny)
+  }
 }

@@ -18,6 +18,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check  # noqa: E402
+import check_cc  # noqa: E402
 import check_dd04  # noqa: E402
 import check_dd05  # noqa: E402
 import check_derived  # noqa: E402
@@ -55,6 +56,27 @@ def main(sf_dir, out_dir, sf, out_path):
             ok = fn(sf_dir, out_dir) == 0
             queries[name] = {"oracle": label, "pass": ok,
                              "spark_rows": int(rows)}
+            continue
+        if name in check_cc.CC_QUERIES:
+            # The recursive-CTE closure oracle is quadratic per component
+            # and dominated the sf1 gate (~50 of ~70 min); union-find over
+            # the SAME DuckDB-oracled pair relation grades all five CC
+            # queries in seconds. SIDECAR_CC_CTE=1 re-enables the CTE as a
+            # spot-check tier (it stays the driver's oracle at sf0.01).
+            ok, msg = check_cc.check_one(con, sf_dir, out_dir, name)
+            entry = {"oracle": "duckdb pairs + python union-find "
+                               "(tools/check_cc.py)",
+                     "pass": bool(ok), "spark_rows": int(rows), "note": msg}
+            if os.environ.get("SIDECAR_CC_CTE"):
+                got = con.execute(
+                    f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+                want = con.execute(oracle[name]).fetchdf()
+                entry["cte_spot_check"] = bool(
+                    sorted(c.lower() for c in got.columns) ==
+                    sorted(c.lower() for c in want.columns)
+                    and check.canon(got) == check.canon(want))
+            queries[name] = entry
+            print(f"{'PASS' if ok else 'FAIL'} {name} (union-find): {msg}")
             continue
         if name not in oracle:
             # Sketch/recall-specific queries: graded by the independent
