@@ -41,32 +41,9 @@ object Main {
     // stays searchable: `dgrep logs/ -- -c` greps for the string "-c".
     case "dgrep" :: glob :: rest if rest.nonEmpty =>
       parseDgrep(rest) match {
-        case Some(DgrepArgs(flags, pattern, limit, out)) =>
+        case Some(a) =>
           val spark = session("graft-dgrep")
-          val lines = Grep.grepLogs(spark, glob, pattern,
-            ignoreCase = flags('i'), invert = flags('v'), fixed = flags('F'))
-          if (flags('c'))
-            // count path: one row per FILE — bounded by the input file
-            // set, the collect stays
-            Grep.grepCount(lines).orderBy(col("file")).collect()
-              .foreach(r => println(s"${r.get(0)}: ${r.get(1)}"))
-          else {
-            val capped = limit.fold(lines)(lines.limit)
-            val rendered =
-              capped.select(concat_ws(": ", col("file"), col("value")))
-            out match {
-              // --out: matches never touch the driver at all — a
-              // distributed text write, the shape that survives a
-              // frequent pattern over 100 TB of logs
-              case Some(dir) => rendered.write.mode("overwrite").text(dir)
-              // stdout path: stream partition-at-a-time instead of
-              // collect() — driver memory is bounded by one partition,
-              // not the (unbounded) full match set; --limit N caps the
-              // job itself (CollectLimit stops the scan early)
-              case None => rendered.toLocalIterator().forEachRemaining(
-                r => println(r.getString(0)))
-            }
-          }
+          runDgrep(spark, glob, a)
           spark.stop()
         case None => usage()
       }
@@ -111,6 +88,47 @@ object Main {
 
   private[graft] case class DgrepArgs(flags: Set[Char], pattern: String,
     limit: Option[Int], out: Option[String])
+
+  /** The dgrep verb body, session- and sink-injectable so specs drive
+    * the REAL output wiring (CollectLimit via toLocalIterator, the
+    * --out distributed write, -c's -m-style per-file capping) instead of
+    * re-implementing it against Grep directly. `emit` receives exactly
+    * the lines the CLI would print. */
+  private[graft] def runDgrep(spark: SparkSession, glob: String,
+      a: DgrepArgs, emit: String => Unit = println): Unit = {
+    val DgrepArgs(flags, pattern, limit, out) = a
+    val lines = Grep.grepLogs(spark, glob, pattern,
+      ignoreCase = flags('i'), invert = flags('v'), fixed = flags('F'))
+    if (flags('c')) {
+      // count path: --limit composes like grep's `-c -m N` (per-file
+      // counts saturate at N); output is one row per FILE — bounded by
+      // the input file set, so the stdout collect stays
+      val counts = Grep.grepCount(lines, limit).orderBy(col("file"))
+      out match {
+        case Some(dir) => counts
+          .select(concat_ws(": ", col("file"), col("count")))
+          .write.mode("overwrite").text(dir)
+        case None => counts.collect()
+          .foreach(r => emit(s"${r.get(0)}: ${r.get(1)}"))
+      }
+    } else {
+      val capped = limit.fold(lines)(lines.limit)
+      val rendered =
+        capped.select(concat_ws(": ", col("file"), col("value")))
+      out match {
+        // --out: matches never touch the driver at all — a
+        // distributed text write, the shape that survives a
+        // frequent pattern over 100 TB of logs
+        case Some(dir) => rendered.write.mode("overwrite").text(dir)
+        // stdout path: stream partition-at-a-time instead of
+        // collect() — driver memory is bounded by one partition,
+        // not the (unbounded) full match set; --limit N caps the
+        // job itself (CollectLimit stops the scan early)
+        case None => rendered.toLocalIterator().forEachRemaining(
+          r => emit(r.getString(0)))
+      }
+    }
+  }
 
   /** dgrep argv after the glob: grep-style short flags anywhere, `--`
     * ends flag parsing (a flag-shaped literal pattern stays searchable),

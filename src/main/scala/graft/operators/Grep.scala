@@ -52,12 +52,20 @@ object Grep {
   }
 
   /** `dgrep -c`: per-file counts plus a TOTAL row, like client.py:151-152.
-    * The total is a separate global aggregate (not a rollup) so a query
-    * with zero matches still reports `TOTAL: 0`, as the reference does. */
-  def grepCount(lines: DataFrame): DataFrame =
-    lines.groupBy(col("file")).count()
-      .unionByName(lines.agg(count(lit(1)).as("count"))
+    * The total aggregate coalesces to 0 so a query with zero matches
+    * still reports `TOTAL: 0`, as the reference does. `perFileCap` is
+    * grep's `-m` composed with `-c`: each file's count saturates at the
+    * cap and TOTAL is the sum of the capped counts (what the reference
+    * client's per-machine sum would report under -m). */
+  def grepCount(lines: DataFrame,
+      perFileCap: Option[Int] = None): DataFrame = {
+    val per = lines.groupBy(col("file")).count()
+    val capped = perFileCap.fold(per)(m =>
+      per.withColumn("count", least(col("count"), lit(m.toLong))))
+    capped.unionByName(
+      capped.agg(coalesce(sum(col("count")), lit(0L)).as("count"))
         .select(lit("TOTAL").as("file"), col("count")))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Matching-lines mode over the documents corpus, source = "machine".

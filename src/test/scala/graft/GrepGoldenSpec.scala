@@ -100,22 +100,49 @@ class GrepGoldenSpec extends AnyFunSuite {
   }
 
   test("--limit caps the line output; --out writes it distributed") {
-    // the CLI's bounded line-output shapes (cli.Main dgrep): a limit
-    // caps the emitted match set at the PLAN level (CollectLimit — the
-    // scan stops early, the driver never gathers the full set)...
-    val lines = Grep.grepLogs(spark, s"$logDir/*.log", "GET_frequent")
-    val capped = lines.limit(7)
-      .select(concat_ws(": ", col("file"), col("value")))
-    val got = capped.collect().map(_.getString(0))
+    // drive the REAL CLI body (cli.Main.runDgrep) so the toLocalIterator
+    // streaming path, the CollectLimit wiring from DgrepArgs, and the
+    // --out distributed write are what is under test, not a re-creation
+    import graft.cli.Main.{runDgrep, DgrepArgs}
+    val glob = s"$logDir/*.log"
+    // a limit caps the emitted match set at the PLAN level (CollectLimit
+    // — the scan stops early, the driver never gathers the full set)
+    val got = scala.collection.mutable.Buffer[String]()
+    runDgrep(spark, glob,
+      DgrepArgs(Set.empty, "GET_frequent", Some(7), None), got += _)
     assert(got.length == 7)
     assert(got.forall(_.contains("GET_frequent")))
-    // ...and --out's distributed text write round-trips every match
-    // without a driver gather
+    // the unlimited stdout path streams every match
+    val all = scala.collection.mutable.Buffer[String]()
+    runDgrep(spark, glob,
+      DgrepArgs(Set.empty, "GET_frequent", None, None), all += _)
+    assert(all.length == 600 * nMachines)
+    // --out's distributed text write round-trips every match without a
+    // driver gather
     val outDir = Files.createTempDirectory("dgrep-out").toFile
     val target = new java.io.File(outDir, "matches")
-    lines.select(concat_ws(": ", col("file"), col("value")))
-      .write.mode("overwrite").text(target.getPath)
+    runDgrep(spark, glob,
+      DgrepArgs(Set.empty, "GET_frequent", None, Some(target.getPath)))
     assert(spark.read.text(target.getPath).count() == 600L * nMachines)
+  }
+
+  test("-c with --limit composes like grep -c -m: per-file counts " +
+      "saturate, TOTAL sums the capped counts") {
+    import graft.cli.Main.{runDgrep, DgrepArgs}
+    val got = scala.collection.mutable.Buffer[String]()
+    runDgrep(spark, s"$logDir/*.log",
+      DgrepArgs(Set('c'), "GET_frequent", Some(10), None), got += _)
+    val counts = got.map(_.split(": ")).map(a => a(0) -> a(1).toLong).toMap
+    assert(counts("TOTAL") == 10L * nMachines)
+    assert(counts.filter(_._1 != "TOTAL").values.forall(_ == 10L))
+    // and -c --out writes the (file-set-bounded) counts distributed
+    val outDir = Files.createTempDirectory("dgrep-cout").toFile
+    val target = new java.io.File(outDir, "counts")
+    runDgrep(spark, s"$logDir/*.log",
+      DgrepArgs(Set('c'), "GET_frequent", None, Some(target.getPath)))
+    val rows = spark.read.text(target.getPath).collect()
+      .map(_.getString(0).split(": ")).map(a => a(0) -> a(1).toLong).toMap
+    assert(rows("TOTAL") == 600L * nMachines)
   }
 
   test("matching lines carry their source file, scatter/gather style") {
