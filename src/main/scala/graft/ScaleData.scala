@@ -50,17 +50,23 @@ object ScaleData {
 
   def generate(spark: SparkSession, sf: Double, out: String,
       openVocab: Boolean = false): Unit = {
-    // Bounded parquet row groups (512 KB vs the 128 MB default): row
+    // Bounded parquet row groups (2 MB vs the 128 MB default): row
     // groups are the scan-parallelism unit — a single-row-group file
     // scans on ONE core no matter the split config (the r9 finding that
     // silently starved every per-row-heavy map side), and the driver's
     // own single-file layout had exactly one group per table through
-    // sf8. 512 KB keeps every table >= ~32 groups from sf1 up, so scans
-    // parallelize natively and Tables.wide's gated repartition becomes a
-    // no-op on well-laid-out data. Set on the session's hadoop conf —
-    // the value ParquetOutputFormat actually reads at write time.
+    // sf8. 2 MB is the measured sweet spot of an A/B at sf1
+    // (128 MB / 2 MB / 512 KB): big tables reach full scan width
+    // (q01 5.10 -> 0.94 s; lineitem sf1 = 70 groups) while the per-
+    // group reader-reinit overhead that 512 KB groups put on every
+    // small scan (rs03 0.28 -> 0.66 s, q17 0.53 -> 1.09 s) stays near
+    // the single-group floor. Set on the session's hadoop conf — the
+    // value ParquetOutputFormat actually reads at write time.
+    // SPARK_GRAFT_BLOCK overrides for layout A/B experiments (e.g.
+    // 134217728 reproduces the pre-r10 single-row-group layout).
     spark.sparkContext.hadoopConfiguration
-      .setInt("parquet.block.size", 512 * 1024)
+      .setInt("parquet.block.size", sys.env.get("SPARK_GRAFT_BLOCK")
+        .map(_.toInt).getOrElse(2 * 1024 * 1024))
     val nCust = (sf * 150000).toLong
     val nSupp = (sf * 10000).toLong
     val nPart = (sf * 200000).toLong
@@ -267,7 +273,7 @@ object ScaleData {
 
   /** Write as a single parquet FILE `<out>/<name>.parquet` (driver testdata
     * layout). Single-file is fine at these sizes; the READ side stays
-    * parallel because [[generate]] bounds row groups at 512 KB. */
+    * parallel because [[generate]] bounds row groups at 2 MB. */
   private def write(out: String, name: String, df: DataFrame): Unit = {
     val tmp = s"$out/.tmp_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)

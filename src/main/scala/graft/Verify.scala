@@ -26,7 +26,7 @@ object Verify {
       // the 4 MB default open-cost floors split size at 4 MB, which caps
       // a 20 MB table at ~5 splits no matter its row-group layout; the
       // fixtures are one file per table (no small-file amplification to
-      // guard against), so a 512 KB floor — matching ScaleData's row
+      // guard against), so a 512 KB floor — below ScaleData's 2 MB row
       // groups — lets mid-size tables scan at full width natively
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

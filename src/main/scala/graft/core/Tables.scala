@@ -129,12 +129,20 @@ object Tables {
     * Spark's FilePartition.maxSplitBytes formula analytically so no
     * RDD has to be planned to ask. */
   def wide(spark: SparkSession, dir: String, name: String,
-      cols: String*): DataFrame = {
+      cols: String*): DataFrame =
+    wideMin(spark, dir, name, WideMinRows, cols: _*)
+
+  /** [[wide]] with a caller-chosen row floor — for map sides whose
+    * per-row cost is far above shingle grade (dd03's 128-perm minhash
+    * signatures are ~100x a plain shingle pass), where the exchange
+    * pays for itself at proportionally smaller inputs. */
+  def wideMin(spark: SparkSession, dir: String, name: String,
+      minRows: Long, cols: String*): DataFrame = {
     val base = apply(spark, dir, name).select(cols.map(col): _*)
     val st = layout(spark, s"$dir/$name.parquet")
     val par = spark.sparkContext.defaultParallelism.toLong
     val desired = math.min(par, st.rows / RowsPerTask)
-    if (st.rows < WideMinRows) base
+    if (st.rows < minRows) base
     else {
       val sqlConf = spark.sessionState.conf
       val openCost = sqlConf.filesOpenCostInBytes

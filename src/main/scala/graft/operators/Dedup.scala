@@ -51,18 +51,15 @@ object Dedup {
     * the lambda formulation is interpreted and ~10x slower), materialized
     * so downstream branches reuse it instead of recomputing. */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
-      // width-normalized BEFORE the shingle projection: parquet scan
-      // parallelism is bounded by row groups, not split planning (a
-      // single-row-group file scans on ONE core no matter the split
-      // config — the layout the driver/ScaleData fixtures actually
-      // have), and everything from shingling through the postings
-      // exchange's map-side partial aggregation inherits that width.
-      // One exchange of the raw two-column text relation — smaller than
-      // the shingle arrays it unlocks parallel construction of, and
-      // the persisted index is re-scanned by every downstream branch.
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
+    // width-normalized BEFORE the shingle projection (layout-gated, see
+    // Tables.wide: parquet scan parallelism is bounded by row groups,
+    // and everything from shingling through the postings exchange's
+    // map-side partial aggregation inherits the scan width). The floor
+    // is 1k rows, not wide()'s shingle-grade 10k: this relation is
+    // persisted and re-scanned by every downstream branch, and dd03
+    // runs the 128-perm minhash kernel over it — ~100x a plain shingle
+    // pass per row, so the exchange pays for itself far earlier.
+    Tables.wideMin(s, d, "documents", 1000, "doc_id", "text")
       .select(col("doc_id"),
         org.apache.spark.sql.graftx.WordShinglesFunctions
           .word_shingles(col("text"), 3).as("sh"))

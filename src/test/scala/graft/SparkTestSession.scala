@@ -13,8 +13,8 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // match Verify/Bench: open-cost floor at the fixtures' 512 KB
-      // row-group size so split planning can use the row groups
+      // match Verify/Bench: open-cost floor below the fixtures' row-
+      // group size so split planning can use the row groups
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -19,6 +19,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check  # noqa: E402
+import check_cc  # noqa: E402
 import check_derived  # noqa: E402
 import sidecar_correctness as sc  # noqa: E402
 
@@ -36,6 +37,11 @@ def main(sf_dir, out_dir, sidecar_path, names):
             label, fn = sc.SPECIAL[name]
             ok = fn(sf_dir, out_dir) == 0
             entry = {"oracle": label, "pass": ok, "spark_rows": int(rows)}
+        elif name in check_cc.CC_QUERIES:
+            ok, msg = check_cc.check_one(con, sf_dir, out_dir, name)
+            entry = {"oracle": "duckdb pairs + python union-find "
+                               "(tools/check_cc.py)",
+                     "pass": bool(ok), "spark_rows": int(rows), "note": msg}
         elif name in oracle:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
