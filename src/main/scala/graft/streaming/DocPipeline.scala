@@ -63,12 +63,24 @@ object DocPipeline {
     * The per-row signature expression is interpreted (HOF) and evaluated
     * once per join side — acceptable for intake-rate streams; the batch
     * dd03 path remains the high-throughput formulation.
+    *
+    * Width: the signature is the heaviest map side in the engine
+    * (NumPerms x |shingles| hash evals per row, ~100-1000x shingle
+    * grade) and it runs BELOW the join's (band, bh) exchange, so a
+    * micro-batch scanning few source files inherits file-split width
+    * for exactly the stage that dominates — measured 4-of-32 cores on
+    * 20k-doc/2-file triggers. One narrow exchange of (doc_id, ts, text)
+    * up front buys full width: the streaming twin of Tables.wide,
+    * unconditional because a stream's batch size is unknowable at plan
+    * time and at any size where the width matters the signature work
+    * dwarfs the exchange (a tiny batch loses sub-ms).
     */
   def nearDupPairs(docs: DataFrame, horizon: String = "10 minutes",
       threshold: Double = 0.8): DataFrame = {
     import graft.operators.Dedup.{Bands, NumPerms}
     val rowsPerBand = NumPerms / Bands
     val sig = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("sh", org.apache.spark.sql.graftx.WordShinglesFunctions
         .word_shingles(col("text"), 3))
       .filter(size(col("sh")) >= 1)
