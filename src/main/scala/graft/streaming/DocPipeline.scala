@@ -60,9 +60,11 @@ object DocPipeline {
     * permutation hashes (xxhash64(int-perm, shingle)) and identical band
     * keys (hash over the 4 slot values + band id).
     *
-    * The per-row signature expression is interpreted (HOF) and evaluated
-    * once per join side — acceptable for intake-rate streams; the batch
-    * dd03 path remains the high-throughput formulation.
+    * The per-row signature runs through the native codegen minhash_sig
+    * kernel (same as batch dd03) and is evaluated once per join side —
+    * the streaming self-join cannot share a persist barrier, so the 2x
+    * is the price of unboundedness; the batch dd03 path remains the
+    * high-throughput formulation.
     *
     * Width: the signature is the heaviest map side in the engine
     * (NumPerms x |shingles| hash evals per row, ~100-1000x shingle
@@ -79,25 +81,41 @@ object DocPipeline {
       threshold: Double = 0.8): DataFrame = {
     import graft.operators.Dedup.{Bands, NumPerms}
     val rowsPerBand = NumPerms / Bands
+    // Same construction as batch dd03 (native minhash_sig kernel, band
+    // structs built as a CreateArray and exploded) — NOT the equivalent
+    // higher-order-function formulation. The HOF form hid a plan bomb:
+    // InferFiltersFromGenerate puts `size(bk) > 0` above the explode,
+    // and predicate pushdown inlines the alias chain into that filter —
+    // four element_at(sig) copies per band lambda, EACH re-deriving the
+    // full NumPerms signature, evaluated below the repartition at
+    // file-split width (measured: a 20k-doc micro-batch spent 700 s in
+    // two scan tasks doing 128x the honest signature work). A CreateArray
+    // generator child sidesteps the inference (its size is static) and
+    // element_at over the materialized sig COLUMN is a cheap ref; the
+    // native kernel keeps the per-row cost codegen'd and bit-identical
+    // to dd03.
     val sig = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("sh", org.apache.spark.sql.graftx.WordShinglesFunctions
         .word_shingles(col("text"), 3))
       .filter(size(col("sh")) >= 1)
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${NumPerms - 1}),
-           |  i -> array_min(transform(sh, x -> xxhash64(i, x))))"""
-          .stripMargin))
-      .withColumn("bk", expr(
-        s"""transform(sequence(0, ${Bands - 1}), b -> hash(
-           |  ${(1 to rowsPerBand).map(r =>
-                 s"element_at(sig, b * $rowsPerBand + $r)").mkString(", ")},
-           |  b))""".stripMargin))
+      .select(col("doc_id"), col("ts"),
+        org.apache.spark.sql.graftx.NGramFunctions
+          .minhash_sig(col("sh"), NumPerms).as("sig"))
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until rowsPerBand).map(i =>
+            element_at(col("sig"), b * rowsPerBand + i + 1)) :+ lit(b): _*)
+          .as("bh"))
+    }
+    val exploded = sig
       .select(col("doc_id"), col("ts"), col("sig"),
-        posexplode(col("bk")).as(Seq("band", "bh")))
-    val a = sig.toDF("a_doc", "a_ts", "a_sig", "a_band", "a_bh")
+        explode(array(bandStructs: _*)).as("k"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        col("k.band").as("band"), col("k.bh").as("bh"))
+    val a = exploded.toDF("a_doc", "a_ts", "a_sig", "a_band", "a_bh")
       .withWatermark("a_ts", horizon)
-    val b = sig.toDF("b_doc", "b_ts", "b_sig", "b_band", "b_bh")
+    val b = exploded.toDF("b_doc", "b_ts", "b_sig", "b_band", "b_bh")
       .withWatermark("b_ts", horizon)
     // NOTE: the doc-id ordering must NOT be a </> predicate in the join
     // condition — Spark's streaming state-watermark extraction tries to
