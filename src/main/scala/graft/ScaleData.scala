@@ -275,15 +275,8 @@ object ScaleData {
     * layout). Single-file is fine at these sizes; the READ side stays
     * parallel because [[generate]] bounds row groups at 2 MB. */
   private def write(out: String, name: String, df: DataFrame): Unit = {
-    val tmp = s"$out/.tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val dir = new java.io.File(tmp)
-    val part = dir.listFiles().find(f => f.getName.startsWith("part-") &&
-      f.getName.endsWith(".parquet")).get
     val target = new java.io.File(out, s"$name.parquet")
-    if (target.exists()) target.delete()
-    java.nio.file.Files.move(part.toPath, target.toPath)
-    dir.listFiles().foreach(_.delete()); dir.delete()
+    graft.core.ParquetFiles.writeSingle(df, target)
     println(s"wrote $target")
   }
 }

@@ -76,7 +76,8 @@ object Tables {
     * parallelism bound: split planning assigns a row group to the one
     * split holding its midpoint, so a single-row-group file scans on one
     * core no matter maxPartitionBytes. */
-  final case class Layout(bytes: Long, rows: Long, rowGroups: Int)
+  final case class Layout(bytes: Long, rows: Long, rowGroups: Int,
+      files: Int)
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, Layout]()
 
@@ -85,11 +86,19 @@ object Tables {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
+      // Recursive: a Hive-partitioned table keeps its part files under
+      // key=value subdirectories; listing only the top level would
+      // yield Layout(0,0,0,0) and silently disable width normalization
+      // for exactly the layouts wide() protects.
+      def list(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(d).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) list(st.getPath)
+          else Seq(st.getPath)
+        }
       val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(st => st.isFile &&
-            !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith(".")).map(_.getPath).toSeq
+        if (fs.getFileStatus(p).isDirectory) list(p)
         else Seq(p)
       var bytes = 0L; var rows = 0L; var groups = 0
       files.foreach { f =>
@@ -102,7 +111,7 @@ object Tables {
           bs.forEach(b => rows += b.getRowCount)
         } finally rd.close()
       }
-      Layout(bytes, rows, groups)
+      Layout(bytes, rows, groups, files.size)
     })
 
   /** [[apply]] projected to `cols` and width-normalized to full
@@ -141,12 +150,20 @@ object Tables {
     val base = apply(spark, dir, name).select(cols.map(col): _*)
     val st = layout(spark, s"$dir/$name.parquet")
     val par = spark.sparkContext.defaultParallelism.toLong
-    val desired = math.min(par, st.rows / RowsPerTask)
+    // Ceil, not floor: floor made every input under 2*RowsPerTask read
+    // as "desired width 1", which the gate always satisfies — so a
+    // caller-chosen minRows below RowsPerTask (dd03's 1k, for
+    // kernel-grade per-row cost) was silently a no-op in exactly the
+    // [minRows, 2*RowsPerTask) range it was added to cover.
+    val desired = math.min(par,
+      math.max(1L, (st.rows + RowsPerTask - 1) / RowsPerTask))
     if (st.rows < minRows) base
     else {
       val sqlConf = spark.sessionState.conf
       val openCost = sqlConf.filesOpenCostInBytes
-      val totalBytes = st.bytes + openCost // single dir = one listed "file" batch
+      // openCost is charged PER FILE by Spark's packing, not per scan —
+      // a dir of N part files splits against bytes + N*openCost.
+      val totalBytes = st.bytes + openCost * math.max(1, st.files)
       val maxSplit = math.min(sqlConf.filesMaxPartitionBytes,
         math.max(openCost, totalBytes / par))
       val splits = math.max(1L, (totalBytes + maxSplit - 1) / maxSplit)

@@ -205,17 +205,11 @@ class PlanAuditSpec extends AnyFunSuite {
       val prev = hconf.getInt("parquet.block.size", 128 * 1024 * 1024)
       hconf.setInt("parquet.block.size", blockBytes)
       try {
-        val tmp = new java.io.File(dir, ".tmp")
-        spark.range(0, rows, 1, 4).toDF("doc_id")
-          .withColumn("text", sha2(concat_ws("-", col("doc_id"),
-            lit("pad")), 512))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val part = tmp.listFiles()
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(dir, "documents.parquet").toPath)
-        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        graft.core.ParquetFiles.writeSingle(
+          spark.range(0, rows, 1, 4).toDF("doc_id")
+            .withColumn("text", sha2(concat_ws("-", col("doc_id"),
+              lit("pad")), 512)),
+          new java.io.File(dir, "documents.parquet"))
       } finally hconf.setInt("parquet.block.size", prev)
     }
     def widePlan(dir: java.io.File) = {

@@ -93,17 +93,11 @@ class SkewSpec extends AnyFunSuite {
   private def writeDocs(dir: java.io.File,
       docs: Seq[(Long, String)]): Unit = {
     import spark.implicits._
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, ".tmp")
-    docs.toDF("doc_id", "text")
-      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-    val part = tmp.listFiles().find(f => f.getName.startsWith("part-") &&
-      f.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      new java.io.File(dir, "documents.parquet").toPath)
-    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    graft.core.ParquetFiles.writeSingle(
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      new java.io.File(dir, "documents.parquet"))
   }
 
   private def clusterText(tag: String) =

@@ -83,13 +83,19 @@ def check_one(con, sf_dir, out_dir, name):
         want = {}
         for _, r in member.items():
             want[r] = want.get(r, 0) + 1
-        got = {int(a): int(b) for a, b in
-               _dump(con, out_dir, name, "cluster_rep, cluster_size")}
-        ok = got == want
-        msg = (f"{len(want)} clusters over {len(member)} member docs"
+        # Compare as a sorted row multiset, NOT a dict keyed on rep — a
+        # dict collapse would let a dump with duplicated or conflicting
+        # census rows (two rows for one rep) pass as long as the LAST
+        # row agreed, which the replaced full-relation CTE oracle would
+        # have caught.
+        got = sorted((int(a), int(b)) for a, b in
+                     _dump(con, out_dir, name, "cluster_rep, cluster_size"))
+        wrows = sorted((int(r), int(c)) for r, c in want.items())
+        ok = got == wrows
+        msg = (f"{len(wrows)} clusters over {len(member)} member docs"
                if ok else
-               f"census mismatch: {len(got)} vs {len(want)} clusters, "
-               f"first diff {sorted(set(got.items()) ^ set(want.items()))[:3]}")
+               f"census mismatch: {len(got)} vs {len(wrows)} rows, "
+               f"first diff {sorted(set(got) ^ set(wrows))[:3]}")
         return ok, msg
     if name in ("dd08_dedup_corpus", "dd10_dedup_corpus_from_pairs"):
         removed = {n for n, r in member.items() if n != r}

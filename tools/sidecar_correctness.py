@@ -71,12 +71,21 @@ def main(sf_dir, out_dir, sf, out_path):
                 got = con.execute(
                     f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
                 want = con.execute(oracle[name]).fetchdf()
-                entry["cte_spot_check"] = bool(
+                cte_ok = bool(
                     sorted(c.lower() for c in got.columns) ==
                     sorted(c.lower() for c in want.columns)
                     and check.canon(got) == check.canon(want))
+                entry["cte_spot_check"] = cte_ok
+                if not cte_ok:
+                    # A CTE/union-find disagreement is exactly the grader
+                    # divergence the spot-check tier exists to catch —
+                    # it must fail the query, not decorate a green one.
+                    ok = False
+                    entry["pass"] = False
+                    entry["note"] = msg + "; CTE SPOT-CHECK DISAGREES"
             queries[name] = entry
-            print(f"{'PASS' if ok else 'FAIL'} {name} (union-find): {msg}")
+            print(f"{'PASS' if ok else 'FAIL'} {name} (union-find): "
+                  f"{entry['note'] if not ok else msg}")
             continue
         if name not in oracle:
             # Sketch/recall-specific queries: graded by the independent
