@@ -73,4 +73,44 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L)) // unrelated
     assert(!pairs.contains((1L, 3L)))     // same content, outside horizon
   }
+
+  test("state-store provider is a pure deployment knob: RocksDB run " +
+      "emits the identical pair set") {
+    // The StreamScaleBench A/B showed identical output at 100k docs;
+    // this pins provider-independence in CI at spec scale. The provider
+    // is read from SQLConf per query start, so a session-level set
+    // scoped to this test is enough.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val df = in.toDF().toDF("doc_id", "text", "ts")
+      val q = DocPipeline.nearDupPairs(df, horizon = "10 minutes",
+          threshold = 0.6)
+        .writeStream.format("memory").queryName("neardup_rocks")
+        .outputMode(OutputMode.Append).start()
+      val nearDup = good.replace("slow", "fast")
+      val unrelated = ("alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi")
+      in.addData((1L, good, ts(0)), (10L, unrelated, ts(1)))
+      q.processAllAvailable()
+      in.addData((2L, nearDup, ts(4)))
+      q.processAllAvailable()
+      in.addData((3L, good + " extra", ts(40)))
+      in.addData((99L, unrelated + " tail words here", ts(90)))
+      q.processAllAvailable()
+      q.stop()
+      val pairs = spark.table("neardup_rocks").select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)))
+      assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L))
+      assert(!pairs.contains((1L, 3L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
