@@ -1190,11 +1190,70 @@ object Dedup {
           when(col("b1") >= 90, col("d1")).otherwise(col("d2")).as("doc_id"),
           when(col("b1") >= 90, col("d2")).otherwise(col("d1")).as("dup_of"),
           col("jaccard"))
+    }),
+
+    // ExactSubstr-style duplicated-span extraction (Lee et al., ACL'22
+    // "Deduplicating Training Data Makes Language Models Better"): every
+    // MAXIMAL run of >= SpanSeedLen consecutive tokens that also appears
+    // in at least one OTHER document, reported per document with token
+    // offsets — the operator behind substring-level dedup, where only the
+    // duplicated span is cut and the rest of the document survives.
+    // Document-level dedup (dd01-dd03) throws the whole doc away; dd11's
+    // disjoint blocks can only flag a document, not delimit the span.
+    // The paper's suffix array is a single-machine construction; the
+    // Spark-first equivalent is sliding L-gram seeds + distributed
+    // gaps-and-islands:
+    //  1. every L-token window -> (doc, pos, gram) via posexplode over
+    //     one transform pass in the scan projection;
+    //  2. duplicated grams = grams in >= 2 DISTINCT docs ((gram, doc)
+    //     distinct then a count — linear, partially aggregated map-side;
+    //     no quadratic pair fan-out ever materializes);
+    //  3. left-semi join positions against duplicated grams
+    //     (shuffle-hash pinned: both sides are corpus-derived, so
+    //     broadcasting either is the 8 GB-cap failure mode);
+    //  4. per-doc islands: consecutive duplicated seed positions merge
+    //     via the p - row_number() trick under a PER-DOCUMENT window
+    //     (window state bounded by doc length, never corpus length).
+    // A maximal duplicated span of m tokens contributes exactly its
+    // m - L + 1 consecutive seed positions, so [min p, max p + L - 1]
+    // reconstructs it exactly — recall 1 for spans >= L, the same
+    // pigeonhole as the paper's seed-and-extend. Grams travel as strings
+    // here for oracle exactness; the 100 TB path swaps the join key for
+    // xxhash64(gram) (collision prob ~ n^2 / 2^64) with no change to the
+    // plan shape.
+    "dd18_exact_substring_spans" -> ((s, d) => {
+      val L = SpanSeedLen
+      val grams = Tables.wide(s, d, "documents", "doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w) - $L), " +
+            s"p -> array_join(slice(w, p + 1, $L), ' '))")))
+        .toDF("doc_id", "p", "gram")
+      val dup = grams.select(col("gram"), col("doc_id")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+      val hits = grams
+        .join(dup.hint("shuffle_hash"), Seq("gram"), "left_semi")
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p").asc)
+      hits
+        .withColumn("grp", col("p") - row_number().over(byDoc))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("p")).cast("long").as("span_start"),
+          (max(col("p")) + L - 1).cast("long").as("span_end"),
+          (max(col("p")) - min(col("p")) + L).cast("long").as("span_len"))
+        .drop("grp")
     })
   )
 
   /** Containment threshold for dd15. */
   val ContainTau = 0.9
+
+  /** dd18 seed length in tokens: duplicated substrings of at least this
+    * many tokens are extracted with exact offsets. The paper's 50-token
+    * threshold scaled to this corpus's 25-70-token documents. */
+  val SpanSeedLen = 15
 
   def oracleSql: Map[String, String] = Map(
     "dd01_exact_dedup" ->
@@ -1281,6 +1340,31 @@ object Dedup {
         |    / COUNT(*), 6) < 0.5 AS keep
         |FROM s JOIN df USING (span)
         |GROUP BY s.doc_id""".stripMargin,
+
+    // dd18: DuckDB's zipped struct unnest mirrors Spark's posexplode;
+    // range(n) = 0..n-1 matches sequence(0, n - 1), and the 1-based
+    // inclusive slice w[(i+1):(i+L)] mirrors slice(w, i + 1, L). The
+    // gaps-and-islands grouping key (p - ROW_NUMBER) is engine-exact
+    // integer arithmetic under the identical (doc_id, p) total order.
+    "dd18_exact_substring_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 15),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 14),
+        |    i -> {'p': i, 'g': array_to_string(w[(i+1):(i+15)], ' ')}))
+        |    AS pg
+        |  FROM w),
+        |gp AS (SELECT doc_id, pg.p AS p, pg.g AS gram FROM g),
+        |df AS (SELECT gram FROM gp GROUP BY gram
+        |       HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT gp.doc_id, gp.p FROM gp JOIN df USING (gram)),
+        |isl AS (SELECT doc_id, p,
+        |  p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p ASC)
+        |    AS grp FROM dup)
+        |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 14 AS span_end,
+        |  MAX(p) - MIN(p) + 15 AS span_len
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
 
     // dd12: DuckDB's 1-based inclusive list slice l[1:30] mirrors Spark's
     // slice(l, 1, 30); both engines md5 the same space-joined prefix, and

@@ -326,6 +326,35 @@ object Events {
         .agg(max(col("__cum")).as("peak_sessions"))
     }),
 
+    // Markov transition matrix over per-user event sequences: for every
+    // ordered (event, next event) pair within a user's timeline, the
+    // corpus-wide transition count and conditional probability — the
+    // first-order behavioral model behind next-action prediction,
+    // funnel-drop diagnosis, and bot detection (a bot's transition matrix
+    // is near-degenerate). Sequencing costs ONE user_id exchange (the
+    // same partitioning every other ev query rides); the (from, to)
+    // aggregate that follows is |event_types|^2 — O(25) rows here, and
+    // bounded by the type vocabulary at any corpus size, so the final
+    // window over it is free. Probabilities are integer micro-units
+    // ((n*2e6 + tot) DIV (2*tot) = round-half-up of n/tot at 1e-6),
+    // never a cross-engine double quotient.
+    "ev18_event_transitions" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("tot",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(n * 2000000 + tot) DIV (tot * 2)").as("p_micro"))
+    }),
+
     // User recency / churn features: per user, last active day, event
     // count, and days inactive relative to the corpus horizon — the
     // feature table a churn model trains on and the "dormant" flag a
@@ -518,6 +547,24 @@ object Events {
         |SELECT CAST(ts AS DATE) AS day,
         |  CAST(MAX(cum) AS BIGINT) AS peak_sessions
         |FROM c GROUP BY 1""".stripMargin,
+
+    // ev18: identical (ts, event_id) total order as every other sequence
+    // query; probability in integer micro-units so no double quotient
+    // crosses engines
+    "ev18_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    COUNT(*) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_type, SUM(n) AS tot FROM t GROUP BY 1)
+        |SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+        |  CAST((t.n * 2000000 + tt.tot) // (tt.tot * 2) AS BIGINT)
+        |    AS p_micro
+        |FROM t JOIN tt USING (from_type)""".stripMargin,
 
     "ev15_session_stats" ->
       """WITH x AS (

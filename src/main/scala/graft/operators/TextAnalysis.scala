@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Tables, Num}
 
@@ -869,6 +869,37 @@ object TextAnalysis {
           round(log(col("n_tok").cast("double")) -
             col("sclnc").cast("double") / 1e9 / col("n_tok").cast("double"),
             6).as("entropy"))
+    }),
+
+    // Document-frequency spectrum: how many distinct terms appear in
+    // exactly 2^k..2^(k+1)-1 documents, for unigrams and for the word
+    // trigrams every pair kernel keys on. This is the engine's OWN tuning
+    // evidence made queryable: the postings-cap design (InvertedIndex.
+    // StopKeyCap — drop shingles above a df ceiling from pair generation)
+    // and the CMS/heavy-hitter thresholds (tx10/tx11) are all claims
+    // about this histogram's tail, and on a Heaps-law corpus its shape is
+    // the difference between a bounded and an exploding candidate set.
+    // Shape: distinct (doc, term) partial-aggregates map-side, one
+    // exchange per unit keyed on the term, then the bucket rollup is
+    // <= 64 rows. Buckets are floor(log2(df)) via length(bin(df)) - 1 —
+    // pure integer arithmetic in both engines (log2() as a double puts
+    // exact powers of two ON a rounding boundary, the tx25 class of
+    // cross-engine flip).
+    "tx27_docfreq_spectrum" -> ((s, d) => {
+      def spectrum(unit: Column, name: String) =
+        Tables.wide(s, d, "documents", "doc_id", "text")
+          .select(col("doc_id"), explode(unit).as("u"))
+          .distinct()
+          .groupBy(col("u")).agg(count(lit(1)).as("df"))
+          .groupBy((length(bin(col("df"))) - 1).cast("long").as("log2_df"))
+          .agg(count(lit(1)).as(name))
+      spectrum(expr(tokensExpr), "n_unigrams")
+        .join(spectrum(org.apache.spark.sql.graftx.WordShinglesFunctions
+          .word_shingles(col("text"), 3), "n_shingles"),
+          Seq("log2_df"), "full_outer")
+        .select(col("log2_df"),
+          coalesce(col("n_unigrams"), lit(0L)).as("n_unigrams"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
     })
   )
 
@@ -1242,6 +1273,28 @@ object TextAnalysis {
          |  round(ln(CAST(n_tok AS DOUBLE)) -
          |    CAST(sclnc AS DOUBLE) / 1e9 / CAST(n_tok AS DOUBLE), 6)
          |    AS entropy
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    // tx27: DuckDB bin(BIGINT) is minimal-width like Spark's bin(), so
+    // length(bin(df)) - 1 = floor(log2(df)) exactly in both engines; the
+    // trigram CTE mirrors tx24's (same tokenization, distinct per doc
+    // like the word_shingles kernel)
+    "tx27_docfreq_spectrum" ->
+      s"""WITH t1 AS (SELECT DISTINCT doc_id, u FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS u FROM documents)),
+         |f1 AS (SELECT u, COUNT(*) AS df FROM t1 GROUP BY u),
+         |c1 AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+         |    COUNT(*) AS n1 FROM f1 GROUP BY 1),
+         |w AS (SELECT doc_id, $tokensSql AS w FROM documents),
+         |t3 AS (SELECT DISTINCT doc_id, u FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u
+         |  FROM w WHERE len(w) >= 3)),
+         |f3 AS (SELECT u, COUNT(*) AS df FROM t3 GROUP BY u),
+         |c3 AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+         |    COUNT(*) AS n3 FROM f3 GROUP BY 1)
+         |SELECT log2_df, coalesce(n1, 0) AS n_unigrams,
+         |  coalesce(n3, 0) AS n_shingles
+         |FROM c1 FULL OUTER JOIN c3 USING (log2_df)""".stripMargin
   )
 }
