@@ -1244,6 +1244,69 @@ object Dedup {
           (max(col("p")) + L - 1).cast("long").as("span_end"),
           (max(col("p")) - min(col("p")) + L).cast("long").as("span_len"))
         .drop("grp")
+    }),
+
+    // dd18 APPLIED: the cleaned corpus. Every duplicated seed window is
+    // CUT from every document except the canonical occurrence (the
+    // minimum doc_id holding that seed gram — the paper's "all but one"
+    // rule made deterministic), and the survivors' text is rebuilt.
+    // Canonicality is per SEED, so a doc that canonically holds one part
+    // of a long shared run keeps exactly that part — the rule stays
+    // crisp under partial overlaps where "the" span has no global
+    // identity. Pipeline: dd18's seed stage, + per-gram (min doc, nd)
+    // stats, -> non-canonical seeds -> cut intervals [p, p+L-1] merged
+    // per doc (lag/run-sum windows — PER-DOC state again) -> intervals
+    // collected per doc (bounded by doc length) and joined back to the
+    // corpus on doc_id, where one expression filters tokens by interval
+    // membership and rejoins the text. NO token-grain relation is ever
+    // exchanged: the alternative (explode every token, anti-join the cut
+    // positions, re-aggregate) ships the whole corpus token stream
+    // through three shuffles; this plan moves only seed-grain rows and
+    // one interval array per affected doc.
+    "dd19_substring_dedup_corpus" -> ((s, d) => {
+      val L = SpanSeedLen
+      val base = Tables.wide(s, d, "documents", "doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val grams = base
+        .filter(size(col("w")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w) - $L), " +
+            s"p -> array_join(slice(w, p + 1, $L), ' '))")))
+        .toDF("doc_id", "p", "gram")
+      val st = grams.select(col("gram"), col("doc_id")).distinct()
+        .groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("md"), count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+      val noncanon = grams
+        .join(st.hint("shuffle_hash"), Seq("gram"))
+        .filter(col("doc_id") =!= col("md"))
+        .select(col("doc_id"), col("p"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p").asc)
+      val iv = noncanon
+        .withColumn("pp", lag(col("p"), 1).over(byDoc))
+        .withColumn("ng",
+          when(col("pp").isNull || col("p") - col("pp") > L, 1L)
+            .otherwise(0L))
+        .withColumn("grp", sum(col("ng")).over(byDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("p")).as("a"), (max(col("p")) + L - 1).as("b"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("a"), col("b"))).as("iv"))
+      base.join(iv.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+        .withColumn("iv", coalesce(col("iv"),
+          expr("CAST(array() AS array<struct<a:int,b:int>>)")))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tok"),
+          expr("aggregate(iv, 0, (acc, v) -> acc + v.b - v.a + 1)")
+            .cast("long").as("n_cut"),
+          md5(expr(
+            "array_join(transform(filter(transform(w, (t, i) -> " +
+              "named_struct('i', i, 't', t)), " +
+              "x -> NOT exists(iv, v -> x.i >= v.a AND x.i <= v.b)), " +
+              "x -> x.t), ' ')")).as("clean_fp"))
     })
   )
 
@@ -1365,6 +1428,54 @@ object Dedup {
         |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 14 AS span_end,
         |  MAX(p) - MIN(p) + 15 AS span_len
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // dd19: the token-level rebuild goes through an explicit (doc, i,
+    // token) anti-join in the oracle (clarity over cost — DuckDB is
+    // single-node anyway); the Spark side rebuilds via interval arrays
+    // without ever exchanging token-grain rows. string_agg(... ORDER BY
+    // i) under the same index origin makes md5(cleaned) engine-exact.
+    "dd19_substring_dedup_corpus" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 14),
+        |    i -> {'p': i, 'g': array_to_string(w[(i+1):(i+15)], ' ')}))
+        |    AS pg
+        |  FROM w WHERE len(w) >= 15),
+        |gp AS (SELECT doc_id, pg.p AS p, pg.g AS gram FROM g),
+        |st AS (SELECT gram, MIN(doc_id) AS md,
+        |    COUNT(DISTINCT doc_id) AS nd
+        |  FROM gp GROUP BY gram),
+        |nc AS (SELECT gp.doc_id, gp.p FROM gp JOIN st USING (gram)
+        |  WHERE st.nd >= 2 AND gp.doc_id <> st.md),
+        |l AS (SELECT doc_id, p, lag(p) OVER (
+        |    PARTITION BY doc_id ORDER BY p ASC) AS pp FROM nc),
+        |m AS (SELECT doc_id, p, SUM(CASE WHEN pp IS NULL OR p - pp > 15
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM l),
+        |iv AS (SELECT doc_id, MIN(p) AS a, MAX(p) + 14 AS b
+        |  FROM m GROUP BY doc_id, grp),
+        |cut AS (SELECT doc_id,
+        |    unnest(list_transform(range(b - a + 1), x -> a + x)) AS pos
+        |  FROM iv),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(w)), i -> {'i': i, 't': w[i+1]}))
+        |    AS it
+        |  FROM w),
+        |tk AS (SELECT doc_id, it.i AS i, it.t AS t FROM tok),
+        |keep AS (SELECT tk.doc_id, tk.i, tk.t FROM tk
+        |  LEFT JOIN cut ON tk.doc_id = cut.doc_id AND tk.i = cut.pos
+        |  WHERE cut.pos IS NULL),
+        |cl AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS cleaned
+        |  FROM keep GROUP BY doc_id),
+        |cn AS (SELECT doc_id, CAST(SUM(b - a + 1) AS BIGINT) AS n_cut
+        |  FROM iv GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tok,
+        |  coalesce(cn.n_cut, 0) AS n_cut,
+        |  md5(coalesce(cl.cleaned, '')) AS clean_fp
+        |FROM w LEFT JOIN cn USING (doc_id)
+        |LEFT JOIN cl ON w.doc_id = cl.doc_id""".stripMargin,
 
     // dd12: DuckDB's 1-based inclusive list slice l[1:30] mirrors Spark's
     // slice(l, 1, 30); both engines md5 the same space-joined prefix, and

@@ -76,6 +76,50 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("dd19: cleaned corpus equals the brute-force cut (per-seed " +
+      "min-doc canonical rule), and token mass is conserved") {
+    val L = operators.Dedup.SpanSeedLen
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val stats = new java.util.HashMap[String, (Long, java.util.HashSet[Long])]()
+    docs.filter(_._2.length >= L).foreach { case (id, w) =>
+      (0 to w.length - L).foreach { p =>
+        val g = w.slice(p, p + L).mkString(" ")
+        val cur = stats.get(g)
+        if (cur == null) {
+          val s0 = new java.util.HashSet[Long](); s0.add(id)
+          stats.put(g, (id, s0))
+        } else { cur._2.add(id); stats.put(g, (math.min(cur._1, id), cur._2)) }
+      }
+    }
+    val want = docs.map { case (id, w) =>
+      val cut = new java.util.HashSet[Int]()
+      if (w.length >= L) (0 to w.length - L).foreach { p =>
+        val (md, ds) = stats.get(w.slice(p, p + L).mkString(" "))
+        if (ds.size >= 2 && id != md) (p until p + L).foreach(cut.add(_))
+      }
+      val clean = w.zipWithIndex.collect {
+        case (t, i) if !cut.contains(i) => t }.mkString(" ")
+      id -> (w.length.toLong, cut.size.toLong, md5hex(clean))
+    }.toMap
+    val got = SparkEntry.queries("dd19_substring_dedup_corpus")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0), "fixture must exercise a cut")
+    // canonical holders and untouched docs keep their original text
+    val orig = docs.toMap
+    got.foreach { case (id, (ntok, ncut, fp)) =>
+      assert(ncut >= 0 && ncut <= ntok)
+      if (ncut == 0) assert(fp == md5hex(orig(id).mkString(" ")))
+    }
+  }
+
   // ---- ev18 ---------------------------------------------------------
 
   test("ev18: transition counts equal the brute-force per-user sequence " +
