@@ -93,6 +93,10 @@ object Bench {
     val nVec = try graft.core.Tables(spark, sfDir, "embeddings").count()
       catch { case _: Throwable => 0L }
     val gateDd05 = nVec > 60000
+    // sim08 is the kNN-graph twin of dd05's role: the exact O(N^2)
+    // anchor the scale path (sim09) is recall-checked against — same
+    // gate, same rationale
+    val ExactPairAnchors = Set("dd05_embedding_neardup", "sim08_knn_graph")
     // Optional subset run (comma-separated names): the targeted-sidecar
     // dev loop — e.g. the sf4 pair-kernel trend point only times the five
     // pair kernels instead of paying for the full query surface.
@@ -103,7 +107,7 @@ object Bench {
       .getOrElse(Set.empty[String])
     val benchQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-      .filterNot { case (n, _) => gateDd05 && n == "dd05_embedding_neardup" }
+      .filterNot { case (n, _) => gateDd05 && ExactPairAnchors(n) }
 
     // Warm every query's codegen/scan path at the tiniest sf so timed
     // numbers measure the query, not one-time JVM/compile startup
@@ -207,7 +211,7 @@ object Bench {
         s""""$k":{"first_pass_s":${jnum(a)},"steady_s":${jnum(b)},"build_s":${jnum(build)}}"""
       }.mkString(""","index_build":{""", ",", "}")
     val gateJson = if (gateDd05)
-      s""","dd05_gated":"excluded: O(N^2) recall anchor, corpus ${nVec} vectors > 60k sf1 bound (PLANS.md)""""
+      s""","dd05_gated":"excluded ${ExactPairAnchors.toSeq.sorted.mkString("+")}: O(N^2) recall anchors, corpus ${nVec} vectors > 60k sf1 bound (PLANS.md)""""
       else ""
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,"sf":"$sfDir"}"""

@@ -417,8 +417,117 @@ object Similarity {
       val cb = readCodebook(s, root + "/codebook")
       pqScore(s, d, cb, s.read.parquet(root + "/codes"),
         Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+    }),
+
+    // k-NN GRAPH, exact anchor: EVERY vector's top-K neighbors — the
+    // substrate graph-based curation builds on (SemDeDup variants,
+    // diversity sampling, label propagation, mutual-kNN clustering).
+    // sim01's top-k answers Q external queries; this answers N of them,
+    // so the cost is the full O(N^2) pair census — like dd05 it exists
+    // as the exact ANCHOR (bench-gated above the sf1 corpus bound, see
+    // Bench), with sim09 as the scale path. One dot product per
+    // UNORDERED pair (a < b), then each pair explodes into both
+    // directed edges before the per-src heap — halves the kernel work
+    // vs an a != b join. Selection: partial/final heaps on the RAW
+    // cosine (Scale.topKPerGroup — rounding 6dp via BigDecimal on all
+    // N^2 pairs is the measured 100x trap dd05 documents) with
+    // RankSlack extra survivors; the K*N-bounded survivor set is then
+    // rounded and re-ranked on (cos_r, dst) for a cross-engine-stable
+    // final order. The slack covers raw-vs-rounded order inversions at
+    // the K-boundary: an inversion needs > RankSlack distinct raw
+    // values inside one 1e-6 rounding bucket at exactly the cut — the
+    // same probabilistic-exactness class as dd18's xxhash64 scale path
+    // (and bit-verified against the exact oracle on the fixtures).
+    "sim08_knn_graph" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          l2_norm(col("embedding")).as("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // cartesian parallelism = leftParts x rightParts (dd05's note)
+      val left = e.repartition(s.sparkContext.defaultParallelism)
+      val raw = dot_product(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))
+      val edges = left.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"),
+          raw.as("c"))
+        .select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst"), col("c")),
+          struct(col("v").as("src"), col("u").as("dst"), col("c"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.c").as("c"))
+      graphTopK(edges)
+    }),
+
+    // k-NN graph, SCALE PATH: dd07's sign-LSH collision topology feeding
+    // sim08's selection. Bucket ids for L tables come from one pass of
+    // the native SignBuckets kernel; the occupancy-adaptive plane count
+    // (Scale.lshPlanes) pins expected bucket occupancy, so candidate
+    // volume stays linear in N; multiprobe over the B Hamming-1 flips
+    // recovers near-boundary pairs. Rescore-in-join (dd07's measured
+    // win: the candidate id relation never materializes), ONE exact
+    // cosine per unordered colliding pair, both directed edges exploded,
+    // then a (src, dst) max-dedup BEFORE the heap — a pair colliding in
+    // several tables scores identically, but duplicate rows would
+    // occupy heap slots and evict true neighbors. Out-degree can be
+    // < K for vectors whose buckets are sparse — intrinsic to ANN
+    // graphs. Approximate by construction -> rows-only driver check;
+    // recall/exactness vs sim08 in the spec + sidecar checker.
+    "sim09_knn_graph_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+      import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
+      val L = 8
+      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          l2_norm(col("embedding")).as("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val B = Scale.lshPlanes(e.count())
+      val own = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(sign_buckets(col("embedding"), B, L))
+          .as(Seq("tbl", "bucket")))
+      val probe = own.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tbl"),
+        explode(array(col("bucket") +: (0 until B).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+      val raw = dot_product(col("x.embedding"), col("y.embedding")) /
+        (col("x.nrm") * col("y.nrm"))
+      val edges = probe.as("x").join(own.hint("merge").as("y"),
+          col("x.tbl") === col("y.tbl") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("u"), col("y.vec_id").as("v"),
+          raw.as("c"))
+        .select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst"), col("c")),
+          struct(col("v").as("src"), col("u").as("dst"), col("c"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.c").as("c"))
+        .groupBy(col("src"), col("dst")).agg(max(col("c")).as("c"))
+      graphTopK(edges)
     })
   )
+
+  /** Slack survivors kept per src beyond K by the raw-cosine heap; see
+    * sim08's boundary-inversion note. */
+  val RankSlack = 8
+
+  /** Shared selection tail of the kNN-graph family: raw-cosine heaps
+    * (K + RankSlack per src per partition on the wire), then the
+    * bounded survivor set is rounded once and re-ranked on the
+    * cross-engine-stable (cos_r DESC, dst ASC) order. */
+  private def graphTopK(edges: DataFrame): DataFrame = {
+    val top = Scale.topKPerGroup(edges, Seq("src"), K + RankSlack,
+      col("c").desc, col("dst").asc)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_r").desc, col("dst").asc)
+    top.select(col("src"), col("dst"), round(col("c"), 6).as("cos_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("src"), col("rank"), col("dst"), col("cos_r"))
+  }
 
   /** Lazy build of the persisted IVF index (centroids + cell-partitioned
     * corpus), shared by sim03_ivf_knn and sim03_probe — ONE deterministic
@@ -495,7 +604,29 @@ object Similarity {
     "sim06_range_search" ->
       s"""$scoredCte
          |SELECT qid, vec_id, cos_r FROM scored
-         |WHERE cos_r >= $RangeTau""".stripMargin
-    // sim02/sim03: approximate — no SQL oracle; recall asserted in tests.
+         |WHERE cos_r >= $RangeTau""".stripMargin,
+
+    // sim08: full directed pair census (a <> b), rank on the same
+    // (rounded cos DESC, dst ASC) total order as the Spark re-rank.
+    // Tractable at the sf0.01 driver gate (500^2 pairs); sf1 is graded
+    // by the blocked-numpy checker (tools/check_sim08.py), like dd05.
+    "sim08_knn_graph" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+         |      6) AS cos_r
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         |SELECT src, rank, dst, cos_r FROM (
+         |  SELECT src, dst, cos_r, ROW_NUMBER() OVER
+         |    (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
+         |  FROM p)
+         |WHERE rank <= $K""".stripMargin
+    // sim02/sim03/sim09: approximate — no SQL oracle; recall in tests.
   )
 }

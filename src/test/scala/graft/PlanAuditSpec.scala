@@ -93,10 +93,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // contract, e.g. vec_id < 10). The walker recurses through persist()
     // caches — InMemoryRelation otherwise hides the build-side lineage.
     //
-    // dd05 is the one documented exemption: the exact O(N^2) baseline
-    // (BroadcastNestedLoopJoin of the full embeddings table) exists to
-    // anchor dd07's recall and is intentionally not a scale path.
-    val exempt = Set("dd05_embedding_neardup")
+    // dd05 and sim08 are the two documented exemptions: the exact O(N^2)
+    // baselines (BroadcastNestedLoopJoin of the full embeddings table)
+    // exist to anchor dd07's / sim09's recall and are intentionally not
+    // scale paths (both bench-gated above the sf1 corpus bound).
+    val exempt = Set("dd05_embedding_neardup", "sim08_knn_graph")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       SparkEntry.queries.keys.toSeq.sorted.filterNot(exempt).foreach { name =>

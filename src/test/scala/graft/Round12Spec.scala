@@ -155,6 +155,88 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---- sim08 / sim09 ------------------------------------------------
+
+  /** Brute-force exact kNN graph with the queries' rank order (rounded
+    * cosine DESC, dst ASC; HALF_UP at 6dp exactly like Spark's round). */
+  private lazy val bruteGraph: Map[Long, Seq[(Int, Long, Double)]] = {
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vs = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map { case (id, v) =>
+        (id, v, math.sqrt(v.map(x => x * x).sum)) }
+    val K = operators.Similarity.K
+    vs.map { case (id, v, n) =>
+      val top = vs.filter(_._1 != id).map { case (j, w, m) =>
+        (j, r6(v.zip(w).map { case (a, b) => a * b }.sum / (n * m)))
+      }.sortBy { case (j, c) => (-c, j) }.take(K)
+      id -> top.zipWithIndex.map { case ((j, c), i) => (i + 1, j, c) }.toSeq
+    }.toMap
+  }
+
+  test("sim08: exact kNN graph equals brute force (ranks, ids, scores)") {
+    val got = SparkEntry.queries("sim08_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (s0, rs) =>
+        s0 -> rs.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq }
+    assert(got.keySet == bruteGraph.keySet)
+    got.foreach { case (s0, rs) => assert(rs == bruteGraph(s0), s"src=$s0") }
+  }
+
+  test("sim09: LSH kNN graph edges are exact-scored, deterministic, " +
+      "find every >= 0.9 top neighbor, and recall@K clears the floor") {
+    spark.catalog.clearCache()
+    val run1 = SparkEntry.queries("sim09_knn_graph_lsh")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    val run2 = SparkEntry.queries("sim09_knn_graph_lsh")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(run1.toSet == run2.toSet, "hash-seeded LSH must be deterministic")
+    // every emitted score is the exact (rounded) cosine — precision 1
+    val exact = bruteGraph // top-K only; recompute full for edge check
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vs = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map { case (id, v) => id -> ((v, math.sqrt(v.map(x => x * x).sum))) }
+      .toMap
+    run1.foreach { case (s0, _, d0, c) =>
+      val (v, n) = vs(s0); val (w, m) = vs(d0)
+      assert(c == r6(v.zip(w).map { case (a, b) => a * b }.sum / (n * m)),
+        s"non-exact edge $s0 -> $d0")
+    }
+    // ranks are consistent per src: 1..deg with the (cos, dst) order
+    run1.groupBy(_._1).values.foreach { es =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to es.length).toSeq)
+      assert(sorted.sameElements(
+        es.sortBy(e => (-e._4, e._3))), "rank order drifted")
+    }
+    // multiprobe miss probability for cos >= 0.9 at (B, L=8) is ~1e-4
+    // per pair: every such true top-1 neighbor must be present
+    val edges = run1.map(e => (e._1, e._3)).toSet
+    exact.foreach { case (s0, rs) =>
+      val (_, d1, c1) = rs.head
+      if (c1 >= 0.9)
+        assert(edges.contains((s0, d1)), s"missed high-cos top-1 of $s0")
+    }
+    // mean recall@K against the exact graph (floor measured on this
+    // fixture with margin; mid-cosine neighbors are intrinsically hard
+    // for sign-LSH at B ~ 8 planes — see dd07's GW note)
+    val rec = exact.toSeq.map { case (s0, rs) =>
+      rs.count(t => edges.contains((s0, t._2))).toDouble / rs.length }
+    val mean = rec.sum / rec.size
+    info(f"sim09 mean recall@K = $mean%.3f")
+    assert(mean >= 0.30, f"recall floor: $mean%.3f")
+  }
+
   // ---- tx27 ---------------------------------------------------------
 
   test("tx27: spectrum mass equals the brute-force df census for both " +

@@ -186,8 +186,48 @@ def _identical(con, out_dir, name, fused):
     return True, f"rows identical to {fused} (persisted-index parity)"
 
 
+def check_sim09(con, sf_dir, out_dir):
+    got = _dump(con, out_dir, "sim09_knn_graph_lsh")
+    exact = _dump(con, out_dir, "sim08_knn_graph")
+    if got is None or exact is None:
+        return False, "missing dump (needs sim08 + sim09)"
+    ge = {(int(r.src), int(r.dst)): float(r.cos_r)
+          for r in got.itertuples()}
+    ee = {(int(r.src), int(r.dst)): float(r.cos_r)
+          for r in exact.itertuples()}
+    # every sim09 edge also found by sim08 must carry the identical
+    # exact (rounded) cosine — the rescore is exact by construction
+    for k, v in ge.items():
+        if k in ee and v != ee[k]:
+            return False, f"edge {k}: cos_r {v} != exact {ee[k]}"
+    # Edge-wise GW floor integrated over the TRUE neighbor cosines:
+    # each exact edge (cos c) survives multiprobe sign-LSH with
+    # P(c) = 1 - (1 - p1(c))^L, p1 = p^B + B p^(B-1) (1-p),
+    # p = 1 - acos(c)/pi (dd07's model, but per-edge instead of at a
+    # single marginal tau — the kNN graph has no threshold, so neighbor
+    # cosines span the whole distribution). Expected recall = mean P;
+    # 10% slack for sampling noise.
+    n_vec = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    B = max(8, min(24, math.ceil(math.log2(max(1, n_vec) / 64))))
+    ps = []
+    for (_, _), c in ee.items():
+        p = 1.0 - math.acos(max(-1.0, min(1.0, c))) / math.pi
+        p1 = p ** B + B * p ** (B - 1) * (1 - p)
+        ps.append(1.0 - (1.0 - p1) ** 8)
+    model = sum(ps) / len(ps) if ps else 1.0
+    floor = 0.9 * model
+    hits = sum(1 for k in ee if k in ge)
+    recall = hits / len(ee) if ee else 1.0
+    if recall < floor:
+        return False, (f"recall {recall:.3f} below edge-integrated "
+                       f"GW floor {floor:.3f} (B={B})")
+    return True, (f"edges exact where comparable, recall {recall:.3f} "
+                  f">= edge-integrated GW floor {floor:.3f} (B={B})")
+
+
 CHECKS = {
     "ev05_approx_distinct_users": check_ev05,
+    "sim09_knn_graph_lsh": check_sim09,
     "q26_approx_percentiles": check_q26,
     "tx11_cms_token_counts": check_tx11,
     "tx17_bloom_decontaminate": check_tx17,

@@ -24,11 +24,16 @@ import check_dd05  # noqa: E402
 import check_derived  # noqa: E402
 import check_mm04  # noqa: E402
 import check_sim07  # noqa: E402
+import check_sim08  # noqa: E402
 import check_tx05  # noqa: E402
 
 SPECIAL = {
     "dd05_embedding_neardup": ("numpy (tools/check_dd05.py)",
                                check_dd05.main),
+    # DuckDB-oracled at the sf0.01 driver gate; the sf>=1 sidecar swaps
+    # the infeasible all-pairs SQL for the blocked-numpy replica
+    "sim08_knn_graph": ("numpy (tools/check_sim08.py)",
+                        check_sim08.main),
     "dd04_simhash_pairs": ("xxh64 brute force (tools/check_dd04.py)",
                            check_dd04.main),
     "sim07_mmr_rerank": ("MMR replica (tools/check_sim07.py)",
