@@ -21,7 +21,8 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracleSql),
     (Similarity.queries, Similarity.oracleSql),
     (Multimodal.queries, Multimodal.oracleSql),
-    (Events.queries, Events.oracleSql)
+    (Events.queries, Events.oracleSql),
+    (Graphs.queries, Graphs.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

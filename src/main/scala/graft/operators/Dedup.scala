@@ -82,9 +82,10 @@ object Dedup {
     * reach the threshold). Callers that pre-filter df (dd03's candidate
     * verify) are unaffected by the cap re-check: candidate df <= full
     * df. */
-  private def pairCounts(post: DataFrame): DataFrame =
+  private def pairCounts(post: DataFrame,
+      tau: Double = JaccardTau): DataFrame =
     graft.core.InvertedIndex.pairCountsLengthPruned(post, col("s"),
-      col("doc_id"), col("n"), JaccardTau, MaxPostings)
+      col("doc_id"), col("n"), tau, MaxPostings)
 
   /** J from (d1, d2, c, n1, n2) pair counts. The carried sizes make this
     * a pure projection over the pair table for every document below the
@@ -99,7 +100,8 @@ object Dedup {
     * never a broadcast: `sizes` is one row per DOCUMENT — ~16 GB at 1e9
     * docs, over Spark's 8 GB broadcast hard cap (PlanAuditSpec asserts
     * the shape). */
-  private def jaccardFrom(pairs: DataFrame, idx: DataFrame): DataFrame = {
+  private def jaccardFrom(pairs: DataFrame, idx: DataFrame,
+      tau: Double = JaccardTau): DataFrame = {
     val SatCap = org.apache.spark.sql.graftx.PairsWithinRatio.LenCap
     val jac = (n1: Column, n2: Column) =>
       (col("c").cast("double") / (n1 + n2 - col("c"))).as("jaccard")
@@ -113,7 +115,7 @@ object Dedup {
       // no document can saturate the packed length -> carried sizes are
       // exact and Jaccard is a pure projection over the pair table
       pairs.select(col("d1"), col("d2"), jac(col("n1"), col("n2")))
-        .filter(col("jaccard") >= JaccardTau)
+        .filter(col("jaccard") >= tau)
     } else {
       // some document exceeds 2^15-1 shingles: carried sizes may be
       // clamped, fall back to the exact size join-back for ALL pairs.
@@ -128,7 +130,7 @@ object Dedup {
         .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
           jac(col("s1.n").cast("long"), col("s2.n").cast("long")))
-        .filter(col("jaccard") >= JaccardTau)
+        .filter(col("jaccard") >= tau)
     }
   }
 
@@ -521,6 +523,23 @@ object Dedup {
     }
     s.read.parquet(path)
   }
+
+  /** Jaccard pair relation `(d1 < d2, jaccard)` at an arbitrary
+    * threshold — dd02's exact kernel (generation-time AllPairs length
+    * prune at `tau`, lossless by the same argument as the 0.8 family)
+    * exposed for consumers that need a DIFFERENT similarity graph than
+    * the dedup one: [[Graphs]] mines its τ=0.5 document-similarity
+    * graph here. Same plan shape as dd02 at any tau; only the prune
+    * window (and so candidate volume) widens as tau drops. */
+  private[graft] def jaccardGraph(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
+    val idx = shingleIndex(s, d)
+    jaccardFrom(pairCounts(explPostings(idx), tau), idx, tau)
+  }
+
+  /** [[pairCtes]] for oracle reuse outside this file ([[Graphs]] builds
+    * its jp-at-τ CTE on top of the same shared prefix). */
+  private[graft] def pairCtesSql: String = pairCtes
 
   /** The md5 snapshot bucket shared by dd12/dd16/dd17: a pure function
     * of doc_id (>= 90 = the "new batch"). */
