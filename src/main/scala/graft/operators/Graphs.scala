@@ -93,12 +93,19 @@ object Graphs {
     // rank'(v) = Teleport + sum. Nodes outside the graph (no edge at
     // τ) are deliberately absent: centrality is defined on the graph.
     "gx01_pagerank" -> ((s, d) => {
+      // the pair mine and the degree relation are each referenced more
+      // than once (ew build + rank0 + the final join) — persist BOTH or
+      // every reference re-mines the corpus (measured: 3 full pair-kernel
+      // runs, 6.8 s -> 2.6 s at sf0.1 for the one-line fix; the same
+      // re-execution class as sim05's CollapseProject find)
       val jp = Dedup.jaccardGraph(s, d, GxTau).select(col("d1"), col("d2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val e = edges(jp)
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // degree pre-joined so each iteration reads (u, v, deg) straight
       // off the persisted partition-aligned probe; shuffle-hash, never
       // broadcast (deg is node-sized)
-      val e = edges(jp)
-      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
       val ew = e.join(deg.hint("shuffle_hash"), "u")
         .repartition(col("u"))
         .persist(StorageLevel.MEMORY_AND_DISK)
