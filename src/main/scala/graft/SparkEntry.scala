@@ -22,7 +22,8 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracleSql),
     (Multimodal.queries, Multimodal.oracleSql),
     (Events.queries, Events.oracleSql),
-    (Graphs.queries, Graphs.oracleSql)
+    (Graphs.queries, Graphs.oracleSql),
+    (Learn.queries, Learn.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
