@@ -23,7 +23,8 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracleSql),
     (Events.queries, Events.oracleSql),
     (Graphs.queries, Graphs.oracleSql),
-    (Learn.queries, Learn.oracleSql)
+    (Learn.queries, Learn.oracleSql),
+    (Bpe.queries, Bpe.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
