@@ -38,7 +38,8 @@ object Bench {
   private val IndexBacked = Seq(
     "dd09_clusters_from_pairs", "dd10_dedup_corpus_from_pairs",
     "dd14_cluster_canonical", "dd17_incremental_probe",
-    "sim03_ivf_knn", "sim03_probe", "sim05_pq_knn", "sim05_probe")
+    "sim03_ivf_knn", "sim03_probe", "sim05_pq_knn", "sim05_probe",
+    "gx01_pagerank", "gx02_triangles")
 
   private def jnum(v: Double): String = f"$v%.3f"
 
