@@ -24,6 +24,9 @@ import graft.core.{Tables, Num}
   */
 object Events {
 
+  /** ev19 Morton-key width per dimension (32-bit interleaved key). */
+  private val ZBits = 16
+
   import Num._
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -355,6 +358,42 @@ object Events {
           expr("(n * 2000000 + tot) DIV (tot * 2)").as("p_micro"))
     }),
 
+    // Z-order layout census: interleave the bits of (user_id, day) into
+    // a 32-bit Morton key, cut the z ORDER into 64 equal-size "files"
+    // (the cut real Z-ORDER writers make — equal-KEY-RANGE cuts collapse
+    // when the dimensions use few bits), and report each file's extent
+    // in BOTH dimensions. This is the multi-dimensional clustering pass
+    // every lakehouse layout job runs (Delta/Iceberg Z-ORDER): sorted by
+    // z, a predicate on EITHER user or time prunes files, which a
+    // hierarchical (user, day) sort gives only for the leading column —
+    // and the census makes that locality claim queryable
+    // (user_span x day_span bounded per file) instead of argued.
+    // Scale shape: the key is 32 codegen'd bit ops in the scan
+    // projection; the cut is Scale.globalRank's ONE range exchange
+    // (exactly the exchange the layout write itself would pay — never a
+    // no-partition window), and the census is a 64-group aggregate. Bit
+    // arithmetic on non-negative masked longs is engine-exact.
+    "ev19_zorder_layout" -> ((s, d) => {
+      val z = (0 until ZBits).map(i =>
+        s"shiftleft(shiftright(u, $i) & 1, ${2 * i + 1}) + " +
+          s"shiftleft(shiftright(t, $i) & 1, ${2 * i})").mkString(" + ")
+      // datediff is INT in Spark — without the BIGINT cast the Morton
+      // arithmetic runs in int, and u's bit 15 lands on int bit 31
+      // (sign): any user_id >= 32768 (sf >= ~2.2) wraps zv negative
+      val keyed = Tables(s, d, "events")
+        .selectExpr("event_id", "user_id & 65535 AS u",
+          "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)" +
+            " & 65535 AS t")
+        .selectExpr("event_id", "u", "t", s"($z) AS zv")
+      Scale.globalRank(keyed, Seq(col("zv"), col("event_id")))
+        .selectExpr("u", "t", "((__rank - 1) * 64) div __n AS bucket")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("u")).as("n_users"),
+          (max(col("u")) - min(col("u"))).as("user_span"),
+          (max(col("t")) - min(col("t"))).as("day_span"))
+    }),
+
     // User recency / churn features: per user, last active day, event
     // count, and days inactive relative to the corpus horizon — the
     // feature table a churn model trains on and the "dormant" flag a
@@ -565,6 +604,27 @@ object Events {
         |  CAST((t.n * 2000000 + tt.tot) // (tt.tot * 2) AS BIGINT)
         |    AS p_micro
         |FROM t JOIN tt USING (from_type)""".stripMargin,
+
+    "ev19_zorder_layout" -> {
+      val z = (0 until ZBits).map(i =>
+        s"(((u >> $i) & 1) << ${2 * i + 1}) + (((t >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH k AS (
+         |  SELECT event_id, user_id & 65535 AS u,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) & 65535
+         |      AS t
+         |  FROM events),
+         |z AS (SELECT event_id, u, t, ($z) AS zv FROM k),
+         |b AS (SELECT u, t,
+         |    ((ROW_NUMBER() OVER (ORDER BY zv, event_id) - 1) * 64)
+         |      // (SELECT COUNT(*) FROM z) AS bucket
+         |  FROM z)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+         |  CAST(MAX(u) - MIN(u) AS BIGINT) AS user_span,
+         |  CAST(MAX(t) - MIN(t) AS BIGINT) AS day_span
+         |FROM b GROUP BY bucket""".stripMargin
+    },
 
     "ev15_session_stats" ->
       """WITH x AS (

@@ -87,6 +87,12 @@ object Learn {
   private val GdIters = 24
   private val Lr = 16L
 
+  /** em03 k-means shape: K clusters, fixed unrolled Lloyd steps (the
+    * gx01 protocol — the oracle replays the same chained iterations, so
+    * convergence never enters the compare). */
+  private val KmK = 8
+  private val KmIters = 5
+
   /** Raw integer moments of the embedding table in one distributed pass:
     * count, per-dim micro sums, upper-triangle micro-product sums.
     * Exact and partitioning-independent: integer adds inside a
@@ -178,6 +184,98 @@ object Learn {
       if (maxAbs > 0) v = u.map(x => x * Scale / maxAbs)
     }
     Some(Pca(n, mr, v.map(_.toLong)))
+  }
+
+  // ---------------------------------------------------------------- em03
+  /** Micro-unit embedding rows for the k-means passes — (vec_id, x[64])
+    * with the one float→micro conversion of the PCA pass. */
+  private def microRows(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.wideMin(s, d, "embeddings", 1000L, "vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        require(e.length == Dim, s"embedding dim ${e.length} != $Dim")
+        (id, e.map(x => math.floor(x.toDouble * Scale + 0.5).toLong))
+      }
+  }
+
+  /** argmin over the K centroids with the (dist, k) tie order the
+    * oracle's ROW_NUMBER replays: strictly-less keeps the lowest k. */
+  private def nearest(x: Array[Long], c: Array[Array[Long]]): (Int, Long) = {
+    var bk = 0; var bd = Long.MaxValue
+    var k = 0
+    while (k < c.length) {
+      var dist = 0L; var j = 0
+      while (j < Dim) {
+        val df = x(j) - c(k)(j); dist += df * df; j += 1
+      }
+      if (dist < bd) { bd = dist; bk = k }
+      k += 1
+    }
+    (bk, bd)
+  }
+
+  /** Integer-exact Lloyd's k-means: K=8 seeds = the lowest-vec_id
+    * embeddings, 5 unrolled iterations, centroid update = trunc
+    * division of exact micro sums. All arithmetic replays bit-for-bit
+    * in the oracle (trunc div contract pinned by LearnSpec); an empty
+    * cluster deterministically keeps its previous centroid in BOTH
+    * engines (COALESCE against the prior iterate), so the chain is
+    * total. Each iteration is ONE distributed pass: per-partition long
+    * partials (count + 64 sums per cluster — K·(Dim+1) numbers), merged
+    * as DECIMAL(38,0); the K×Dim centroid matrix lives driver-side as
+    * literals, the parameter-server pattern shared with tx28/em01.
+    * Per-partition partials stay in long range: |x|,|c| ≤ ~1.1e6 micro
+    * ⇒ |sum_j x| partial ≤ 1.1e6·2e6 rows, and the census's per-row
+    * scaled inertia (dist div 1e6 ≤ ~3e8) is divided BEFORE summation
+    * — mirrored in the oracle — so no partial approaches 2^63 under
+    * the same <2e6 rows/task guard as the moment pass. */
+  private def kmeansMicro(s: SparkSession, d: String)
+      : Option[Array[Array[Long]]] = {
+    import s.implicits._
+    val rows = microRows(s, d).persist()
+    val seeds = rows.orderBy(col("_1")).limit(KmK).collect()
+    if (seeds.isEmpty) { rows.unpersist(); return None }
+    var c = seeds.map(_._2.clone())
+    require(c.length == KmK, s"corpus smaller than K=$KmK seeds")
+    for (_ <- 1 to KmIters) {
+      val cb = c
+      val partials = rows.mapPartitions { it =>
+        val cnt = new Array[Long](KmK)
+        val sums = Array.ofDim[Long](KmK, Dim)
+        var n = 0L
+        while (it.hasNext) {
+          val (_, x) = it.next()
+          val (k, _) = nearest(x, cb)
+          cnt(k) += 1L
+          var j = 0
+          while (j < Dim) { sums(k)(j) += x(j); j += 1 }
+          n += 1L
+        }
+        require(n < 2000000L,
+          s"partition holds $n rows; re-split input below 2e6 rows/task")
+        (0 until KmK).iterator.flatMap { k =>
+          Iterator.single((k, -1, cnt(k))) ++
+            (0 until Dim).iterator.map(j => (k, j, sums(k)(j)))
+        }
+      }.toDF("k", "j", "partial")
+        .groupBy("k", "j")
+        .agg(sum(col("partial").cast(DecimalType(38, 0))).as("m"))
+        .collect()
+      val n = new Array[BigInt](KmK)
+      val sm = Array.fill(KmK, Dim)(BigInt(0))
+      partials.foreach { r =>
+        val v = BigInt(r.getDecimal(2).toBigInteger)
+        if (r.getInt(1) == -1) n(r.getInt(0)) = v
+        else sm(r.getInt(0))(r.getInt(1)) = v
+      }
+      c = Array.tabulate(KmK) { k =>
+        if (n(k) == null || n(k) == 0) c(k) // empty: keep prior centroid
+        else Array.tabulate(Dim)(j => (sm(k)(j) / n(k)).toLong)
+      }
+    }
+    rows.unpersist()
+    Some(c)
   }
 
   // ---------------------------------------------------------------- tx28
@@ -306,6 +404,34 @@ object Learn {
       }
     }),
 
+    // Cluster census under integer-exact Lloyd's k-means (K=8, 5
+    // unrolled iterations): per-cluster membership count and mean
+    // scaled squared distance — the occupancy/compactness diagnostic
+    // behind every centroid-partitioned operator here (IVF cells,
+    // SemDeDup windows), as a first-class oracled surface. The final
+    // assignment is one more distributed pass under the converged
+    // literals; output is K rows.
+    "em03_kmeans_census" -> ((s, d) => {
+      import s.implicits._
+      kmeansMicro(s, d) match {
+        case None =>
+          s.range(0).selectExpr("id AS cluster", "id AS n_vecs",
+            "id AS mean_sqdist_micro")
+        case Some(c) =>
+          microRows(s, d)
+            .map { case (_, x) =>
+              val (k, dist) = nearest(x, c)
+              (k.toLong, dist / Scale) // per-row scale div, oracle-mirrored
+            }
+            .toDF("cluster", "sq")
+            .groupBy("cluster")
+            .agg(count(lit(1)).as("n_vecs"),
+              sum(col("sq").cast(DecimalType(38, 0))).as("inertia"))
+            .selectExpr("cluster", "n_vecs",
+              "CAST(inertia div n_vecs AS BIGINT) AS mean_sqdist_micro")
+      }
+    }),
+
     // Logistic quality classifier (is-English from surface features),
     // trained by 8 full-batch integer gradient steps: per step ONE
     // aggregate over the persisted feature relation (6 exact decimal
@@ -381,6 +507,45 @@ object Learn {
        |$iters""".stripMargin
   }
 
+  /** em03's CTE chain: exk → micro rows; c0 = lowest-vec_id seeds;
+    * per iteration dist → ROW_NUMBER argmin (the (dist, k) tie order
+    * [[nearest]] replays) → trunc-div centroid update COALESCEd against
+    * the prior iterate (empty-cluster rule). MATERIALIZED on a_t/c_t —
+    * each is read twice (update + next distance), the p_t/v_t lesson. */
+  private val kmeansCtes: String = {
+    val iters = (1 to KmIters).map { t =>
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      s"""d$t AS (
+         |  SELECT e.vec_id, c.k, SUM((e.x - c.c) * (e.x - c.c)) AS dist
+         |  FROM exk e JOIN $prev c ON e.j = c.j GROUP BY 1, 2),
+         |a$t AS MATERIALIZED (
+         |  SELECT vec_id, k FROM (
+         |    SELECT vec_id, k,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k)
+         |        AS rn
+         |    FROM d$t) WHERE rn = 1),
+         |c$t AS MATERIALIZED (
+         |  SELECT p.k, p.j, COALESCE(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.k, e.j,
+         |      SUM(CAST(e.x AS HUGEINT)) // COUNT(*) AS c
+         |    FROM a$t a JOIN exk e USING (vec_id) GROUP BY a.k, e.j) u
+         |  ON p.k = u.k AND p.j = u.j)""".stripMargin
+    }.mkString(",\n")
+    s"""exk AS MATERIALIZED (
+       |  SELECT vec_id, r.j,
+       |    CAST(FLOOR(CAST(embedding[r.j] AS DOUBLE) * $Scale + 0.5)
+       |      AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) AS r(j)),
+       |sidx AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KmK)),
+       |c0 AS MATERIALIZED (
+       |  SELECT s.k, e.j, CAST(e.x AS HUGEINT) AS c
+       |  FROM exk e JOIN sidx s USING (vec_id)),
+       |$iters""".stripMargin
+  }
+
   private val tx28Oracle: String = {
     val zSql = (0 until FeatDim)
       .map(j => s"f.x$j * w.w$j").mkString("(", " + ", s") // $Scale")
@@ -435,6 +600,23 @@ object Learn {
          |    THEN ((st.vmv // st.vv) * $Scale) // st.tr
          |    ELSE 0 END AS BIGINT) AS explained_micro
          |FROM st, nn""".stripMargin,
+
+    "em03_kmeans_census" ->
+      s"""WITH $kmeansCtes,
+         |df AS (
+         |  SELECT e.vec_id, c.k, SUM((e.x - c.c) * (e.x - c.c)) AS dist
+         |  FROM exk e JOIN c$KmIters c ON e.j = c.j GROUP BY 1, 2),
+         |af AS (
+         |  SELECT vec_id, k, dist FROM (
+         |    SELECT vec_id, k, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k)
+         |        AS rn
+         |    FROM df) WHERE rn = 1)
+         |SELECT CAST(k AS BIGINT) AS cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(dist // $Scale) // COUNT(*) AS BIGINT)
+         |    AS mean_sqdist_micro
+         |FROM af GROUP BY k""".stripMargin,
 
     "tx28_quality_classifier" -> tx28Oracle
   )

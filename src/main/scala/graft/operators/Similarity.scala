@@ -509,6 +509,15 @@ object Similarity {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("u"), col("y.vec_id").as("v"),
           raw.as("c"))
+        // the dedup aggregate keys ~occupancy x L x (B+1) x N rows — at
+        // 32 shuffle partitions the per-task hash table spills to the
+        // sort fallback past ~50k vectors (measured: sf1->sf2 grew 3.3x
+        // against 2.2x candidate growth). An explicit finer hash
+        // repartition on the group keys satisfies the aggregate's
+        // distribution (no second exchange) and AQE coalesces the small
+        // partitions back at small sf, so only the spill regime changes.
+        .repartition(s.sparkContext.defaultParallelism * 8,
+          col("u"), col("v"))
         .groupBy(col("u"), col("v")).agg(max(col("c")).as("c"))
         .select(explode(array(
           struct(col("u").as("src"), col("v").as("dst"), col("c")),

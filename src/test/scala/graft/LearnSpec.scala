@@ -223,4 +223,46 @@ class LearnSpec extends AnyFunSuite {
     assert(!plan.contains("Join"),
       "pc1 projection must be a literal-vector projection, not a join")
   }
+
+  /** Pure-Scala BigInt replay of em03: micro-round, lowest-vec_id
+    * seeds, 5 Lloyd steps with (dist, k) tie order and trunc-div
+    * updates (empty cluster keeps its centroid), final census with the
+    * per-row dist div Scale. Maps and loops only — no Spark, no SQL. */
+  test("em03: census equals a pure-Scala integer k-means replay") {
+    val raw = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => BigInt(math.floor(x.toDouble * Scale + 0.5).toLong))))
+      .sortBy(_._1)
+    var c: Array[Array[BigInt]] = raw.take(8).map(_._2.map(identity))
+    def near(x: Array[BigInt]): (Int, BigInt) = {
+      var bk = 0; var bd: BigInt = null
+      for (k <- c.indices) {
+        var dd = BigInt(0)
+        for (j <- 0 until Dim) { val f = x(j) - c(k)(j); dd += f * f }
+        if (bd == null || dd < bd) { bd = dd; bk = k }
+      }
+      (bk, bd)
+    }
+    for (_ <- 1 to 5) {
+      val byK = raw.groupBy(r => near(r._2)._1)
+      c = c.indices.toArray.map { k =>
+        byK.get(k) match {
+          case Some(m) =>
+            Array.tabulate(Dim)(j => m.map(_._2(j)).sum / m.length)
+          case None => c(k)
+        }
+      }
+    }
+    val want = raw.groupBy(r => near(r._2)._1).map { case (k, m) =>
+      val inertia = m.map(r => near(r._2)._2 / Scale).sum
+      (k.toLong, m.length.toLong, (inertia / m.length).toLong)
+    }.toSet
+    val got = SparkEntry.queries("em03_kmeans_census")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    spark.catalog.clearCache()
+    assert(got == want)
+    assert(got.size == 8 && got.toSeq.map(_._2).sum == raw.length)
+  }
 }
