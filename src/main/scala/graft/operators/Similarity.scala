@@ -509,15 +509,16 @@ object Similarity {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("u"), col("y.vec_id").as("v"),
           raw.as("c"))
-        // the dedup aggregate keys ~occupancy x L x (B+1) x N rows — at
-        // 32 shuffle partitions the per-task hash table spills to the
-        // sort fallback past ~50k vectors (measured: sf1->sf2 grew 3.3x
-        // against 2.2x candidate growth). An explicit finer hash
-        // repartition on the group keys satisfies the aggregate's
-        // distribution (no second exchange) and AQE coalesces the small
-        // partitions back at small sf, so only the spill regime changes.
-        .repartition(s.sparkContext.defaultParallelism * 8,
-          col("u"), col("v"))
+        // the dedup aggregate keys ~occupancy x L x (B+1) x N rows and
+        // is the one unbounded exchange here; an explicit finer hash
+        // repartition in front of it was A/B'd for the spill regime and
+        // measured WORSE at every sf (sf2: 172 s at 24g vs 146 s for
+        // this shape at 8g) — the partial aggregate ahead of the
+        // exchange beats a full-width reshuffle even when the final
+        // hash table spills. sf1->sf2 grows 3.3x against 2.18x
+        // candidate volume (B+1 multiprobe widens with the plane
+        // count); the residual is the agg's spill regime, documented in
+        // PLANS.md with the candidate-volume decomposition.
         .groupBy(col("u"), col("v")).agg(max(col("c")).as("c"))
         .select(explode(array(
           struct(col("u").as("src"), col("v").as("dst"), col("c")),
