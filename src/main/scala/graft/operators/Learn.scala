@@ -294,30 +294,39 @@ object Learn {
     * — barely separable, and inverted). */
   private val FeatDim = 6
 
-  private def featuresDf(s: SparkSession, d: String): DataFrame =
-    Tables.wide(s, d, "documents", "doc_id", "text", "lang", "n_chars")
+  /** The tx28 feature projection over ANY relation carrying (text,
+    * n_chars) — stateless, so the same columns score a STREAM
+    * (DocPipeline.scoreQuality) with batch-trained weights; zero-token
+    * docs are dropped (same filter everywhere). Appends x0..x5 and y,
+    * keeps every input column. */
+  private[graft] def withFeatures(df: DataFrame): DataFrame =
+    df
       .withColumn("toks", expr(TextAnalysis.tokensExpr))
       .withColumn("n_tok", expr("size(toks)"))
       .filter(col("n_tok") > 0)
-      .select(
-        col("doc_id"),
-        lit(Scale).as("x0"),
+      .withColumns(Map(
+        "x0" -> lit(Scale),
         // ${Scale}L, never a bare int literal: size() is INT and
         // INT * 1000000 silently wraps past ~2e3 tokens (ANSI off)
-        expr(s"(least(n_tok, 512L) * ${Scale}L) div 512L").as("x1"),
-        expr(s"(size(array_distinct(toks)) * ${Scale}L) div n_tok")
-          .as("x2"),
-        expr("size(filter(toks, t -> t IN ('the', 'a')))" +
-          s" * ${Scale}L div n_tok").as("x3"),
-        expr(s"(least(n_chars, 4000L) * ${Scale}L) div 4000L").as("x4"),
+        "x1" -> expr(s"(least(n_tok, 512L) * ${Scale}L) div 512L"),
+        "x2" -> expr(s"(size(array_distinct(toks)) * ${Scale}L) div n_tok"),
+        "x3" -> expr("size(filter(toks, t -> t IN ('the', 'a')))" +
+          s" * ${Scale}L div n_tok"),
+        "x4" -> expr(s"(least(n_chars, 4000L) * ${Scale}L) div 4000L"),
         // avg token length (chars, trunc), capped at 16 — tokens are
         // ASCII by the tokenizer regex, so char counts agree x-engine
-        expr("(least(aggregate(transform(toks, t -> length(t)), 0L," +
-          s" (a, x) -> a + x) div n_tok, 16L) * ${Scale}L) div 16L")
-          .as("x5"),
-        expr("CAST(CASE WHEN n_tok >= 40 AND" +
+        "x5" -> expr("(least(aggregate(transform(toks, t -> length(t)), 0L," +
+          s" (a, x) -> a + x) div n_tok, 16L) * ${Scale}L) div 16L"),
+        "y" -> expr("CAST(CASE WHEN n_tok >= 40 AND" +
           " size(array_distinct(toks)) * 4 >= n_tok" +
-          " THEN 1 ELSE 0 END AS BIGINT)").as("y"))
+          " THEN 1 ELSE 0 END AS BIGINT)")))
+      .drop("toks", "n_tok")
+
+  private def featuresDf(s: SparkSession, d: String): DataFrame =
+    withFeatures(
+      Tables.wide(s, d, "documents", "doc_id", "text", "lang", "n_chars"))
+      .select(col("doc_id"), col("x0"), col("x1"), col("x2"), col("x3"),
+        col("x4"), col("x5"), col("y"))
 
   private val featuresSql: String =
     s"""SELECT doc_id,
@@ -349,6 +358,42 @@ object Learn {
   private def zExpr(w: Array[Long]): String =
     (0 until FeatDim).map(j => s"x$j * ${w(j)}L")
       .mkString("(", " + ", s") div ${Scale}L")
+
+  /** The trained score as a stateless column over x0..x5 — the piece a
+    * STREAM applies (train offline, score online; weights as literals,
+    * the parameter-server read path). */
+  private[graft] def scoreColumn(w: Array[Long]): Column =
+    expr(sigmaMicroExpr(zExpr(w)))
+
+  /** tx28's training loop, exposed so other surfaces (the streaming
+    * ingest) reuse the ONE trainer: 24 full-batch integer gradient
+    * steps over the persisted feature relation — each step is one
+    * 6-sum aggregate (exact decimal) and a driver weight update. */
+  private[graft] def trainWeights(s: SparkSession, d: String): Array[Long] = {
+    val feats = featuresDf(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = feats.count()
+    val w = Array.fill(FeatDim)(0L)
+    if (n > 0) {
+      for (_ <- 1 to GdIters) {
+        // err = σ(z) − y·1e6; per-row gradient g_j = err·x_j div 1e6
+        val errExpr =
+          s"(${sigmaMicroExpr(zExpr(w))}) - y * ${Scale}L"
+        val gradCols = (0 until FeatDim).map(j =>
+          sum(expr(s"(($errExpr) * x$j) div ${Scale}L")
+            .cast(DecimalType(38, 0))).as(s"g$j"))
+        val g = feats.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+        var j = 0
+        while (j < FeatDim) {
+          val gj = BigInt(g.getDecimal(j).toBigInteger)
+          // w ← w − lr·G/n (trunc), lr and order mirrored in the oracle
+          w(j) = (BigInt(w(j)) - gj * Lr / n).toLong
+          j += 1
+        }
+      }
+    }
+    feats.unpersist()
+    w
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -438,34 +483,12 @@ object Learn {
     // sums) → driver weight update → next pass re-scores with the new
     // literals. Output: per-doc final score + prediction + label.
     "tx28_quality_classifier" -> ((s, d) => {
-      val feats = featuresDf(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-      val n = feats.count()
-      val w = Array.fill(FeatDim)(0L)
-      if (n > 0) {
-        for (_ <- 1 to GdIters) {
-          // err = σ(z) − y·1e6; per-row gradient g_j = err·x_j div 1e6
-          val errExpr =
-            s"(${sigmaMicroExpr(zExpr(w))}) - y * ${Scale}L"
-          val gradCols = (0 until FeatDim).map(j =>
-            sum(expr(s"(($errExpr) * x$j) div ${Scale}L")
-              .cast(DecimalType(38, 0))).as(s"g$j"))
-          val g = feats.agg(gradCols.head, gradCols.tail: _*).collect()(0)
-          var j = 0
-          while (j < FeatDim) {
-            val gj = BigInt(g.getDecimal(j).toBigInteger)
-            // w ← w − lr·G/n (trunc), lr and order mirrored in the oracle
-            w(j) = (BigInt(w(j)) - gj * Lr / n).toLong
-            j += 1
-          }
-        }
-      }
-      val res = feats.selectExpr("doc_id",
-        s"${sigmaMicroExpr(zExpr(w))} AS score_micro", "y")
+      val w = trainWeights(s, d)
+      featuresDf(s, d)
+        .select(col("doc_id"), scoreColumn(w).as("score_micro"), col("y"))
         .selectExpr("doc_id", "score_micro",
           "CAST(CASE WHEN score_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"
             + " AS pred", "y")
-      feats.unpersist()
-      res
     })
   )
 

@@ -45,6 +45,25 @@ object DocPipeline {
       lateness: String = "10 minutes"): DataFrame =
     dedupByContent(qualityFilter(docs, minTokens, minTtr), lateness)
 
+  /** Model-scored quality: the tx28 classifier applied to the stream —
+    * batch-trained weights arrive as literals (train offline on the
+    * corpus snapshot via `Learn.trainWeights`, score online; the
+    * parameter-server read path), the feature extraction and rational
+    * sigmoid are the SAME code the batch query runs, and the whole
+    * stage is a stateless projection: no state store, no watermark, no
+    * extra shuffle — it composes in front of [[dedupByContent]] exactly
+    * like [[qualityFilter]]. Zero-token docs drop (same filter as
+    * batch). Appends score_micro and pred; parity with batch tx28 is
+    * asserted row-exact in DocPipelineSpec. */
+  def scoreQuality(docs: DataFrame, weights: Array[Long]): DataFrame =
+    graft.operators.Learn.withFeatures(
+        docs.withColumn("n_chars", length(col("text"))))
+      .withColumn("score_micro",
+        graft.operators.Learn.scoreColumn(weights))
+      .withColumn("pred", expr(
+        "CAST(CASE WHEN score_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
+      .drop("x0", "x1", "x2", "x3", "x4", "x5", "y", "n_chars")
+
   /** Streaming NEAR-dup detection: MinHash signatures computed per row in
     * the scan (shingles via the native kernel, NumPerms mins as one nested
     * array expression — no stateful aggregation needed, so the only state

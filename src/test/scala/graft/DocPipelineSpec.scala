@@ -113,4 +113,36 @@ class DocPipelineSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("scoreQuality: streamed classifier scores are row-identical to " +
+      "batch tx28 (train offline, score online)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val w = graft.operators.Learn.trainWeights(spark, sf)
+    val want = SparkEntry.queries("tx28_quality_classifier")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    spark.catalog.clearCache()
+
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val df = in.toDF().toDF("doc_id", "text", "ts")
+    val q = DocPipeline.scoreQuality(df, w)
+      .select("doc_id", "score_micro", "pred")
+      .writeStream.format("memory").queryName("scored")
+      .outputMode(OutputMode.Append).start()
+    // two batches, split mid-corpus: scoring must be batch-invariant
+    val (a, b) = docs.splitAt(docs.length / 2)
+    in.addData(a.toSeq.map { case (id, t) => (id, t, ts(0)) })
+    q.processAllAvailable()
+    in.addData(b.toSeq.map { case (id, t) => (id, t, ts(1)) })
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("scored")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want, "stream scores must equal batch tx28 exactly")
+  }
 }
