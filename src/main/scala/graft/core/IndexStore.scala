@@ -28,4 +28,18 @@ object IndexStore {
     val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** The build-once/read-many choreography for a SINGLE parquet
+    * artifact: readiness via the _SUCCESS marker, overwrite-write on
+    * first touch, read-back for every consumer. One home for the
+    * pattern (dd09's pair table, the gx edge table) so a future fix to
+    * the atomicity contract lands once; the multi-artifact index builds
+    * (IVF cells + centroids, PQ codebook + codes) keep their own
+    * sequencing because readiness there spans several writes. */
+  def loadOrBuild(s: SparkSession, path: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    if (!ready(s, path)) build.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
 }

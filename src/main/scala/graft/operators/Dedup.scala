@@ -513,16 +513,13 @@ object Dedup {
     * runs — pair mining once, clustering/filtering downstream — vs the
     * standalone dd06/dd08 entries, which must mine inline because the
     * correctness gate clears all state between queries. */
-  private def pairTable(s: SparkSession, d: String): DataFrame = {
-    val path = graft.core.IndexStore.root(d) + "/jaccard_pairs"
-    if (!graft.core.IndexStore.ready(s, path)) {
+  private def pairTable(s: SparkSession, d: String): DataFrame =
+    graft.core.IndexStore.loadOrBuild(s,
+      graft.core.IndexStore.root(d) + "/jaccard_pairs") {
       val idx = shingleIndex(s, d)
       jaccardFrom(pairCounts(explPostings(idx)), idx)
         .select(col("d1"), col("d2"))
-        .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
-  }
 
   /** Jaccard pair relation `(d1 < d2, jaccard)` at an arbitrary
     * threshold — dd02's exact kernel (generation-time AllPairs length

@@ -83,14 +83,10 @@ object Graphs {
     * sf1 gx01 20.5 s / gx02 16.8 s fused vs ~seconds steady). Path is
     * τ-versioned so Graphs can never read a table mined at another
     * threshold. */
-  private def edgeTable(s: SparkSession, d: String): DataFrame = {
-    val path = graft.core.IndexStore.root(d) + "/jp_tau50"
-    if (!graft.core.IndexStore.ready(s, path)) {
-      Dedup.jaccardGraph(s, d, GxTau).select(col("d1"), col("d2"))
-        .write.mode("overwrite").parquet(path)
-    }
-    s.read.parquet(path)
-  }
+  private def edgeTable(s: SparkSession, d: String): DataFrame =
+    graft.core.IndexStore.loadOrBuild(s,
+      graft.core.IndexStore.root(d) + "/jp_tau50")(
+      Dedup.jaccardGraph(s, d, GxTau).select(col("d1"), col("d2")))
 
   /** floor(x * 0.85) in micro-units without 128-bit arithmetic:
     * x = q*S + r  =>  floor(x*D/S) = q*D + floor(r*D/S) exactly (q*D is

@@ -35,10 +35,11 @@ import graft.core.Tables
   *  - PCA never materializes a pairwise relation: ONE corpus scan
   *    accumulates the 2145 raw moments (count, 64 sums, 64·65/2
   *    products) imperatively per partition — long arithmetic inside a
-  *    partition (overflow headroom: |x_micro| ≤ ~2e6 ⇒ per-row product
-  *    ≤ 4e12 ⇒ a partial overflows only past ~2.3e6 ROWS PER PARTITION,
-  *    ~40× over a 16 MB split of 64-dim float rows; guarded by a
-  *    require) — then exactly (partitions × 2145) rows shuffle into a
+  *    partition (overflow headroom: |x_micro| ≤ 4e6 AND rows/partition
+  *    < 5e5 ⇒ |partial| ≤ 8e18 < 2^63, BOTH requires enforced in the
+  *    hot loop so out-of-contract inputs fail loudly instead of
+  *    wrapping; a 16 MB split of 64-dim float rows holds ~61k rows,
+  *    8× headroom) — then exactly (partitions × 2145) rows shuffle into a
   *    DECIMAL(38,0) final sum, which is the overflow-safe cross-
   *    partition accumulator (a raw long sum is NOT safe at 4e11 rows).
   *    This is the treeAggregate pattern as a relational two-phase agg;
@@ -52,7 +53,7 @@ import graft.core.Tables
   *  - the per-vector projection is a pure literal-vector projection
   *    (64 codegen'd multiply-adds; no join, no shuffle).
   *  - logistic-regression training holds the persisted feature relation
-  *    and reshuffles NOTHING per step: each of the 8 fixed iterations is
+  *    and reshuffles NOTHING per step: each of the [[GdIters]] fixed iterations is
   *    one aggregate (6 decimal sums → 6 driver longs), the parameter-
   *    server pattern with the weight vector as literals, like
   *    Clustering's centroid loop.
@@ -113,6 +114,12 @@ object Learn {
           var j = 0
           while (j < Dim) {
             xm(j) = math.floor(e(j).toDouble * Scale + 0.5).toLong
+            // the per-partition long-partial overflow analysis assumes
+            // bounded components; out-of-contract magnitudes must fail
+            // loudly, not wrap the partials. Jointly with the row guard
+            // below: 5e5 rows x (4e6)^2 = 8e18 < 2^63.
+            require(math.abs(xm(j)) <= 4L * Scale,
+              s"|component| ${e(j)} exceeds the |x| <= 4.0 contract")
             j += 1
           }
           acc(0) += 1L
@@ -126,9 +133,11 @@ object Learn {
           }
           rows += 1L
         }
-        // long-overflow guard for the in-partition partials (see scaladoc)
-        require(rows < 2000000L,
-          s"partition holds $rows rows; re-split input below 2e6 rows/task")
+        // long-overflow guard for the in-partition partials, joint with
+        // the |x| <= 4.0 magnitude guard above (see scaladoc); a 16 MB
+        // split of 64-dim float rows holds ~61k rows — 8x headroom
+        require(rows < 500000L,
+          s"partition holds $rows rows; re-split input below 5e5 rows/task")
         acc.iterator.zipWithIndex.map { case (v, i) => (i, v) }
       }.toDF("idx", "partial")
     val got = parts.groupBy("idx")
@@ -195,7 +204,14 @@ object Learn {
       .as[(Long, Array[Float])]
       .map { case (id, e) =>
         require(e.length == Dim, s"embedding dim ${e.length} != $Dim")
-        (id, e.map(x => math.floor(x.toDouble * Scale + 0.5).toLong))
+        (id, e.map { x =>
+          val m = math.floor(x.toDouble * Scale + 0.5).toLong
+          // same bounded-magnitude contract as the moment pass: the
+          // k-means partial/dist overflow headroom assumes |x| <= 4.0
+          require(math.abs(m) <= 4L * Scale,
+            s"|component| $x exceeds the |x| <= 4.0 contract")
+          m
+        })
       }
   }
 
@@ -236,13 +252,16 @@ object Learn {
     val rows = microRows(s, d).persist()
     val seeds = rows.orderBy(col("_1")).limit(KmK).collect()
     if (seeds.isEmpty) { rows.unpersist(); return None }
+    // k = min(KmK, n): a corpus below K seeds clusters with what it
+    // has — the oracle's LIMIT takes the same prefix, so both engines
+    // run the identical smaller k instead of diverging by crash
     var c = seeds.map(_._2.clone())
-    require(c.length == KmK, s"corpus smaller than K=$KmK seeds")
     for (_ <- 1 to KmIters) {
       val cb = c
+      val kk = cb.length
       val partials = rows.mapPartitions { it =>
-        val cnt = new Array[Long](KmK)
-        val sums = Array.ofDim[Long](KmK, Dim)
+        val cnt = new Array[Long](kk)
+        val sums = Array.ofDim[Long](kk, Dim)
         var n = 0L
         while (it.hasNext) {
           val (_, x) = it.next()
@@ -254,7 +273,7 @@ object Learn {
         }
         require(n < 2000000L,
           s"partition holds $n rows; re-split input below 2e6 rows/task")
-        (0 until KmK).iterator.flatMap { k =>
+        (0 until kk).iterator.flatMap { k =>
           Iterator.single((k, -1, cnt(k))) ++
             (0 until Dim).iterator.map(j => (k, j, sums(k)(j)))
         }
@@ -262,14 +281,14 @@ object Learn {
         .groupBy("k", "j")
         .agg(sum(col("partial").cast(DecimalType(38, 0))).as("m"))
         .collect()
-      val n = new Array[BigInt](KmK)
-      val sm = Array.fill(KmK, Dim)(BigInt(0))
+      val n = new Array[BigInt](kk)
+      val sm = Array.fill(kk, Dim)(BigInt(0))
       partials.foreach { r =>
         val v = BigInt(r.getDecimal(2).toBigInteger)
         if (r.getInt(1) == -1) n(r.getInt(0)) = v
         else sm(r.getInt(0))(r.getInt(1)) = v
       }
-      c = Array.tabulate(KmK) { k =>
+      c = Array.tabulate(kk) { k =>
         if (n(k) == null || n(k) == 0) c(k) // empty: keep prior centroid
         else Array.tabulate(Dim)(j => (sm(k)(j) / n(k)).toLong)
       }
@@ -371,6 +390,16 @@ object Learn {
     * 6-sum aggregate (exact decimal) and a driver weight update. */
   private[graft] def trainWeights(s: SparkSession, d: String): Array[Long] = {
     val feats = featuresDf(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val w = trainOn(feats)
+    feats.unpersist()
+    w
+  }
+
+  /** The gradient loop over an already-persisted feature relation —
+    * shared by trainWeights (streaming callers, who drop the features)
+    * and tx28 (which scores over the same persist, no second corpus
+    * pass). */
+  private def trainOn(feats: DataFrame): Array[Long] = {
     val n = feats.count()
     val w = Array.fill(FeatDim)(0L)
     if (n > 0) {
@@ -391,15 +420,14 @@ object Learn {
         }
       }
     }
-    feats.unpersist()
     w
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Dominant principal component of the embedding table, projected:
-    // (vec_id, pc1_micro). Moments in one exact distributed pass; 12
-    // integer power iterations on the driver; projection as a pure
+    // (vec_id, pc1_micro). Moments in one exact distributed pass;
+    // PowerIters integer power iterations on the driver; projection as a pure
     // literal-vector codegen projection. Bit-exact vs the oracle's
     // unrolled CTE replay of the same integers.
     "em01_pca_project" -> ((s, d) => {
@@ -477,14 +505,18 @@ object Learn {
       }
     }),
 
-    // Logistic quality classifier (is-English from surface features),
-    // trained by 8 full-batch integer gradient steps: per step ONE
-    // aggregate over the persisted feature relation (6 exact decimal
-    // sums) → driver weight update → next pass re-scores with the new
-    // literals. Output: per-doc final score + prediction + label.
+    // Logistic quality classifier (rule-label distillation from surface
+    // features), trained by GdIters full-batch integer gradient steps:
+    // per step ONE aggregate over the persisted feature relation
+    // (6 exact decimal sums) → driver weight update → next pass
+    // re-scores with the new literals. Output: per-doc final score +
+    // prediction + label. Scoring reuses the SAME persisted feature
+    // relation the trainer aggregated (no second corpus pass); the
+    // harness's clearCache between queries releases it.
     "tx28_quality_classifier" -> ((s, d) => {
-      val w = trainWeights(s, d)
-      featuresDf(s, d)
+      val feats = featuresDf(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val w = trainOn(feats)
+      feats
         .select(col("doc_id"), scoreColumn(w).as("score_micro"), col("y"))
         .selectExpr("doc_id", "score_micro",
           "CAST(CASE WHEN score_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"
@@ -622,7 +654,8 @@ object Learn {
          |  CAST(CASE WHEN st.tr > 0
          |    THEN ((st.vmv // st.vv) * $Scale) // st.tr
          |    ELSE 0 END AS BIGINT) AS explained_micro
-         |FROM st, nn""".stripMargin,
+         |FROM st, nn
+         |WHERE nn.n > 0""".stripMargin,
 
     "em03_kmeans_census" ->
       s"""WITH $kmeansCtes,

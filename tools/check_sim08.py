@@ -8,12 +8,26 @@ against the Spark output parquet. Dev-loop tool only.
 
 Usage: python3 tools/check_sim08.py <sfDir> <verifyOutDir>
 """
+import decimal
 import sys
 
 import duckdb
 import numpy as np
 
 K = 5
+
+SIX = decimal.Decimal("0.000001")
+
+
+def round_half_up(x):
+    """Java/Spark round(x, 6): BigDecimal of the double's SHORTEST
+    DECIMAL repr, HALF_UP. np.round is half-even ON THE BINARY value —
+    both legs differ from the engine on exact 6dp ties (e.g. 2.5e-6
+    rounds to 2e-6 under numpy but 3e-6 under Spark), so the candidate
+    slate is re-rounded with the engine's exact semantics before the
+    final ranking."""
+    return float(decimal.Decimal(repr(float(x)))
+                 .quantize(SIX, rounding=decimal.ROUND_HALF_UP))
 
 
 def main(sf_dir, out_dir):
@@ -34,12 +48,17 @@ def main(sf_dir, out_dir):
             i = i0 + bi
             row = cr[bi].copy()
             row[i] = -np.inf  # exclude self
-            # top-K on (rounded cos DESC, id ASC): lexsort ascending on
-            # (-cos, id) -> take first K
-            order = np.lexsort((ids, -row))[:K]
+            # fast slate: top K+8 on numpy rounding (differs from the
+            # engine only by <=1e-6 on exact ties, so the true top-K is
+            # inside this slate), then re-round the slate with the
+            # engine's HALF_UP-on-decimal-repr semantics and re-rank
+            slate = np.lexsort((ids, -row))[:K + 8]
+            precise = sorted(
+                ((round_half_up(c[bi][j]), int(ids[j])) for j in slate
+                 if int(ids[j]) != int(ids[i])),
+                key=lambda t: (-t[0], t[1]))[:K]
             want[int(ids[i])] = [
-                (r + 1, int(ids[j]), float(row[j]))
-                for r, j in enumerate(order)]
+                (r + 1, j, v) for r, (v, j) in enumerate(precise)]
     got = {}
     for src, rank, dst, cos_r in con.execute(
             f"SELECT src, rank, dst, cos_r FROM '{out_dir}/sim08_knn_graph/"
