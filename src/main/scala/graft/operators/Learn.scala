@@ -241,11 +241,12 @@ object Learn {
     * partials (count + 64 sums per cluster — K·(Dim+1) numbers), merged
     * as DECIMAL(38,0); the K×Dim centroid matrix lives driver-side as
     * literals, the parameter-server pattern shared with tx28/em01.
-    * Per-partition partials stay in long range: |x|,|c| ≤ ~1.1e6 micro
-    * ⇒ |sum_j x| partial ≤ 1.1e6·2e6 rows, and the census's per-row
-    * scaled inertia (dist div 1e6 ≤ ~3e8) is divided BEFORE summation
-    * — mirrored in the oracle — so no partial approaches 2^63 under
-    * the same <2e6 rows/task guard as the moment pass. */
+    * Per-partition partials stay in long range under the ENFORCED
+    * magnitude contract |x|,|c| ≤ 4e6 micro (checked in the hot loop)
+    * ⇒ |sum_j x| partial ≤ 4e6·2e6 rows = 8e12 « 2^63, and the
+    * census's per-row scaled inertia (dist div 1e6) is divided BEFORE
+    * summation — mirrored in the oracle — so no partial approaches
+    * 2^63. */
   private def kmeansMicro(s: SparkSession, d: String)
       : Option[Array[Array[Long]]] = {
     import s.implicits._
@@ -317,8 +318,11 @@ object Learn {
     * n_chars) — stateless, so the same columns score a STREAM
     * (DocPipeline.scoreQuality) with batch-trained weights; zero-token
     * docs are dropped (same filter everywhere). Appends x0..x5 and y,
-    * keeps every input column. */
-  private[graft] def withFeatures(df: DataFrame): DataFrame =
+    * keeps every input column. `charsCol` names the character-count
+    * column (default the stored `n_chars`); a streaming caller passes
+    * its own derived column so it never has to shadow `n_chars`. */
+  private[graft] def withFeatures(df: DataFrame,
+      charsCol: String = "n_chars"): DataFrame =
     df
       .withColumn("toks", expr(TextAnalysis.tokensExpr))
       .withColumn("n_tok", expr("size(toks)"))
@@ -331,7 +335,7 @@ object Learn {
         "x2" -> expr(s"(size(array_distinct(toks)) * ${Scale}L) div n_tok"),
         "x3" -> expr("size(filter(toks, t -> t IN ('the', 'a')))" +
           s" * ${Scale}L div n_tok"),
-        "x4" -> expr(s"(least(n_chars, 4000L) * ${Scale}L) div 4000L"),
+        "x4" -> expr(s"(least($charsCol, 4000L) * ${Scale}L) div 4000L"),
         // avg token length (chars, trunc), capped at 16 — tokens are
         // ASCII by the tokenizer regex, so char counts agree x-engine
         "x5" -> expr("(least(aggregate(transform(toks, t -> length(t)), 0L," +
@@ -510,12 +514,15 @@ object Learn {
     // per step ONE aggregate over the persisted feature relation
     // (6 exact decimal sums) → driver weight update → next pass
     // re-scores with the new literals. Output: per-doc final score +
-    // prediction + label. Scoring reuses the SAME persisted feature
-    // relation the trainer aggregated (no second corpus pass); the
-    // harness's clearCache between queries releases it.
+    // prediction + label. The persist amortizes the GdIters training
+    // aggregates only; it is RELEASED (blocking=false) before the lazy
+    // scoring relation is returned, so library callers never leak a
+    // cached relation — the final scoring pass recomputes the features
+    // once (~1/25th of the query's scans; inside host band at sf1).
     "tx28_quality_classifier" -> ((s, d) => {
       val feats = featuresDf(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       val w = trainOn(feats)
+      feats.unpersist(blocking = false)
       feats
         .select(col("doc_id"), scoreColumn(w).as("score_micro"), col("y"))
         .selectExpr("doc_id", "score_micro",

@@ -54,15 +54,22 @@ object DocPipeline {
     * extra shuffle — it composes in front of [[dedupByContent]] exactly
     * like [[qualityFilter]]. Zero-token docs drop (same filter as
     * batch). Appends score_micro and pred; parity with batch tx28 is
-    * asserted row-exact in DocPipelineSpec. */
+    * asserted row-exact in DocPipelineSpec. The chars feature is
+    * computed under a reserved internal column (`__n_chars`) so a
+    * caller's own `n_chars` column — if the stream carries one — is
+    * never overwritten or dropped; batch parity holds because
+    * ScaleData defines n_chars == length(text) (the batch query reads
+    * the stored column, this path recomputes it — same value by that
+    * generator invariant). */
   def scoreQuality(docs: DataFrame, weights: Array[Long]): DataFrame =
     graft.operators.Learn.withFeatures(
-        docs.withColumn("n_chars", length(col("text"))))
+        docs.withColumn("__n_chars", length(col("text"))),
+        charsCol = "__n_chars")
       .withColumn("score_micro",
         graft.operators.Learn.scoreColumn(weights))
       .withColumn("pred", expr(
         "CAST(CASE WHEN score_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
-      .drop("x0", "x1", "x2", "x3", "x4", "x5", "y", "n_chars")
+      .drop("x0", "x1", "x2", "x3", "x4", "x5", "y", "__n_chars")
 
   /** Streaming NEAR-dup detection: MinHash signatures computed per row in
     * the scan (shingles via the native kernel, NumPerms mins as one nested

@@ -48,11 +48,17 @@ def main(sf_dir, out_dir):
             i = i0 + bi
             row = cr[bi].copy()
             row[i] = -np.inf  # exclude self
-            # fast slate: top K+8 on numpy rounding (differs from the
-            # engine only by <=1e-6 on exact ties, so the true top-K is
-            # inside this slate), then re-round the slate with the
-            # engine's HALF_UP-on-decimal-repr semantics and re-rank
-            slate = np.lexsort((ids, -row))[:K + 8]
+            # fast slate: everything within 1e-6 of the K-th value under
+            # numpy rounding (value-based cutoff — a fixed +8 could drop
+            # a true top-K member if a tie plateau at the K-th boundary
+            # exceeded 8 candidates; numpy half-even differs from the
+            # engine's HALF_UP by <=1e-6, so the true top-K is inside
+            # this slate), then re-round the slate with the engine's
+            # HALF_UP-on-decimal-repr semantics and re-rank
+            order = np.lexsort((ids, -row))
+            kth = row[order[min(K, len(order)) - 1]]
+            cut = np.searchsorted(-row[order], -(kth - 1e-6), side="right")
+            slate = order[:max(cut, K)]
             precise = sorted(
                 ((round_half_up(c[bi][j]), int(ids[j])) for j in slate
                  if int(ids[j]) != int(ids[i])),
