@@ -43,6 +43,42 @@ object Bench {
 
   private def jnum(v: Double): String = f"$v%.3f"
 
+  /** Fixture fingerprint: the physical quadruple (bytes/rows/rowGroups/
+    * files) per table straight from [[graft.core.Tables.layout]]'s footer
+    * read, plus an md5 of the documents table's first part file. Stamped
+    * into every bench sidecar so cross-round per-query deltas are only
+    * ever read against IDENTICAL fixture bytes — the r9/r10 "same
+    * generator, 2x different files" drift (PLANS.md §3; an r11
+    * regeneration A/B with the r9-era 128 MB block size reproduced the
+    * SMALL files, so block size is ruled out and the r9-era inflation
+    * remains unreproducible from HEAD) becomes detectable at a glance
+    * instead of after a week of confounded numbers. */
+  private def fixtureJson(spark: SparkSession, sfDir: String): String = {
+    val dir = new java.io.File(sfDir)
+    val tables = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val perTable = tables.map { t =>
+      val l = graft.core.Tables.layout(spark, t.getPath)
+      s""""${t.getName.stripSuffix(".parquet")}":[${l.bytes},${l.rows},${l.rowGroups},${l.files}]"""
+    }.mkString("{", ",", "}")
+    val md5 = tables.find(_.getName == "documents.parquet").map { t =>
+      val part = if (t.isDirectory)
+        t.listFiles().filter(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).sortBy(_.getName).headOption
+          .getOrElse(t)
+        else t
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val in = new java.io.FileInputStream(part)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n > 0) { d.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      d.digest().map("%02x".format(_)).mkString
+    }.getOrElse("absent")
+    s""""fixture":{"tables":$perTable,"documents_md5":"$md5","layout":"[bytes,rows,row_groups,files]"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -214,8 +250,10 @@ object Bench {
     val gateJson = if (gateDd05)
       s""","dd05_gated":"excluded ${ExactPairAnchors.toSeq.sorted.mkString("+")}: O(N^2) recall anchors, corpus ${nVec} vectors > 60k sf1 bound (PLANS.md)""""
       else ""
+    val fixJson = try fixtureJson(spark, sfDir)
+      catch { case e: Exception => s""""fixture":{"error":"${e.getClass.getSimpleName}"}""" }
     val fullJson =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,$fixJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     println(s"BENCH_DETAIL $fullJson")
@@ -231,7 +269,7 @@ object Bench {
         val build = if (a >= 0 && b >= 0) math.max(0.0, a - b) else -1.0
         s""""$k":{"build_s":${jnum(build)},"steady_s":${jnum(b)}}"""
       }.mkString(""","index_build":{""", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$headQs$headIdx$streamJson$gateJson,"detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$headQs$headIdx$streamJson$gateJson,$fixJson,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 

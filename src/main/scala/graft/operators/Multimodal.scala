@@ -8,10 +8,16 @@ import graft.core.Tables
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
   * The reference engine is strings-only (SURVEY.md §1.2); this is the
-  * pipeline-extras tier for a 100 TB multimodal corpus. No media libraries
-  * exist in this environment, so the DECODE KERNELS ARE DETERMINISTIC
-  * STUBS (clearly marked below) — but the Spark-side contract is real and
-  * is the part that matters at scale:
+  * pipeline-extras tier for a 100 TB multimodal corpus. IMAGE kinds run
+  * REAL codecs end-to-end as of r11: payloads are genuine PNGs (encoded
+  * by the JDK's headless ImageIO from a closed-form pixel synth —
+  * [[MediaCodec]]), and mm02/mm04/mm05 DECODE them back through
+  * ImageIO, with the DuckDB oracle checking the reported pixel stats
+  * against the closed form it can evaluate without ever parsing a PNG.
+  * AUDIO/VIDEO kinds remain DETERMINISTIC BYTE STUBS (clearly marked
+  * below) — the JDK ships no audio/video codec, and a fake one would be
+  * worse than a marked stub. The Spark-side contract is identical for
+  * both tiers and is the part that matters at scale:
   *
   *  - payloads live in a `BinaryType` column, scanned but never parsed by
   *    Catalyst; metadata lives in a sibling struct so pruning works (a
@@ -35,66 +41,96 @@ case class MediaResized(media_id: Long, width: Int, height: Int,
 
 object Multimodal {
 
-  /** Synthesize the media catalog from `documents`: payload = utf-8 bytes
-    * of the text (a stand-in blob), kind round-robins image/audio/video,
-    * metadata derived deterministically from doc fields. */
-  def mediaCatalog(s: SparkSession, d: String): DataFrame =
+  /** Synthesize the media catalog from `documents`: kind round-robins
+    * image/audio/video. IMAGE payloads are REAL PNGs ([[MediaCodec]] via
+    * the png_synth expression — an Expression, not a mapPartitions
+    * stage, so the catalog stays a pure columnar plan and metadata-only
+    * consumers never encode a single PNG); audio/video payloads are the
+    * utf-8 text bytes (stand-in blobs for the byte-stub tier). Image
+    * meta carries the TRUE dims; payloads derive from doc_id alone so
+    * the DuckDB side can reproduce every downstream pixel stat without
+    * a PNG parser. */
+  def mediaCatalog(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftx.PngSynthFunctions.png_synth
+    val isImage = col("doc_id") % 3 === 0
     Tables(s, d, "documents").select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
+      when(isImage, png_synth(col("doc_id")))
+        .otherwise(col("text").cast("binary")).as("payload"),
       struct(
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"),
+        when(isImage, lit(8) + col("doc_id") % 9)
+          .otherwise(col("n_chars") % 640).cast("int").as("width"),
+        when(isImage, lit(8) + col("doc_id") % 7)
+          .otherwise(col("n_chars") % 480).cast("int").as("height"),
         lit(3).as("channels"),
         lit(16000).as("sample_rate")).as("meta"))
+  }
 
-  /** ===== STUB ===== A real implementation would decode the payload with
-    * an image/audio codec here; this deterministic fake just folds over the
-    * raw bytes. The mapPartitions shape (batch iterator in, batch iterator
-    * out, schema fixed by the case-class encoder) is exactly what a real
-    * decoder plugs into — per-partition setup amortized, Tungsten rows in
-    * and out (SerializeFromObject, no RDD[Row] detour). */
-  private def decodeStub(
+  /** Decode + feature extraction. IMAGE rows run the REAL path: ImageIO
+    * PNG decode, stats over the decoded pixel raster (n_bytes = content
+    * bytes w*h*3, checksum = sum of channel values). AUDIO/VIDEO rows
+    * remain the ===== STUB ===== byte fold (no JDK codec exists). The
+    * mapPartitions shape (batch iterator in, batch iterator out, schema
+    * fixed by the case-class encoder) is what any real decoder plugs
+    * into — per-partition setup amortized, Tungsten rows in and out
+    * (SerializeFromObject, no RDD[Row] detour). */
+  private def decodeKernel(
       rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] =
     rows.map { case (mediaId, kind, bytes) =>
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-      MediaFeatures(mediaId, kind, bytes.length, sum,
-        if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
+      if (kind == "image") {
+        val px = MediaCodec.pixels(MediaCodec.decode(bytes))
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        MediaFeatures(mediaId, kind, px.length, sum,
+          if (px.length == 0) 0.0 else sum.toDouble / px.length)
+      } else {
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        MediaFeatures(mediaId, kind, bytes.length, sum,
+          if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
+      }
     }
 
-  /** ===== STUB ===== A real encoder would batch decoded media through a
-    * vision/audio model (the per-partition iterator is where the model
-    * loads once and serves the whole batch); this deterministic fake folds
-    * raw bytes into 8 chunked sums so the downstream similarity plumbing
-    * is real and testable. */
-  private def encodeStub(
+  /** Embedding kernel. IMAGE rows embed the REAL decoded pixel raster
+    * (8 chunked channel sums — a fixed featurizer, stand-in for a model
+    * forward pass); AUDIO/VIDEO remain the ===== STUB ===== raw-byte
+    * fold. The per-partition iterator is where a real model would load
+    * once and serve the whole batch. */
+  private def encodeKernel(
       rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaEmb] =
     rows.map { case (mediaId, kind, bytes) =>
       val emb = new Array[Float](8)
-      var i = 0
-      while (i < bytes.length) { emb(i % 8) += (bytes(i) & 0xff); i += 1 }
+      if (kind == "image") {
+        val px = MediaCodec.pixels(MediaCodec.decode(bytes))
+        var i = 0
+        while (i < px.length) { emb(i % 8) += px(i); i += 1 }
+      } else {
+        var i = 0
+        while (i < bytes.length) { emb(i % 8) += (bytes(i) & 0xff); i += 1 }
+      }
       MediaEmb(mediaId, kind, emb)
     }
 
-  /** ===== STUB ===== A real implementation would decode the image,
-    * bilinear-resize, and re-encode; this deterministic fake halves the
-    * metadata dims and stride-2-downsamples the raw bytes. The contract is
-    * the real part: metadata flows WITH the payload through the batch
-    * iterator, the output schema is fixed by the case-class encoder, and
-    * the whole stage is oracled byte-for-byte against an independent SQL
-    * implementation. */
-  private def resizeStub(
-      rows: Iterator[(Long, Array[Byte], Int, Int)]): Iterator[MediaResized] =
-    rows.map { case (mediaId, bytes, w, h) =>
+  /** REAL image resize: ImageIO decode -> stride-2 downsample -> PNG
+    * re-ENCODE -> re-DECODE, stats emitted from the round-tripped image
+    * so both the writer and the reader sit on the measured path. The
+    * emitted dims/checksum equal the closed-form downsample of the
+    * synth pixels (PNG is lossless), which is what the SQL oracle
+    * checks byte-for-byte. */
+  private def resizeKernel(
+      rows: Iterator[(Long, Array[Byte])]): Iterator[MediaResized] =
+    rows.map { case (mediaId, bytes) =>
+      val rt = MediaCodec.decode(MediaCodec.encodePng(
+        MediaCodec.downsample(MediaCodec.decode(bytes))))
+      val px = MediaCodec.pixels(rt)
       var sum = 0L
-      var n = 0
       var i = 0
-      while (i < bytes.length) { sum += (bytes(i) & 0xff); n += 1; i += 2 }
-      MediaResized(mediaId, w / 2, h / 2, n, sum)
+      while (i < px.length) { sum += px(i); i += 1 }
+      MediaResized(mediaId, rt.getWidth, rt.getHeight, px.length, sum)
     }
 
   /** (media_id, kind, payload) as a typed Dataset for the stub kernels. */
@@ -121,30 +157,30 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Metadata-only catalog scan: payload column pruned away entirely.
+    // Metadata-only catalog scan: payload column pruned away entirely —
+    // the plan never touches png_synth (no payload bytes, no PNG encode;
+    // asserted by the spec's plan read).
     "mm01_media_catalog" -> ((s, d) =>
       mediaCatalog(s, d).select(
         col("media_id"), col("kind"),
-        octet_length(col("payload")).as("n_bytes"),
-        col("meta.width").as("width"), col("meta.height").as("height"))),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"))),
 
-    // Decode + feature extraction through the mapPartitions batch kernel.
-    // Resize stage: image payloads only (pruned at the scan by the kind
-    // filter), metadata transformed alongside the payload in one
+    // REAL resize stage: image payloads only (pruned at the scan by the
+    // kind filter), decode -> downsample -> encode -> decode in one
     // mapPartitions batch — the shape a GPU/codec resize stage plugs into.
     "mm05_media_resize" -> ((s, d) => {
       import s.implicits._
       mediaCatalog(s, d).filter(col("kind") === "image")
-        .select(col("media_id"), col("payload"),
-          col("meta.width").as("w"), col("meta.height").as("h"))
-        .as[(Long, Array[Byte], Int, Int)]
-        .mapPartitions(resizeStub).toDF()
+        .select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(resizeKernel).toDF()
     }),
 
     "mm02_media_features" -> ((s, d) => {
       import s.implicits._
       val feats = payloads(mediaCatalog(s, d))
-        .mapPartitions(decodeStub).toDF()
+        .mapPartitions(decodeKernel).toDF()
       feats.groupBy(col("kind")).agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
@@ -175,7 +211,7 @@ object Multimodal {
       val B = 8; val L = 2
       import s.implicits._
       val emb = payloads(mediaCatalog(s, d))
-        .mapPartitions(encodeStub).toDF()
+        .mapPartitions(encodeKernel).toDF()
       val e = emb.withColumn("nrm", l2_norm(col("emb")))
         .filter(col("nrm") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -299,25 +335,54 @@ object Multimodal {
     })
   )
 
+  /** The closed-form pixel term, shared by every image oracle below —
+    * MUST stay in sync with [[MediaCodec.pixel]] (and the replica in
+    * tools/check_mm04.py). The oracle never parses a PNG: it evaluates
+    * this formula over the (x, y, c) grid and the engine must arrive at
+    * the same numbers through a REAL ImageIO encode->decode round trip
+    * — a wrong stride/channel order/color model breaks the equality. */
+  private val PixelSql = "(doc_id*31 + x*7 + y*13 + c*101 + x*y) % 256"
+
+  /** Full max-dims pixel grid (dims are bounded 8..16 x 8..14 by
+    * MediaCodec.dims) joined under the per-image bound — DuckDB's range()
+    * cannot take correlated args, so the grid is fixed and filtered. */
+  private val GridSql =
+    """g AS (SELECT x, y, c
+      |  FROM range(0, 16) rx(x), range(0, 14) ry(y), range(0, 3) rc(c)),
+      |img AS (SELECT doc_id, (8 + doc_id % 9) AS w, (8 + doc_id % 7) AS h
+      |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mm01_media_catalog" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  (n_chars % 640)::INT AS width, (n_chars % 480)::INT AS height
+        |  CASE WHEN doc_id % 3 = 0 THEN (8 + doc_id % 9)::INT
+        |    ELSE (n_chars % 640)::INT END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN (8 + doc_id % 7)::INT
+        |    ELSE (n_chars % 480)::INT END AS height,
+        |  3 AS channels
         |FROM documents""".stripMargin,
 
-    // mm02: the byte-checksum stub is SQL-expressible (corpus is ASCII, so
-    // utf-8 byte values == codepoints), which validates the mapPartitions
-    // kernel end-to-end against an independent implementation.
+    // mm02: image rows check the REAL ImageIO decode against the pixel
+    // closed form; audio/video rows check the byte stub (corpus is
+    // ASCII, so utf-8 byte values == codepoints) — both tiers validated
+    // end-to-end against an independent implementation.
     "mm02_media_features" ->
-      """WITH f AS (
-        |  SELECT doc_id AS media_id,
+      s"""WITH $GridSql,
+        |ipx AS (
+        |  SELECT img.doc_id, w * h * 3 AS n_bytes,
+        |    SUM($PixelSql) AS checksum
+        |  FROM img JOIN g ON g.x < img.w AND g.y < img.h
+        |  GROUP BY img.doc_id, w, h),
+        |f AS (
+        |  SELECT doc_id, 'image' AS kind, n_bytes, checksum FROM ipx
+        |  UNION ALL
+        |  SELECT doc_id,
         |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
         |    octet_length(encode(text)) AS n_bytes,
         |    list_sum(list_transform(string_split_regex(text, ''),
-        |      c -> ord(c))) AS checksum
-        |  FROM documents)
+        |      ch -> ord(ch))) AS checksum
+        |  FROM documents WHERE doc_id % 3 != 0)
         |SELECT kind, COUNT(*) AS n_media,
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(SUM(checksum) AS BIGINT) AS total_checksum
@@ -328,16 +393,19 @@ object Multimodal {
         |  greatest(octet_length(encode(text)) // 10, 1), 10)) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
-    // mm05: halved dims, stride-2 byte downsample (ASCII corpus: bytes ==
-    // codepoints; Scala 0-based even indices == SQL 1-based odd positions)
+    // mm05: stride-2 downsample of the synth pixels — out(x,y,c) =
+    // in(2x,2y,c), dims = ceil(in/2). The engine decodes a real PNG,
+    // downsamples, re-encodes, re-decodes; the oracle walks the even
+    // grid of the closed form. Lossless round trips make them equal.
     "mm05_media_resize" ->
-      """SELECT doc_id AS media_id,
-        |  ((n_chars % 640) // 2)::INT AS width,
-        |  ((n_chars % 480) // 2)::INT AS height,
-        |  ((octet_length(encode(text)) + 1) // 2)::INT AS n_bytes,
-        |  CAST(COALESCE(list_sum(list_transform(
-        |    range(1, octet_length(encode(text)) + 1, 2),
-        |    i -> ord(substr(text, i::INT, 1)))), 0) AS BIGINT) AS checksum
-        |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+      s"""WITH $GridSql
+        |SELECT img.doc_id AS media_id,
+        |  ((w + 1) // 2)::INT AS width,
+        |  ((h + 1) // 2)::INT AS height,
+        |  (((w + 1) // 2) * ((h + 1) // 2) * 3)::INT AS n_bytes,
+        |  CAST(SUM($PixelSql) AS BIGINT) AS checksum
+        |FROM img JOIN g ON g.x < img.w AND g.y < img.h
+        |  AND g.x % 2 = 0 AND g.y % 2 = 0
+        |GROUP BY img.doc_id, w, h""".stripMargin
   )
 }

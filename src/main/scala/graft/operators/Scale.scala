@@ -51,6 +51,17 @@ object Scale {
     org.apache.spark.sql.graftx.TopKFunctions
       .topKPerGroup(df, groupCols, k, orderBy: _*)
 
+  /** [[topKPerGroup]] with in-heap dedup on `dedupCols`: rows equal on
+    * (group, dedup key) MUST be identical under the order (LSH
+    * multi-table candidates rescored deterministically are the canonical
+    * case); one representative per key survives, so no upstream
+    * `groupBy(key).agg(max)` — and its full-key-domain hash-aggregate
+    * exchange — is needed. */
+  def topKPerGroupDistinct(df: DataFrame, groupCols: Seq[String], k: Int,
+      dedupCols: Seq[String], orderBy: Column*): DataFrame =
+    org.apache.spark.sql.graftx.TopKFunctions
+      .topKPerGroupDistinct(df, groupCols, k, dedupCols, orderBy: _*)
+
   /** Occupancy-adaptive sign-LSH plane count: expected bucket occupancy
     * is N/2^B, so holding occupancy ~`target` (B = log2(N/target)) keeps
     * per-bucket collision-join fan-out O(1) in N — with B fixed the

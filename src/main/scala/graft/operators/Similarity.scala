@@ -493,40 +493,37 @@ object Similarity {
           col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
       val raw = dot_product(col("x.embedding"), col("y.embedding")) /
         (col("x.nrm") * col("y.nrm"))
-      // dedup on the UNORDERED pair BEFORE the both-directions explode:
-      // a pair colliding in several (table, probe) combos scores
-      // identically, so max() is pure dedup — and placing it below the
-      // explode halves the one unbounded exchange in the plan (the
-      // explode's output feeds TopKPerGroup's map-side partial heaps,
-      // which exchange only K+slack rows per (src, partition), so rows
-      // created after the dedup never shuffle wide). Measured at sf1:
-      // 66.3 -> 44.3 s min-of-2 for this reorder alone (and the
-      // shuffle-hash alternative to the merge join measured WORSE:
-      // 82.7 s — the build side is occupancy-uniform but large).
-      val edges = probe.as("x").join(own.hint("merge").as("y"),
+      // A pair colliding in several (table, probe) combos rescores
+      // IDENTICALLY (same operands, deterministic double arithmetic),
+      // so cross-table dedup is pure key-dedup — and it is folded into
+      // TopKPerGroup's bounded heaps (dedup-on-dst inside each per-src
+      // heap) instead of a `groupBy(u,v).agg(max)` ahead of the
+      // selection. That aggregate was the plan's ONE unbounded exchange
+      // — its final hash table keyed the full candidate-pair domain
+      // (~occupancy x L x (B+1) x N rows) and hit a spill wall at
+      // sf4/8g (r10: 3.3x growth per 2x, one OOM; an explicit finer
+      // repartition in front of it A/B'd WORSE at every sf — sf2 172 s
+      // at 24g vs 146 s at 8g). With the heap-dedup there is no pair
+      // exchange at all: duplicates die in the partial heaps where they
+      // arise, and the only shuffle left carries <= K+slack rows per
+      // (src x input-partition) — bounded by construction at ANY
+      // per-core memory. r11 A/B at the default 8g protocol is in
+      // PLANS.md. Soundness: TopKPerGroup's scaladoc (a duplicate is
+      // identical under the total order, so one representative
+      // suffices; partial pruning needs k DISTINCT better keys).
+      val edges = probe.as("x").join(own.hint(sys.props.getOrElse("graft.sim09.join", "merge")).as("y"),
           col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("u"), col("y.vec_id").as("v"),
           raw.as("c"))
-        // the dedup aggregate keys ~occupancy x L x (B+1) x N rows and
-        // is the one unbounded exchange here; an explicit finer hash
-        // repartition in front of it was A/B'd for the spill regime and
-        // measured WORSE at every sf (sf2: 172 s at 24g vs 146 s for
-        // this shape at 8g) — the partial aggregate ahead of the
-        // exchange beats a full-width reshuffle even when the final
-        // hash table spills. sf1->sf2 grows 3.3x against 2.18x
-        // candidate volume (B+1 multiprobe widens with the plane
-        // count); the residual is the agg's spill regime, documented in
-        // PLANS.md with the candidate-volume decomposition.
-        .groupBy(col("u"), col("v")).agg(max(col("c")).as("c"))
         .select(explode(array(
           struct(col("u").as("src"), col("v").as("dst"), col("c")),
           struct(col("v").as("src"), col("u").as("dst"), col("c"))))
           .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"),
           col("e.c").as("c"))
-      graphTopK(edges)
+      graphTopK(edges, dedupDst = true)
     })
   )
 
@@ -537,9 +534,17 @@ object Similarity {
   /** Shared selection tail of the kNN-graph family: raw-cosine heaps
     * (K + RankSlack per src per partition on the wire), then the
     * bounded survivor set is rounded once and re-ranked on the
-    * cross-engine-stable (cos_r DESC, dst ASC) order. */
-  private def graphTopK(edges: DataFrame): DataFrame = {
-    val top = Scale.topKPerGroup(edges, Seq("src"), K + RankSlack,
+    * cross-engine-stable (cos_r DESC, dst ASC) order. `dedupDst` turns
+    * on in-heap dedup for callers whose edge stream carries duplicate
+    * (src, dst) rows with identical scores (sim09's multi-table LSH
+    * collisions); sim08's exact pair census has none, so it skips the
+    * per-heap key set. */
+  private def graphTopK(edges: DataFrame,
+      dedupDst: Boolean = false): DataFrame = {
+    val top = if (dedupDst)
+      Scale.topKPerGroupDistinct(edges, Seq("src"), K + RankSlack,
+        Seq("dst"), col("c").desc, col("dst").asc)
+    else Scale.topKPerGroup(edges, Seq("src"), K + RankSlack,
       col("c").desc, col("dst").asc)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_r").desc, col("dst").asc)

@@ -83,6 +83,64 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(wplan.contains("Sort"), wplan)
   }
 
+  test("distinct: equals dedup-then-topK with duplicates scattered across partitions") {
+    // Every (g, dst) duplicate carries the IDENTICAL score (the operator's
+    // contract — sim09's deterministic rescore); duplicates are fanned
+    // 1..4x and shuffled across 8 partitions so partial heaps see them
+    // independently.
+    val base = (0 until 400).map { i =>
+      (s"g${i % 4}", i.toLong, ((i * 37) % 100).toDouble)
+    }
+    val dup = base.flatMap { case r @ (_, id, _) =>
+      Seq.fill(1 + (id % 4).toInt)(r)
+    }
+    val df = spark.sparkContext.parallelize(scala.util.Random
+      .javaRandomToRandom(new java.util.Random(7)).shuffle(dup), 8)
+      .toDF("g", "dst", "score")
+    val got = Scale.topKPerGroupDistinct(df, Seq("g"), 5, Seq("dst"),
+      col("score").desc, col("dst").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = windowTopK(
+      df.groupBy("g", "dst").agg(max("score").as("score"))
+        .select(col("g"), col("dst").as("id"), col("score")), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 20)
+  }
+
+  test("distinct: a duplicate of an EVICTED row is re-evicted, not double-kept") {
+    // Single partition, controlled arrival order, k=2:
+    //   A(5) fills, B(6) fills, C(7) evicts A, then A(5) again (its key
+    //   left the set with the eviction — must be re-considered and
+    //   re-evicted), then A(5) a third time. Top-2 = C, B; and the heap
+    //   must never hold a key twice (D(6.5) displaces B, leaving C, D).
+    val rows = Seq(
+      ("g", 10L, 5.0), ("g", 20L, 6.0), ("g", 30L, 7.0),
+      ("g", 10L, 5.0), ("g", 10L, 5.0), ("g", 40L, 6.5))
+    val df = spark.sparkContext.parallelize(rows, 1).toDF("g", "dst", "score")
+    val got = Scale.topKPerGroupDistinct(df, Seq("g"), 2, Seq("dst"),
+      col("score").desc, col("dst").asc)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((30L, 7.0), (40L, 6.5)))
+  }
+
+  test("distinct: duplicates outnumbering k cannot evict true neighbors") {
+    // 64 copies of one key with the best score; without in-heap dedup a
+    // k=3 heap would hold only that key. With dedup, the three DISTINCT
+    // best survive.
+    val rows = Seq.fill(64)(("g", 1L, 9.0)) ++
+      Seq(("g", 2L, 8.0), ("g", 3L, 7.0), ("g", 4L, 6.0))
+    val df = spark.sparkContext.parallelize(
+      scala.util.Random.javaRandomToRandom(new java.util.Random(3))
+        .shuffle(rows), 4).toDF("g", "dst", "score")
+    val got = Scale.topKPerGroupDistinct(df, Seq("g"), 3, Seq("dst"),
+      col("score").desc, col("dst").asc)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
   test("exchange is bounded: partial side emits <= k per group-partition") {
     // 1000 rows in 8 input partitions, 2 groups, k=3: the partial stage
     // can emit at most 8 * 2 * 3 = 48 rows into the exchange. Verify via

@@ -34,13 +34,30 @@ def embed(text: str) -> np.ndarray:
     return emb.astype(np.float64)  # exact: integer-valued float32 slots
 
 
+def embed_image(doc_id: int) -> np.ndarray:
+    """Replica of the image-kind embedding: the engine decodes a REAL PNG
+    (MediaCodec synth -> ImageIO round trip) and folds the (y, x, c)
+    pixel raster into 8 chunked sums; this recomputes the same sums from
+    the closed-form pixel formula (kept in sync with MediaCodec.pixel
+    and the mm02/mm05 SQL oracles)."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                          indexing="ij")
+    px = (doc_id * 31 + x * 7 + y * 13 + c * 101 + x * y) % 256
+    flat = px.reshape(-1).astype(np.int64)
+    emb = np.zeros(8, dtype=np.int64)
+    for r in range(8):
+        emb[r] = int(flat[r::8].sum(dtype=np.int64))
+    return emb.astype(np.float64)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     docs = con.execute(
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
         "ORDER BY doc_id").fetchall()
     kinds = {d: ("image", "audio", "video")[d % 3] for d, _ in docs}
-    embs = {d: embed(t) for d, t in docs}
+    embs = {d: embed_image(d) if d % 3 == 0 else embed(t) for d, t in docs}
     nrm = {d: float(np.sqrt((e * e).sum())) for d, e in embs.items()}
     rows = con.execute(
         f"SELECT media_id, kind, neighbor_id, sim FROM "

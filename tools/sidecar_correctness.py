@@ -45,6 +45,55 @@ SPECIAL = {
 }
 
 
+def fixture_fingerprint(sf_dir):
+    """Physical fingerprint of the measured fixture: per-table
+    [bytes, rows, row_groups, files] from the parquet footers plus an md5
+    of the documents table's first part file — the same quadruple
+    Bench.scala stamps, so a bench and a correctness sidecar claiming one
+    fixture are mechanically checkable against each other (and against
+    any future regeneration drift like the r9/r10 block-size one)."""
+    import hashlib
+    con = duckdb.connect()
+    out = {"layout": "[bytes,rows,row_groups,files]"}
+    tables = {}
+    for fn in sorted(os.listdir(sf_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(sf_dir, fn)
+        glob = path if os.path.isfile(path) else path + "/*.parquet"
+        try:
+            nbytes, files = 0, 0
+            walk = [path] if os.path.isfile(path) else [
+                os.path.join(r, f) for r, _, fs in os.walk(path)
+                for f in fs if not f.startswith(("_", "."))]
+            for f in walk:
+                nbytes += os.path.getsize(f)
+                files += 1
+            rows, groups = con.execute(
+                "SELECT COUNT(*), COUNT(DISTINCT (file_name, row_group_id))"
+                f" FROM parquet_metadata('{glob}')").fetchone()
+            nrows = con.execute(
+                f"SELECT SUM(num_rows) FROM (SELECT DISTINCT file_name,"
+                f" row_group_id, row_group_num_rows AS num_rows FROM"
+                f" parquet_metadata('{glob}'))").fetchone()[0]
+            tables[fn[:-len(".parquet")]] = [
+                nbytes, int(nrows), int(groups), files]
+        except Exception as e:  # tolerate odd layouts; fingerprint is advisory
+            tables[fn[:-len(".parquet")]] = ["error", str(e)[:80]]
+    out["tables"] = tables
+    doc = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(doc):
+        part = doc if os.path.isfile(doc) else sorted(
+            os.path.join(doc, f) for f in os.listdir(doc)
+            if not f.startswith(("_", ".")))[0]
+        h = hashlib.md5()
+        with open(part, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        out["documents_md5"] = h.hexdigest()
+    return out
+
+
 def main(sf_dir, out_dir, sf, out_path):
     con = duckdb.connect()
     check.create_views(con, sf_dir)
@@ -129,6 +178,7 @@ def main(sf_dir, out_dir, sf, out_path):
         "sf": float(sf),
         "data": sf_dir + (" (graft.ScaleData, deterministic, driver-shape)"
                           if "testdata_gen" in sf_dir else ""),
+        "fixture": fixture_fingerprint(sf_dir),
         "n_queries": len(queries),
         "n_oracled": len(oracled),
         "n_pass": sum(1 for q in oracled if q["pass"]),
