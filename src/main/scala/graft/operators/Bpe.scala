@@ -82,23 +82,41 @@ object Bpe {
 
   /** Train the merge table: (lhs, rhs, weighted pair count) per step.
     * One corpus scan builds the persisted word-frequency relation; each
-    * step re-derives the current encoding from the ORIGINAL one by
-    * folding the merges learned so far (k literal replaces beat k
-    * materialized intermediates at this k; see scaladoc for the
-    * batching at production merge counts). */
-  private def train(s: SparkSession, d: String): Seq[(String, String, Long)] = {
-    val wf = Tables.wide(s, d, "documents", "text")
+    * step derives the current encoding from the last MATERIALIZED
+    * encoding by folding the merges learned since (k literal replaces
+    * beat k materialized intermediates at small k). */
+  private def train(s: SparkSession, d: String): Seq[(String, String, Long)] =
+    trainN(s, d, Merges)
+
+  /** Production-scale trainer: every `batch` merges the encoded vocab
+    * relation is RE-MATERIALIZED with the pending replaces applied, so
+    * the projection expression a step folds stays codegen-sized (<=
+    * `batch` chained replaces) no matter how many thousand merges are
+    * requested — the strategy the scaladoc promised for a ~30k-merge
+    * production vocabulary, exercised at 1k merges by BpeScaleBench.
+    * Rebase changes WHERE the fold starts, never WHAT it computes:
+    * replaces compose associatively over the encoding, so batched and
+    * unbatched training emit the identical merge table (asserted by
+    * BpeSpec on a real corpus). Per-step cost is vocab-bounded either
+    * way (the pair-count aggregate is the only shuffle, vocab-sized);
+    * the old persisted generation is dropped only after the new one is
+    * materialized, so at most two vocab relations ever coexist. */
+  private[graft] def trainN(s: SparkSession, d: String, nMerges: Int,
+      batch: Int = 100,
+      onStep: (Int, Double) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
+    var wf = Tables.wide(s, d, "documents", "text")
       .select(explode(expr(TextAnalysis.tokensExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), expr(encExpr).as("enc"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = ArrayBuffer.empty[(String, String, Long)]
+    val pending = ArrayBuffer.empty[(String, String)]
     var exhausted = false
-    for (_ <- 1 to Merges if !exhausted) {
+    for (step <- 1 to nMerges if !exhausted) {
+      val stepT0 = System.nanoTime()
       val best = wf
         .select(col("freq"),
-          applyMerges(col("enc"), merges.toSeq.map(m => (m._1, m._2)))
-            .as("em"))
+          applyMerges(col("enc"), pending.toSeq).as("em"))
         .select(col("freq"),
           split(expr("trim(BOTH '|' FROM em)"), "\\|\\|").as("syms"))
         .where(size(col("syms")) >= 2)
@@ -118,9 +136,21 @@ object Bpe {
       else {
         val r = best(0)
         merges += ((r.getString(0), r.getString(1), r.getLong(2)))
+        pending += ((r.getString(0), r.getString(1)))
+        if (pending.length >= batch) {
+          val next = wf
+            .select(col("freq"),
+              applyMerges(col("enc"), pending.toSeq).as("enc"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize BEFORE dropping the parent
+          wf.unpersist(blocking = false)
+          wf = next
+          pending.clear()
+        }
       }
+      onStep(step, (System.nanoTime() - stepT0) / 1e9)
     }
-    wf.unpersist()
+    wf.unpersist(blocking = false)
     merges.toSeq
   }
 

@@ -160,9 +160,43 @@ object Learn {
     * v ← (Mr·v)·1e6 // max|Mr·v| — all integer, trunc division. The
     * sign is whatever the iteration converges to; both engines run the
     * identical integers so no sign convention is needed. */
-  private final case class Pca(n: BigInt, mr: Array[Array[BigInt]],
-      v: Array[Long])
+  /** Number of principal components em01 emits — the top-k subspace
+    * SemDeDup-style whitening consumes. Each extra component costs only
+    * driver arithmetic (one more power iteration + one d²-scalar
+    * deflation on the SAME moment matrix) and one more literal column
+    * in the projection; the distributed moment pass is paid ONCE. */
+  private[graft] val PcaK = 4
 
+  private final case class Pca(n: BigInt, mr: Array[Array[BigInt]],
+      vs: Array[Array[Long]])
+
+  /** Power-iterate one dominant eigenvector of `m` (L∞-normalized to
+    * Scale, integer-exact — see the case-class scaladoc). */
+  private def powerVec(m: Array[Array[BigInt]]): Array[BigInt] = {
+    var v = Array.fill(Dim)(BigInt(Scale))
+    for (_ <- 1 to PowerIters) {
+      val u = Array.tabulate(Dim) { jj =>
+        var acc = BigInt(0)
+        var kk = 0
+        while (kk < Dim) { acc += m(jj)(kk) * v(kk); kk += 1 }
+        acc
+      }
+      val maxAbs = u.map(_.abs).max
+      // all-zero covariance (constant input): keep the current vector —
+      // any unit direction is an eigenvector; never reached on real data
+      if (maxAbs > 0) v = u.map(x => x * Scale / maxAbs)
+    }
+    v
+  }
+
+  /** Top-[[PcaK]] eigenpairs by power iteration + HOTELLING DEFLATION,
+    * all on the driver over the one distributed moment pass: after
+    * component c converges, m ← m − (λ·v·vᵀ)/(vᵀv) with λ = (vᵀmv)/(vᵀv),
+    * every division trunc (BigInt /), mirrored operator-for-operator by
+    * the oracle's HUGEINT `//` chain — so the slight non-orthogonality
+    * trunc division introduces is IDENTICAL in both engines and the
+    * compare stays bit-exact. Magnitudes: |m| ≤ ~1e15, λ·v_j·v_k ≤
+    * ~1e15·1e12 = 1e27 « HUGEINT's 1.7e38. */
   private def solvePca(s: SparkSession, d: String): Option[Pca] = {
     val mo = moments(s, d)
     val n = mo(0)
@@ -179,20 +213,35 @@ object Learn {
       }
       j += 1
     }
-    var v = Array.fill(Dim)(BigInt(Scale))
-    for (_ <- 1 to PowerIters) {
-      val u = Array.tabulate(Dim) { jj =>
-        var acc = BigInt(0)
-        var kk = 0
-        while (kk < Dim) { acc += mr(jj)(kk) * v(kk); kk += 1 }
-        acc
+    val work = mr.map(_.clone())
+    val vs = Array.ofDim[Array[Long]](PcaK)
+    for (c <- 0 until PcaK) {
+      val v = powerVec(work)
+      vs(c) = v.map(_.toLong)
+      if (c < PcaK - 1) {
+        var vv = BigInt(0); var vmv = BigInt(0)
+        var jj = 0
+        while (jj < Dim) {
+          vv += v(jj) * v(jj)
+          var kk = 0
+          while (kk < Dim) { vmv += work(jj)(kk) * v(jj) * v(kk); kk += 1 }
+          jj += 1
+        }
+        if (vv > 0) {
+          val lam = vmv / vv
+          jj = 0
+          while (jj < Dim) {
+            var kk = 0
+            while (kk < Dim) {
+              work(jj)(kk) -= (lam * v(jj) * v(kk)) / vv
+              kk += 1
+            }
+            jj += 1
+          }
+        }
       }
-      val maxAbs = u.map(_.abs).max
-      // all-zero covariance (constant input): keep the current vector —
-      // any unit direction is an eigenvector; never reached on real data
-      if (maxAbs > 0) v = u.map(x => x * Scale / maxAbs)
     }
-    Some(Pca(n, mr, v.map(_.toLong)))
+    Some(Pca(n, mr, vs))
   }
 
   // ---------------------------------------------------------------- em03
@@ -429,23 +478,33 @@ object Learn {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Dominant principal component of the embedding table, projected:
-    // (vec_id, pc1_micro). Moments in one exact distributed pass;
-    // PowerIters integer power iterations on the driver; projection as a pure
-    // literal-vector codegen projection. Bit-exact vs the oracle's
-    // unrolled CTE replay of the same integers.
+    // Top-PcaK principal components of the embedding table, projected:
+    // (vec_id, pc1_micro..pc4_micro) — the whitening subspace, not just
+    // the dominant direction. Moments in ONE exact distributed pass;
+    // power iteration + Hotelling deflation on the driver (see
+    // solvePca); projection as one literal-matrix codegen projection
+    // (PcaK x Dim multiply-adds, no join, no shuffle). Bit-exact vs the
+    // oracle's unrolled CTE replay of the same integers, deflation
+    // included.
     "em01_pca_project" -> ((s, d) => {
       solvePca(s, d) match {
         case None =>
-          s.range(0).selectExpr("id AS vec_id", "id AS pc1_micro")
+          s.range(0).selectExpr("id AS vec_id" +:
+            (1 to PcaK).map(c => s"id AS pc${c}_micro"): _*)
         case Some(p) =>
-          val terms = (0 until Dim).map { j =>
+          val xj = (0 until Dim).map { j =>
             floor(element_at(col("embedding"), j + 1).cast("double")
-              * Scale + 0.5).cast("long") * lit(p.v(j))
+              * Scale + 0.5).cast("long")
+          }
+          val raws = (0 until PcaK).map { c =>
+            (0 until Dim).map(j => xj(j) * lit(p.vs(c)(j)))
+              .reduce(_ + _).as(s"_praw$c")
           }
           Tables.wide(s, d, "embeddings", "vec_id", "embedding")
-            .select(col("vec_id"), terms.reduce(_ + _).as("_praw"))
-            .selectExpr("vec_id", s"_praw div ${Scale}L AS pc1_micro")
+            .select(col("vec_id") +: raws: _*)
+            .selectExpr("vec_id" +:
+              (0 until PcaK).map(c =>
+                s"_praw$c div ${Scale}L AS pc${c + 1}_micro"): _*)
       }
     }),
 
@@ -462,11 +521,11 @@ object Learn {
           var vmv = BigInt(0); var vv = BigInt(0); var tr = BigInt(0)
           var j = 0
           while (j < Dim) {
-            vv += BigInt(p.v(j)) * p.v(j)
+            vv += BigInt(p.vs(0)(j)) * p.vs(0)(j)
             tr += p.mr(j)(j)
             var k = 0
             while (k < Dim) {
-              vmv += p.mr(j)(k) * p.v(j) * p.v(k); k += 1
+              vmv += p.mr(j)(k) * p.vs(0)(j) * p.vs(0)(k); k += 1
             }
             j += 1
           }
@@ -532,22 +591,51 @@ object Learn {
   )
 
   // ------------------------------------------------------------- oracles
+  /** Per-component final-vector CTE name: component 1 keeps the legacy
+    * names (mm, v0..v60 — em02's oracle references them), components
+    * 2..PcaK get vc{c}_* over the deflated matrix mmc{c}. */
+  private def vecFinal(c: Int): String =
+    if (c == 1) s"v$PowerIters" else s"vc${c}_$PowerIters"
+
   /** Shared moment/power CTE prefix: ex → (vec_id, j, x_micro);
-    * mom/sv/nn → raw moments; mm → Mr; v0..v12 → power iteration. All
+    * mom/sv/nn → raw moments; mm → Mr; per component a PowerIters-step
+    * power chain, and between components the HOTELLING DEFLATION pair
+    * (df{c}: vmv/vv scalars; mmc{c}: m − (λ·v·vᵀ)//vv with λ = vmv//vv)
+    * — operator-for-operator the solvePca driver arithmetic. All
     * HUGEINT past the first sum so nothing overflows through sf1-scale
     * oracle runs (the n-division in mm is WHY — see solvePca). */
   private val pcaCtes: String = {
-    val iters = (1 to PowerIters).map { t =>
-      val prev = if (t == 1) "v0" else s"v${t - 1}"
-      // MATERIALIZED is load-bearing (the gx01 oracle lesson, sharper):
-      // v_t reads p_t twice (the value + the MAX subquery); an inlined
-      // p_t re-evaluates its whole upstream per reference — 2^60 chain
-      // re-evaluations. Measured hanging at 12 iterations already.
-      s"""p$t AS MATERIALIZED (SELECT mm.j, SUM(mm.m * v.v) AS u
-         |  FROM mm JOIN $prev v ON mm.k = v.j GROUP BY mm.j),
-         |v$t AS MATERIALIZED (SELECT j,
-         |  (u * $Scale) // (SELECT MAX(ABS(u)) FROM p$t) AS v
-         |  FROM p$t)""".stripMargin
+    def iterChain(mat: String, vp: String, pp: String): String =
+      (1 to PowerIters).map { t =>
+        val prev = if (t == 1) s"${vp}0" else s"$vp${t - 1}"
+        // MATERIALIZED is load-bearing (the gx01 oracle lesson, sharper):
+        // v_t reads p_t twice (the value + the MAX subquery); an inlined
+        // p_t re-evaluates its whole upstream per reference — 2^60 chain
+        // re-evaluations. Measured hanging at 12 iterations already.
+        s"""$pp$t AS MATERIALIZED (SELECT m.j, SUM(m.m * v.v) AS u
+           |  FROM $mat m JOIN $prev v ON m.k = v.j GROUP BY m.j),
+           |$vp$t AS MATERIALIZED (SELECT j,
+           |  (u * $Scale) // (SELECT MAX(ABS(u)) FROM $pp$t) AS v
+           |  FROM $pp$t)""".stripMargin
+      }.mkString(",\n")
+    val comp1 = s"""v0 AS (SELECT j, CAST($Scale AS HUGEINT) AS v
+       |  FROM range(1, ${Dim + 1}) AS r(j)),
+       |${iterChain("mm", "v", "p")}""".stripMargin
+    val rest = (2 to PcaK).map { c =>
+      val prevMat = if (c == 2) "mm" else s"mmc${c - 1}"
+      val pv = vecFinal(c - 1)
+      s"""df$c AS MATERIALIZED (SELECT
+         |  (SELECT SUM(m.m * va.v * vb.v) FROM $prevMat m
+         |     JOIN $pv va ON m.j = va.j JOIN $pv vb ON m.k = vb.j) AS vmv,
+         |  (SELECT SUM(v * v) FROM $pv) AS vv),
+         |mmc$c AS MATERIALIZED (
+         |  SELECT m.j, m.k,
+         |    m.m - ((d.vmv // d.vv) * va.v * vb.v) // d.vv AS m
+         |  FROM $prevMat m CROSS JOIN df$c d
+         |  JOIN $pv va ON m.j = va.j JOIN $pv vb ON m.k = vb.j),
+         |vc${c}_0 AS (SELECT j, CAST($Scale AS HUGEINT) AS v
+         |  FROM range(1, ${Dim + 1}) AS r(j)),
+         |${iterChain(s"mmc$c", s"vc${c}_", s"pc${c}_")}""".stripMargin
     }.mkString(",\n")
     s"""ex AS MATERIALIZED (
        |  SELECT vec_id, r.j,
@@ -564,9 +652,8 @@ object Learn {
        |    (CAST(nn.n AS HUGEINT) * mom.p - s1.sj * s2.sj) // nn.n AS m
        |  FROM mom CROSS JOIN nn
        |  JOIN sv s1 ON mom.j = s1.j JOIN sv s2 ON mom.k = s2.j),
-       |v0 AS (SELECT j, CAST($Scale AS HUGEINT) AS v
-       |  FROM range(1, ${Dim + 1}) AS r(j)),
-       |$iters""".stripMargin
+       |$comp1,
+       |$rest""".stripMargin
   }
 
   /** em03's CTE chain: exk → micro rows; c0 = lowest-vec_id seeds;
@@ -640,12 +727,18 @@ object Learn {
   }
 
   def oracleSql: Map[String, String] = Map(
-    "em01_pca_project" ->
+    "em01_pca_project" -> {
+      val cols = (1 to PcaK).map(c =>
+        s"CAST(SUM(ex.x * w$c.v) // $Scale AS BIGINT) AS pc${c}_micro")
+        .mkString(",\n  ")
+      val joins = (1 to PcaK).map(c =>
+        s"JOIN ${vecFinal(c)} w$c ON ex.j = w$c.j").mkString("\n")
       s"""WITH $pcaCtes
          |SELECT ex.vec_id,
-         |  CAST(SUM(ex.x * v.v) // $Scale AS BIGINT) AS pc1_micro
-         |FROM ex JOIN v$PowerIters v ON ex.j = v.j
-         |GROUP BY ex.vec_id""".stripMargin,
+         |  $cols
+         |FROM ex $joins
+         |GROUP BY ex.vec_id""".stripMargin
+    },
 
     "em02_pca_variance" ->
       s"""WITH $pcaCtes,

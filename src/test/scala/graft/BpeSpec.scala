@@ -114,6 +114,19 @@ class BpeSpec extends AnyFunSuite {
       assert(r.getLong(3) == wantChars(r.getString(0))))
   }
 
+  test("batched rebase (trainN batch=5) == unbatched on a real corpus, " +
+      "and both equal the independent trainer at 24 merges") {
+    // the production-scale path: re-materializing the encoded vocab
+    // every `batch` merges must change WHERE the replace fold starts,
+    // never WHAT it computes — the 24-merge run crosses four rebase
+    // boundaries and must equal the single-chain run merge-for-merge
+    val batched = graft.operators.Bpe.trainN(spark, sf, 24, batch = 5)
+    val unbatched = graft.operators.Bpe.trainN(spark, sf, 24, batch = 1000)
+    assert(batched == unbatched)
+    assert(batched.length >= 20, "corpus must sustain most of 24 merges")
+    assert(batched.toList == refTrain(corpusWords, batched.length))
+  }
+
   test("tx29/tx30: deterministic across runs") {
     val a = SparkEntry.queries("tx29_bpe_merges")(spark, sf)
       .collect().toSeq.map(_.toString).sorted

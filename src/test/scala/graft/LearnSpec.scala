@@ -35,11 +35,13 @@ class LearnSpec extends AnyFunSuite {
   }
 
   /** Pure-Scala BigInt replay of the em01 spec straight from the raw
-    * floats: micro-round, raw moments, Mr = (nP − SSᵀ) // n, 60 L∞
-    * power iterations, uncentered projection. Maps and loops only —
+    * floats: micro-round, raw moments, Mr = (nP − SSᵀ) // n, then FOUR
+    * components — 60 L∞ power iterations each with Hotelling deflation
+    * between them (m ← m − (λ·v·vᵀ)//vv, λ = vmv//vv, every division
+    * trunc) — and the uncentered projections. Maps and loops only —
     * no Spark, no SQL. */
   private def brutePca(x: Array[Array[Float]])
-      : (Array[Long], Map[Int, Long]) = {
+      : (Array[Array[Long]], Map[Int, Seq[Long]]) = {
     val n = BigInt(x.length)
     val xm = x.map(_.map(f => math.floor(f.toDouble * Scale + 0.5).toLong))
     val s = Array.tabulate(Dim)(j => BigInt(xm.map(_(j)).sum))
@@ -47,28 +49,45 @@ class LearnSpec extends AnyFunSuite {
       val p = xm.map(r => BigInt(r(j)) * r(k)).sum
       (n * p - s(j) * s(k)) / n
     }
-    var v = Array.fill(Dim)(BigInt(Scale))
-    for (_ <- 1 to 60) {
-      val u = Array.tabulate(Dim)(j =>
-        (0 until Dim).map(k => mr(j)(k) * v(k)).sum)
-      val mx = u.map(_.abs).max
-      if (mx > 0) v = u.map(_ * Scale / mx)
+    val work = mr.map(_.clone())
+    val comps = (0 until 4).map { c =>
+      var v = Array.fill(Dim)(BigInt(Scale))
+      for (_ <- 1 to 60) {
+        val u = Array.tabulate(Dim)(j =>
+          (0 until Dim).map(k => work(j)(k) * v(k)).sum)
+        val mx = u.map(_.abs).max
+        if (mx > 0) v = u.map(_ * Scale / mx)
+      }
+      if (c < 3) {
+        val vv = v.map(b => b * b).sum
+        val vmv = (0 until Dim).map(j =>
+          (0 until Dim).map(k => work(j)(k) * v(j) * v(k)).sum).sum
+        if (vv > 0) {
+          val lam = vmv / vv
+          for (j <- 0 until Dim; k <- 0 until Dim)
+            work(j)(k) -= (lam * v(j) * v(k)) / vv
+        }
+      }
+      v
     }
     val proj = xm.zipWithIndex.map { case (r, i) =>
-      i -> ((0 until Dim).map(j => BigInt(r(j)) * v(j)).sum / Scale).toLong
+      i -> comps.map(v =>
+        ((0 until Dim).map(j => BigInt(r(j)) * v(j)).sum / Scale).toLong)
     }.toMap
-    (v.map(_.toLong), proj)
+    (comps.map(_.map(_.toLong).toArray).toArray, proj)
   }
 
-  test("em01: projections equal the independent BigInt recompute " +
-      "exactly on the fixture") {
+  test("em01: all four component projections equal the independent " +
+      "BigInt recompute (deflation included) exactly on the fixture") {
     val raw = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Float](1).toArray).sortBy(_._1)
     val (_, want) = brutePca(raw.map(_._2))
     val got = SparkEntry.queries("em01_pca_project")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong(_)))
+      .toMap
     spark.catalog.clearCache()
     val wantById = raw.map(_._1).zipWithIndex
       .map { case (id, i) => id -> want(i) }.toMap
