@@ -43,6 +43,44 @@ object Bench {
 
   private def jnum(v: Double): String = f"$v%.3f"
 
+  /** Run the streaming section in a fresh child JVM (same classpath and
+    * JVM flags as this one, SPARK_GRAFT_STREAMING=only) and read its
+    * bench_streaming.json. Launched AFTER the batch passes, so the
+    * child's JVM holds nothing but the streaming micro-bench — the
+    * sidecars' quiet protocol, driven by the bench itself. Returns
+    * empty (distinct from a measured zero) if the child fails; its
+    * stdout/stderr land in bench_streaming_child.log. */
+  private def streamingInChild(): Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val jvm = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getPath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = (Seq(jvm) ++ jvmArgs ++ Seq("-cp",
+        System.getProperty("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_STREAMING", "only")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File("bench_streaming_child.log"))
+      val p = pb.start()
+      val code = p.waitFor()
+      if (code != 0) {
+        System.err.println(s"[bench] streaming child exited $code " +
+          "(see bench_streaming_child.log)")
+        return Seq.empty
+      }
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_streaming.json")), "UTF-8")
+      """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(json)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._1 != "metric").toSeq
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] streaming child failed: ${e.getMessage}")
+      Seq.empty
+    }
+  }
+
   /** Fixture fingerprint: the physical quadruple (bytes/rows/rowGroups/
     * files) per table straight from [[graft.core.Tables.layout]]'s footer
     * read, plus an md5 of the documents table's first part file. Stamped
@@ -97,15 +135,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Streaming section mode: "inline" (default — batch then streaming in
-    // one process, the driver's protocol), "skip", or "only". The split
-    // modes exist for the big-sf sidecars: the streaming rows are
-    // scale-INVARIANT (fixed 10k-row fixtures), so when a multi-hour sf2
-    // batch gate and the streaming micro-bench share a host the
-    // contention reads as a bogus streaming regression (r7: sf2 rows
-    // depressed ~2.6x on identical input). Sidecar runs bench batch with
-    // `skip` and streaming with `only` in a quiet process.
-    val streamMode = sys.env.getOrElse("SPARK_GRAFT_STREAMING", "inline")
+    // Streaming section mode: "child" (default — batch in this process,
+    // then the streaming micro-bench in a FRESH child JVM, sequentially),
+    // "inline" (legacy r<=10 protocol, same process), "skip", or "only".
+    // The streaming rows are scale-INVARIANT (fixed 10k-row fixtures),
+    // so any in-process measurement inherits the batch surface's heap
+    // debris and GC debt — r10's driver bench read streaming ~2x below
+    // the quiet sidecar protocol for exactly this reason (and r7's sf2
+    // rows depressed ~2.6x under a concurrent batch gate). The child
+    // runs AFTER the batch passes complete, in a JVM whose only work is
+    // the streaming section — the quiet protocol, driven BY the bench.
+    val streamMode = sys.env.getOrElse("SPARK_GRAFT_STREAMING", "child")
 
     if (streamMode == "only") {
       val streaming = streamingBestOf2(spark)
@@ -177,8 +217,17 @@ object Bench {
     idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(idxRoot, true)
 
-    def timedPass(): Seq[(String, Double)] =
+    // Per-query watermarks (pass 2 only — the timed min's usual source):
+    // [gc_ms during the query, storage bytes STILL held after
+    // clearCache+GC, heap bytes after]. The r10 verdict's ask: when a
+    // full-surface run reads above a dedicated run, these say whether
+    // the gap is GC debt / storage residue (harness contention) or the
+    // query itself — attribution instead of argument.
+    val watermarks = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)]
+    def timedPass(record: Boolean = false): Seq[(String, Double)] =
       benchQueries.map { case (name, fn) =>
+        val gc0 = org.apache.spark.sql.graftx.MemProbe.gcMillis
         val t0 = System.nanoTime()
         // noop sink materializes every output column (a count() would let
         // Catalyst prune the projections being measured).
@@ -204,6 +253,11 @@ object Bench {
           // queries heavy enough to have left debris — a full GC after
           // every sub-second query would cost more wall than it frees.
           if (elapsed < 0 || elapsed >= 2.0) System.gc()
+          if (record) {
+            import org.apache.spark.sql.graftx.MemProbe
+            watermarks(name) = (MemProbe.gcMillis - gc0,
+              MemProbe.storageUsed, MemProbe.heapUsed)
+          }
         }
         name -> elapsed
       }
@@ -218,15 +272,18 @@ object Bench {
     // the single-pass protocol of rounds <= 5 — the metric definitions
     // differ and cross-round comparisons must not conflate them.
     val pass1 = timedPass()
-    val pass2 = timedPass()
+    val pass2 = timedPass(record = true)
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
     // Streaming throughput in BASELINE.md's own units (output rec/s on the
     // reference's two canonical 10k-row apps; reference: ~84 rec/s simple).
-    val streaming =
-      if (streamMode == "skip") Seq.empty else streamingBestOf2(spark)
+    val streaming = streamMode match {
+      case "skip"   => Seq.empty
+      case "inline" => streamingBestOf2(spark)
+      case _        => streamingInChild()
+    }
 
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -252,8 +309,12 @@ object Bench {
       else ""
     val fixJson = try fixtureJson(spark, sfDir)
       catch { case e: Exception => s""""fixture":{"error":"${e.getClass.getSimpleName}"}""" }
+    val wmJson = watermarks.map { case (k, (gc, st, hp)) =>
+      s""""$k":[$gc,$st,$hp]""" }.mkString(
+      """"watermarks_pass2":{""", ",",
+      """},"watermarks_layout":"[gc_ms,storage_bytes_after,heap_bytes_after]"""")
     val fullJson =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,$fixJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,$fixJson,$wmJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     println(s"BENCH_DETAIL $fullJson")
