@@ -511,6 +511,11 @@ object Similarity {
       // PLANS.md. Soundness: TopKPerGroup's scaladoc (a duplicate is
       // identical under the total order, so one representative
       // suffices; partial pruning needs k DISTINCT better keys).
+      // join strategy pinned to sort-merge; -Dgraft.sim09.join is the
+      // A/B knob the rejected shuffle_hash numbers were measured with
+      // (sf1 82.7 vs 66.3 s in r10; sf4 53.8 vs 30.3 s at r11 HEAD —
+      // the build side is occupancy-uniform but large, and the merge
+      // sort spills gracefully where the hash build cannot)
       val edges = probe.as("x").join(own.hint(sys.props.getOrElse("graft.sim09.join", "merge")).as("y"),
           col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
