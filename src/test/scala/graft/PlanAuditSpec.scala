@@ -113,6 +113,21 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("sim09: NO aggregate anywhere in the plan — the pair-dedup " +
+      "exchange is structurally gone (r11: dedup lives in the TopK heaps)") {
+    // r10's one unbounded exchange was groupBy(u,v).agg(max) keying the
+    // full candidate-pair domain; its removal is a PLAN property, so pin
+    // it as one: the query is scan -> hash -> join -> explode -> TopK,
+    // with zero aggregate operators of any kind.
+    val plan = SparkEntry.queries("sim09_knn_graph_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert("TopKPerGroup \\[".r.findAllIn(plan).size == 2, plan)
+    spark.catalog.clearCache()
+  }
+
   test("q28: global ranking is range-partitioned, never a no-partition " +
       "window over the full relation") {
     // Window.orderBy with no partition spec funnels one row per CUSTOMER
