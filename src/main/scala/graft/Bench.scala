@@ -72,7 +72,9 @@ object Bench {
       }
       val json = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_streaming.json")), "UTF-8")
-      """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(json)
+      // digits allowed in key names (e.g. a future win10s row) but not
+      // leading — a truncated capture would silently corrupt the sidecar
+      """"([a-z][a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(json)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter(_._1 != "metric").toSeq
     } catch { case e: Exception =>

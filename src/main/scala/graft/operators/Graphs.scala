@@ -85,7 +85,8 @@ object Graphs {
     * threshold. */
   private def edgeTable(s: SparkSession, d: String): DataFrame =
     graft.core.IndexStore.loadOrBuild(s,
-      graft.core.IndexStore.root(d) + s"/jp_tau${(GxTau * 100).toInt}")(
+      graft.core.IndexStore.root(d) +
+        s"/jp_tau${math.round(GxTau * 100)}")(
       Dedup.jaccardGraph(s, d, GxTau).select(col("d1"), col("d2")))
 
   /** floor(x * 0.85) in micro-units without 128-bit arithmetic:

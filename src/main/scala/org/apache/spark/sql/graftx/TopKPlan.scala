@@ -344,9 +344,32 @@ object TopKPerGroupExec {
   lazy val partialBudgetBytes: Long = {
     val prop = java.lang.Long.getLong("graft.topk.partialBudgetBytes", 0L)
     if (prop > 0L) prop
-    else math.max(16L << 20,
-      Runtime.getRuntime.maxMemory / 3 /
-        math.max(1, Runtime.getRuntime.availableProcessors))
+    else math.max(16L << 20, Runtime.getRuntime.maxMemory / 3 / taskSlots)
+  }
+
+  /** Concurrent task slots sharing this JVM's heap: local[n]'s n, or
+    * executor cores / task cpus — availableProcessors is only the LAST
+    * fallback (no SparkEnv, unparsable master), because it overstates
+    * slots whenever the JVM runs fewer tasks than machine cores
+    * (local[4] on a 64-core host, spark.task.cpus > 1), which would
+    * silently undersize the per-task budget by that ratio. */
+  private[graftx] def taskSlots: Int = {
+    val cores = Runtime.getRuntime.availableProcessors
+    val byConf = Option(org.apache.spark.SparkEnv.get).flatMap { env =>
+      val conf = env.conf
+      conf.getOption("spark.master") match {
+        case Some(m) if m.startsWith("local") =>
+          // local / local[n] / local[*] / local[n, maxFailures]
+          """local\[(\d+|\*)""".r.findFirstMatchIn(m)
+            .map(g => if (g.group(1) == "*") cores else g.group(1).toInt)
+            .orElse(Some(1))
+        case Some(_) =>
+          Some(conf.getInt("spark.executor.cores", cores) /
+            math.max(1, conf.getInt("spark.task.cpus", 1)))
+        case None => None
+      }
+    }
+    math.max(1, byConf.getOrElse(cores))
   }
 }
 

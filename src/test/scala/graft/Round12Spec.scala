@@ -212,12 +212,20 @@ class Round12Spec extends AnyFunSuite {
       assert(c == r6(v.zip(w).map { case (a, b) => a * b }.sum / (n * m)),
         s"non-exact edge $s0 -> $d0")
     }
-    // ranks are consistent per src: 1..deg with the (cos, dst) order
+    // ranks are consistent per src: 1..deg with the (cos, dst) order,
+    // and every src's dst list is DISTINCT — a CompactHeap dedup
+    // regression (duplicate dst in two arena slots) surfaces here as a
+    // repeated neighbor, since multi-table LSH collisions feed each
+    // pair to the heap several times
     run1.groupBy(_._1).values.foreach { es =>
       val sorted = es.sortBy(_._2)
       assert(sorted.map(_._2).toSeq == (1 to es.length).toSeq)
       assert(sorted.sameElements(
         es.sortBy(e => (-e._4, e._3))), "rank order drifted")
+      val dsts = es.map(_._3)
+      assert(dsts.distinct.length == dsts.length,
+        s"duplicate dst in src=${es.head._1}'s neighbor list: " +
+          dsts.mkString(","))
     }
     // multiprobe miss probability for cos >= 0.9 at (B, L=8) is ~1e-4
     // per pair: every such true top-1 neighbor must be present

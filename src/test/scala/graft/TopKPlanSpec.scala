@@ -141,6 +141,82 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  // ---- CompactHeap (arena) tier: the distinct/eviction coverage above
+  // uses a String group column, which makes the schema var-width and
+  // routes to the DedupHeap object tier. sim09's actual schema (src long,
+  // dst long, c double) is all fixed-width and takes the CompactHeap
+  // arena — raw word compares, in-place worst replacement, shared pointer
+  // rows — so every dedup/eviction behavior is re-pinned here on an
+  // all-fixed-width schema (long group, long dst key, double score).
+
+  test("compact tier: distinct equals dedup-then-topK (all fixed-width)") {
+    val base = (0 until 400).map { i =>
+      ((i % 4).toLong, i.toLong, ((i * 37) % 100).toDouble)
+    }
+    val dup = base.flatMap { case r @ (_, id, _) =>
+      Seq.fill(1 + (id % 4).toInt)(r)
+    }
+    val df = spark.sparkContext.parallelize(scala.util.Random
+      .javaRandomToRandom(new java.util.Random(7)).shuffle(dup), 8)
+      .toDF("g", "dst", "score")
+    val got = Scale.topKPerGroupDistinct(df, Seq("g"), 5, Seq("dst"),
+      col("score").desc, col("dst").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = df.groupBy("g", "dst").agg(max("score").as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("dst").asc)))
+      .filter(col("rn") <= 5).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 20)
+  }
+
+  test("compact tier: duplicate of an evicted row is re-evicted (fixed-width)") {
+    // same arrival-order script as the object-tier test: A fills, C
+    // evicts A, A arrives twice more (slot scan must reject it against
+    // the RETAINED set, not a stale key set), D displaces B.
+    val rows = Seq(
+      (1L, 10L, 5.0), (1L, 20L, 6.0), (1L, 30L, 7.0),
+      (1L, 10L, 5.0), (1L, 10L, 5.0), (1L, 40L, 6.5))
+    val df = spark.sparkContext.parallelize(rows, 1).toDF("g", "dst", "score")
+    val got = Scale.topKPerGroupDistinct(df, Seq("g"), 2, Seq("dst"),
+      col("score").desc, col("dst").asc)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((30L, 7.0), (40L, 6.5)))
+  }
+
+  test("compact tier: duplicates outnumbering k cannot occupy two slots") {
+    // 64 identical (key, score) copies with the best score: a dup that
+    // slipped past the arena's sameKey scan would fill the k=3 arena
+    // with one key and evict the true 2nd/3rd neighbors.
+    val rows = Seq.fill(64)((7L, 1L, 9.0)) ++
+      Seq((7L, 2L, 8.0), (7L, 3L, 7.0), (7L, 4L, 6.0))
+    val df = spark.sparkContext.parallelize(
+      scala.util.Random.javaRandomToRandom(new java.util.Random(3))
+        .shuffle(rows), 4).toDF("g", "dst", "score")
+    val got = Scale.topKPerGroupDistinct(df, Seq("g"), 3, Seq("dst"),
+      col("score").desc, col("dst").asc)
+      .collect()
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    assert(got.length == 3, "a duplicate dst occupied two heap slots: " +
+      got.map(r => (r.getLong(1), r.getDouble(2))).mkString(", "))
+  }
+
+  test("compact tier: null dedup keys collapse to one representative") {
+    // null vs non-null must never compare equal, and two nulls must —
+    // the arena's sameKey reads the null bitset word directly.
+    val rows = Seq((1L, Some(10L), 5.0), (1L, None, 9.0),
+      (1L, None, 9.0), (1L, Some(20L), 7.0))
+    val df = spark.sparkContext.parallelize(rows, 1).toDF("g", "dst", "score")
+    val got = Scale.topKPerGroupDistinct(df, Seq("g"), 3, Seq("dst"),
+      col("score").desc, col("dst").asc_nulls_first)
+      .collect().map(r =>
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((-1L, 9.0), (20L, 7.0), (10L, 5.0)))
+  }
+
   test("exchange is bounded: partial side emits <= k per group-partition") {
     // 1000 rows in 8 input partitions, 2 groups, k=3: the partial stage
     // can emit at most 8 * 2 * 3 = 48 rows into the exchange. Verify via
