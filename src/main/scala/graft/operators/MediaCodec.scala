@@ -3,6 +3,7 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 /** REAL image kernels on the JDK's headless ImageIO — no external codec
   * library needed, which is what kept these stubbed for three rounds.
@@ -23,9 +24,18 @@ import javax.imageio.ImageIO
   * deterministically on both sides (SURVEY.md §1.2: the reference is
   * strings-only; this whole tier is pipeline-extras).
   *
-  * Audio/video kinds keep the loudly-marked byte stubs in
-  * [[Multimodal]] — ImageIO reads no audio, and shipping a fake codec
-  * as real would be worse than a marked stub.
+  * AUDIO runs the same recipe through `javax.sound.sampled` (r12):
+  * closed-form 16-bit PCM synthesized from the media id ([[sample]]),
+  * encoded to a REAL RIFF/WAVE container by the JDK's WAV writer, and
+  * decoded back by the query kernels through `AudioSystem` — PCM WAV is
+  * lossless, so decoded sample stats must equal the closed form the SQL
+  * oracle evaluates over (id, i) ranges. A wrong decode (byte order,
+  * sample width, header offset) breaks the equality the same way a
+  * wrong PNG stride does.
+  *
+  * Video keeps the loudly-marked byte stub in [[Multimodal]] — the JDK
+  * ships no video codec, and shipping a fake one as real would be worse
+  * than a marked stub.
   */
 object MediaCodec {
   // ImageIO must never touch a display; encode/decode are pure-memory.
@@ -92,6 +102,70 @@ object MediaCodec {
         x += 1
       }
       y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------- audio (real WAV)
+
+  /** Mono 16 kHz — matches the catalog's meta.sample_rate, and the WAV
+    * header actually says so (decode asserts it). */
+  private val SampleRate = 16000f
+
+  /** Sample count, bounded 256..512 — large enough to exercise frame
+    * accounting, small enough that the SQL oracle brute-forces every
+    * (id, i) term the way the pixel oracles brute-force (x, y, c). */
+  def sampleCount(id: Long): Int = (256 + id % 257).toInt
+
+  /** Closed-form signed 16-bit sample, replicated verbatim in the mm02
+    * DuckDB oracle and tools/check_mm04.py — keep the three in sync. */
+  def sample(id: Long, i: Int): Int =
+    ((id * 37 + i.toLong * 11 + i.toLong * i) % 65536L).toInt - 32768
+
+  /** Raw little-endian 16-bit PCM of the closed form. */
+  def synthPcm(id: Long): Array[Byte] = {
+    val n = sampleCount(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcm
+  }
+
+  /** Real RIFF/WAVE encode via the JDK's writer (PCM_SIGNED, 16-bit,
+    * mono, little-endian). */
+  def encodeWav(pcm: Array[Byte]): Array[Byte] = {
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, SampleRate,
+      16, 1, 2, SampleRate, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      pcm.length / 2)
+    val bos = new ByteArrayOutputStream(pcm.length + 64)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  def wavBytes(id: Long): Array[Byte] = encodeWav(synthPcm(id))
+
+  /** Decode a WAV payload back to its samples through the real parser
+    * (header walk + format negotiation), asserting the PCM contract the
+    * catalog wrote — a truncated or misread header fails loudly. */
+  def decodeWav(bytes: Array[Byte]): Array[Int] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    require(f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"payload is not 16-bit mono LE PCM wav: $f")
+    val raw = ais.readAllBytes()
+    val out = new Array[Int](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      // high byte sign-extends through the int shift; low byte masked
+      out(i) = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+      i += 1
     }
     out
   }

@@ -14,10 +14,14 @@ import graft.core.Tables
   * [[MediaCodec]]), and mm02/mm04/mm05 DECODE them back through
   * ImageIO, with the DuckDB oracle checking the reported pixel stats
   * against the closed form it can evaluate without ever parsing a PNG.
-  * AUDIO/VIDEO kinds remain DETERMINISTIC BYTE STUBS (clearly marked
-  * below) — the JDK ships no audio/video codec, and a fake one would be
-  * worse than a marked stub. The Spark-side contract is identical for
-  * both tiers and is the part that matters at scale:
+  * AUDIO kinds run the same recipe through the JDK's other codec
+  * (r12): payloads are genuine RIFF/WAVE files (closed-form 16-bit PCM
+  * → `javax.sound.sampled` writer), and mm02/mm04 decode them back
+  * through `AudioSystem`, sample stats oracled against the closed form.
+  * VIDEO kinds remain a DETERMINISTIC BYTE STUB (clearly marked below)
+  * — the JDK ships no video codec, and a fake one would be worse than
+  * a marked stub. The Spark-side contract is identical for all tiers
+  * and is the part that matters at scale:
   *
   *  - payloads live in a `BinaryType` column, scanned but never parsed by
   *    Catalyst; metadata lives in a sibling struct so pruning works (a
@@ -42,22 +46,29 @@ case class MediaResized(media_id: Long, width: Int, height: Int,
 object Multimodal {
 
   /** Synthesize the media catalog from `documents`: kind round-robins
-    * image/audio/video. IMAGE payloads are REAL PNGs ([[MediaCodec]] via
-    * the png_synth expression — an Expression, not a mapPartitions
-    * stage, so the catalog stays a pure columnar plan and metadata-only
-    * consumers never encode a single PNG); audio/video payloads are the
-    * utf-8 text bytes (stand-in blobs for the byte-stub tier). Image
-    * meta carries the TRUE dims; payloads derive from doc_id alone so
-    * the DuckDB side can reproduce every downstream pixel stat without
-    * a PNG parser. */
+    * image/audio/video. IMAGE payloads are REAL PNGs and AUDIO payloads
+    * REAL WAVs ([[MediaCodec]] via the png_synth / wav_synth
+    * expressions — Expressions, not mapPartitions stages, so the
+    * catalog stays a pure columnar plan and metadata-only consumers
+    * never encode a single payload); video payloads are the utf-8 text
+    * bytes (the stand-in blob of the remaining byte-stub tier). Image
+    * meta carries the TRUE dims and audio meta the TRUE sample rate;
+    * codec payloads derive from doc_id alone so the DuckDB side can
+    * reproduce every downstream pixel/sample stat without a PNG/WAV
+    * parser. (Audio meta keeps the legacy text-derived width/height
+    * stand-ins — mm01 is the metadata-pruning query, and a generic
+    * media catalog carries kind-inapplicable fields as-is.) */
   def mediaCatalog(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftx.PngSynthFunctions.png_synth
+    import org.apache.spark.sql.graftx.WavSynthFunctions.wav_synth
     val isImage = col("doc_id") % 3 === 0
+    val isAudio = col("doc_id") % 3 === 1
     Tables(s, d, "documents").select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       when(isImage, png_synth(col("doc_id")))
+        .when(isAudio, wav_synth(col("doc_id")))
         .otherwise(col("text").cast("binary")).as("payload"),
       struct(
         when(isImage, lit(8) + col("doc_id") % 9)
@@ -70,11 +81,14 @@ object Multimodal {
 
   /** Decode + feature extraction. IMAGE rows run the REAL path: ImageIO
     * PNG decode, stats over the decoded pixel raster (n_bytes = content
-    * bytes w*h*3, checksum = sum of channel values). AUDIO/VIDEO rows
-    * remain the ===== STUB ===== byte fold (no JDK codec exists). The
-    * mapPartitions shape (batch iterator in, batch iterator out, schema
-    * fixed by the case-class encoder) is what any real decoder plugs
-    * into — per-partition setup amortized, Tungsten rows in and out
+    * bytes w*h*3, checksum = sum of channel values). AUDIO rows run the
+    * REAL path too: AudioSystem WAV decode, stats over the decoded
+    * 16-bit samples (n_bytes = PCM content bytes 2*n, checksum = sum of
+    * SIGNED sample values). VIDEO rows remain the ===== STUB =====
+    * byte fold (no JDK video codec exists). The mapPartitions shape
+    * (batch iterator in, batch iterator out, schema fixed by the
+    * case-class encoder) is what any real decoder plugs into —
+    * per-partition setup amortized, Tungsten rows in and out
     * (SerializeFromObject, no RDD[Row] detour). */
   private def decodeKernel(
       rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] =
@@ -86,6 +100,13 @@ object Multimodal {
         while (i < px.length) { sum += px(i); i += 1 }
         MediaFeatures(mediaId, kind, px.length, sum,
           if (px.length == 0) 0.0 else sum.toDouble / px.length)
+      } else if (kind == "audio") {
+        val sm = MediaCodec.decodeWav(bytes)
+        var sum = 0L
+        var i = 0
+        while (i < sm.length) { sum += sm(i); i += 1 }
+        MediaFeatures(mediaId, kind, sm.length * 2, sum,
+          if (sm.length == 0) 0.0 else sum.toDouble / sm.length)
       } else {
         var sum = 0L
         var i = 0
@@ -96,10 +117,11 @@ object Multimodal {
     }
 
   /** Embedding kernel. IMAGE rows embed the REAL decoded pixel raster
-    * (8 chunked channel sums — a fixed featurizer, stand-in for a model
-    * forward pass); AUDIO/VIDEO remain the ===== STUB ===== raw-byte
-    * fold. The per-partition iterator is where a real model would load
-    * once and serve the whole batch. */
+    * and AUDIO rows the REAL decoded sample stream (8 chunked sums — a
+    * fixed featurizer, stand-in for a model forward pass; audio slot
+    * sums stay under 2^21, integer-exact in float32); VIDEO remains the
+    * ===== STUB ===== raw-byte fold. The per-partition iterator is
+    * where a real model would load once and serve the whole batch. */
   private def encodeKernel(
       rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaEmb] =
     rows.map { case (mediaId, kind, bytes) =>
@@ -108,6 +130,10 @@ object Multimodal {
         val px = MediaCodec.pixels(MediaCodec.decode(bytes))
         var i = 0
         while (i < px.length) { emb(i % 8) += px(i); i += 1 }
+      } else if (kind == "audio") {
+        val sm = MediaCodec.decodeWav(bytes)
+        var i = 0
+        while (i < sm.length) { emb(i % 8) += sm(i); i += 1 }
       } else {
         var i = 0
         while (i < bytes.length) { emb(i % 8) += (bytes(i) & 0xff); i += 1 }
@@ -215,9 +241,11 @@ object Multimodal {
       val e = emb.withColumn("nrm", l2_norm(col("emb")))
         .filter(col("nrm") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Byte-sum stub embeddings are all-positive and tightly clustered in
-      // direction, which collapses raw sign-LSH into one mega-bucket (the
-      // candidate set degenerates to all-pairs x tables). MEAN-CENTER the
+      // Chunked-sum embeddings are tightly clustered in direction within
+      // a kind (image/video slot sums are all-positive; audio's signed
+      // sums cluster around the sample-mean direction), which collapses
+      // raw sign-LSH into near-mega-buckets (the candidate set
+      // degenerates toward all-pairs x tables). MEAN-CENTER the
       // vectors before hashing — the standard spread for clustered data:
       // bucket ids come from (v - mean), where directions are dispersed,
       // while rescoring stays on the original vectors. Near-identical
@@ -352,6 +380,20 @@ object Multimodal {
       |img AS (SELECT doc_id, (8 + doc_id % 9) AS w, (8 + doc_id % 7) AS h
       |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
+  /** The closed-form signed 16-bit sample term — MUST stay in sync with
+    * [[MediaCodec.sample]] (and the replica in tools/check_mm04.py). The
+    * oracle never parses a WAV: the engine must arrive at these numbers
+    * through a REAL AudioSystem encode->decode round trip. */
+  private val SampleSql = "((doc_id*37 + i*11 + i*i) % 65536) - 32768"
+
+  /** Full max-count sample grid (counts bounded 256..512 by
+    * [[MediaCodec.sampleCount]]) filtered under the per-media bound —
+    * the audio twin of [[GridSql]]. */
+  private val AudioGridSql =
+    """ga AS (SELECT i FROM range(0, 512) ri(i)),
+      |aud AS (SELECT doc_id, (256 + doc_id % 257) AS n
+      |  FROM documents WHERE doc_id % 3 = 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mm01_media_catalog" ->
       """SELECT doc_id AS media_id,
@@ -364,9 +406,12 @@ object Multimodal {
         |FROM documents""".stripMargin,
 
     // mm02: image rows check the REAL ImageIO decode against the pixel
-    // closed form; audio/video rows check the byte stub (corpus is
-    // ASCII, so utf-8 byte values == codepoints) — both tiers validated
-    // end-to-end against an independent implementation.
+    // closed form; audio rows check the REAL AudioSystem WAV decode
+    // against the sample closed form (the oracle never parses a WAV —
+    // PCM is lossless, so decoded sample sums must land on the formula);
+    // video rows check the byte stub (corpus is ASCII, so utf-8 byte
+    // values == codepoints) — every tier validated end-to-end against
+    // an independent implementation.
     "mm02_media_features" ->
       s"""WITH $GridSql,
         |ipx AS (
@@ -374,15 +419,22 @@ object Multimodal {
         |    SUM($PixelSql) AS checksum
         |  FROM img JOIN g ON g.x < img.w AND g.y < img.h
         |  GROUP BY img.doc_id, w, h),
+        |$AudioGridSql,
+        |apx AS (
+        |  SELECT aud.doc_id, n * 2 AS n_bytes,
+        |    SUM($SampleSql) AS checksum
+        |  FROM aud JOIN ga ON ga.i < aud.n
+        |  GROUP BY aud.doc_id, n),
         |f AS (
         |  SELECT doc_id, 'image' AS kind, n_bytes, checksum FROM ipx
         |  UNION ALL
-        |  SELECT doc_id,
-        |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |  SELECT doc_id, 'audio' AS kind, n_bytes, checksum FROM apx
+        |  UNION ALL
+        |  SELECT doc_id, 'video' AS kind,
         |    octet_length(encode(text)) AS n_bytes,
         |    list_sum(list_transform(string_split_regex(text, ''),
         |      ch -> ord(ch))) AS checksum
-        |  FROM documents WHERE doc_id % 3 != 0)
+        |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT kind, COUNT(*) AS n_media,
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(SUM(checksum) AS BIGINT) AS total_checksum

@@ -56,11 +56,52 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---- audio (real WAV via javax.sound.sampled) ----------------------
+
+  test("WAV encode -> AudioSystem decode round trip is sample-lossless") {
+    Seq(1L, 4L, 7L, 10L, 124L, 4568L).foreach { id =>
+      val n = MediaCodec.sampleCount(id)
+      assert(n >= 256 && n <= 512)
+      val back = MediaCodec.decodeWav(MediaCodec.wavBytes(id))
+      assert(back.length == n, s"id=$id")
+      var i = 0
+      while (i < n) { // every decoded sample equals the closed form
+        assert(back(i) == MediaCodec.sample(id, i), s"id=$id i=$i")
+        i += 1
+      }
+    }
+  }
+
+  test("payload bytes are a REAL RIFF/WAVE (magic + fmt fields)") {
+    val b = MediaCodec.wavBytes(13L)
+    assert(new String(b.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    // fmt chunk: PCM tag 1, mono, 16000 Hz, 16-bit (little-endian fields
+    // at canonical offsets — the JDK writer emits the canonical layout)
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (0 until 4).foldLeft(0)((a, i) =>
+      a | ((b(o + i) & 0xff) << (8 * i)))
+    assert(le16(20) == 1 && le16(22) == 1)
+    assert(le32(24) == 16000)
+    assert(le16(34) == 16)
+  }
+
+  test("closed-form samples span both signs and full 16-bit range use") {
+    // the checksum oracle would be insensitive to a sign-extension bug
+    // if every sample were positive; pin that the fixture exercises both
+    val all = Seq(1L, 4L, 7L).flatMap { id =>
+      (0 until MediaCodec.sampleCount(id)).map(MediaCodec.sample(id, _))
+    }
+    assert(all.exists(_ < 0) && all.exists(_ > 0))
+    assert(all.forall(s => s >= -32768 && s <= 32767))
+  }
+
   test("metadata-only catalog plan never synthesizes a payload") {
     val plan = SparkEntry.queries("mm01_media_catalog")(
       spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("png_synth"), plan)
+    assert(!plan.contains("wav_synth"), plan)
   }
 
   test("mm05 resize rows match the closed-form downsample stats") {

@@ -4,9 +4,10 @@
 mm04's candidate generation is blocking-specific (mean-centered sign-LSH
 buckets + a sorted-neighborhood ring), so an exact SQL oracle does not
 exist; its documented CONTRACT, though, is independently checkable
-outside Spark by replicating the deterministic stub encoder
-(emb[i % 8] += byte — integer-valued float32 slots, exact up to 2^24, so
-the replica is bit-faithful):
+outside Spark by replicating the deterministic encoder per kind (image:
+closed-form pixel fold; audio: closed-form PCM sample fold; video: the
+byte stub emb[i % 8] += byte — all integer-valued float32 slots, exact
+up to 2^24, so the replica is bit-faithful):
 
   1. soundness — every output row names a distinct same-kind neighbor
      and its `sim` is a valid 6-decimal rounding of the true cosine of
@@ -34,6 +35,22 @@ def embed(text: str) -> np.ndarray:
     return emb.astype(np.float64)  # exact: integer-valued float32 slots
 
 
+def embed_audio(doc_id: int) -> np.ndarray:
+    """Replica of the audio-kind embedding: the engine decodes a REAL WAV
+    (MediaCodec closed-form PCM -> javax.sound round trip) and folds the
+    signed 16-bit samples into 8 chunked sums; this recomputes the same
+    sums from the closed form (kept in sync with MediaCodec.sample and
+    the mm02 SQL oracle). Slot sums stay under 2^21 — integer-exact in
+    the engine's float32 slots."""
+    n = 256 + doc_id % 257
+    i = np.arange(n, dtype=np.int64)
+    s = (doc_id * 37 + i * 11 + i * i) % 65536 - 32768
+    emb = np.zeros(8, dtype=np.int64)
+    for r in range(8):
+        emb[r] = int(s[r::8].sum(dtype=np.int64))
+    return emb.astype(np.float64)
+
+
 def embed_image(doc_id: int) -> np.ndarray:
     """Replica of the image-kind embedding: the engine decodes a REAL PNG
     (MediaCodec synth -> ImageIO round trip) and folds the (y, x, c)
@@ -57,7 +74,9 @@ def main(sf_dir, out_dir):
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
         "ORDER BY doc_id").fetchall()
     kinds = {d: ("image", "audio", "video")[d % 3] for d, _ in docs}
-    embs = {d: embed_image(d) if d % 3 == 0 else embed(t) for d, t in docs}
+    embs = {d: embed_image(d) if d % 3 == 0
+            else embed_audio(d) if d % 3 == 1
+            else embed(t) for d, t in docs}
     nrm = {d: float(np.sqrt((e * e).sum())) for d, e in embs.items()}
     rows = con.execute(
         f"SELECT media_id, kind, neighbor_id, sim FROM "
