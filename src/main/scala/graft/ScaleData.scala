@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleData <sf> <outDir> [open]
   * (sf=1.0 -> 6M lineitem; "open" switches the documents table to the
   * open-vocabulary Zipf fixture — see [[documents]])
+  *
+  * SPARK_GRAFT_TABLES (optional, comma-separated) restricts generation to
+  * a subset — e.g. `embeddings` for a sim09 trend point, where writing
+  * the 24M-row sf4 lineitem would be pure waste. The per-table bytes are
+  * identical to a full run (generation is a pure hash of the row id).
   */
 object ScaleData {
 
@@ -77,6 +82,13 @@ object ScaleData {
     val nVecs = (sf * 50000).toLong
 
     import spark.implicits._
+
+    val tableFilter = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def write(out: String, name: String, df: => DataFrame): Unit =
+      if (tableFilter.isEmpty || tableFilter(name))
+        ScaleData.writeTable(out, name, df)
 
     write(out, "region", Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
       (3, "EUROPE"), (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name"))
@@ -274,7 +286,7 @@ object ScaleData {
   /** Write as a single parquet FILE `<out>/<name>.parquet` (driver testdata
     * layout). Single-file is fine at these sizes; the READ side stays
     * parallel because [[generate]] bounds row groups at 2 MB. */
-  private def write(out: String, name: String, df: DataFrame): Unit = {
+  private def writeTable(out: String, name: String, df: DataFrame): Unit = {
     val target = new java.io.File(out, s"$name.parquet")
     graft.core.ParquetFiles.writeSingle(df, target)
     println(s"wrote $target")

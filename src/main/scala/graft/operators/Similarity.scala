@@ -359,51 +359,70 @@ object Similarity {
     // part: exact relevance scoring of Q x N through sim01's
     // broadcast-queries scan, with TopKPerGroup map-side partials
     // capping the exchange at P rows per query. The greedy rerank is
-    // inherently sequential in k and runs on the driver over the
-    // Q*P-bounded pool (same boundedness contract as sim05's query-LUT
-    // collect — bounded by the query batch, never the corpus). The
-    // candidate-vector lookup joins the corpus against the BROADCAST
-    // pool (aggregated, Q*P rows — broadcast-legal at any corpus size).
-    // Deterministic: pool membership rides on rounded scores with
-    // vec_id tie-breaks, and the driver greedy breaks score ties on
-    // vec_id. No SQL oracle (iterated argmax is not relational);
-    // invariants asserted in the spec.
+    // inherently sequential in k but INDEPENDENT per query, so it runs
+    // as groupByKey(qid).flatMapGroups on the EXECUTORS over each
+    // query's P-bounded pool (r11 ran it on the driver: correct but the
+    // driver serialized the whole query batch — at 10^5 queries the one
+    // machine that cannot scale out becomes the rerank bottleneck; the
+    // mapGroups form shuffles only the Q*P pool rows and reranks with
+    // full cluster parallelism). The candidate-vector lookup joins the
+    // corpus against the BROADCAST pool (aggregated, Q*P rows —
+    // broadcast-legal at any corpus size).
+    //
+    // Deterministic AND cross-engine-exact: pool membership rides on
+    // rounded scores with vec_id tie-breaks; the pairwise diversity
+    // penalty is rounded to 6dp BEFORE the max (rounding is monotone,
+    // so max-of-rounded = rounded-of-max) — selection then compares
+    // doubles both engines reproduce bit-identically, which is what
+    // lets the greedy carry a full DuckDB oracle (the K=5 iterations
+    // unroll into 5 CTE steps — see oracleSql). mmr_r rounds at 7dp
+    // because mmr = 0.5*(a - b) of 6dp-rounded terms lands EXACTLY ON
+    // the 5e-7 grid: rounding that to 6dp is a permanent coin-flip at
+    // the half boundary, while at 7dp every value sits on the grid and
+    // both engines agree.
     "sim07_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
       val pool = Scale.topKPerGroup(
         scoredCandidates(s, d), Seq("qid"), MmrPool,
         col("cos_r").desc, col("vec_id").asc)
       val withVec = Tables(s, d, "embeddings")
         .join(broadcast(pool), "vec_id")
         .select(col("qid"), col("vec_id"), col("cos_r"), col("embedding"))
-      val picked = withVec.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-          r.getAs[scala.collection.Seq[Float]](3).map(_.toDouble).toArray))
-        .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
-          def cos(a: Array[Double], b: Array[Double]): Double = {
-            var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < a.length) {
-              dt += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
-              i += 1
-            }
-            if (na == 0 || nb == 0) 0.0 else dt / math.sqrt(na * nb)
+        .as[(Long, Long, Double, scala.collection.Seq[Float])]
+      val picked = withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dt += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+            i += 1
           }
-          val remaining = scala.collection.mutable.ArrayBuffer(
-            rs.sortBy(c => (-c._3, c._2)): _*)
-          val selected = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Double, Array[Double])]
-          (1 to math.min(K, remaining.size)).map { rank =>
-            val (best, mmr) = remaining.map { c =>
-              val pen =
-                if (selected.isEmpty) 0.0
-                else selected.map(sl => cos(c._4, sl._4)).max
-              (c, MmrLambda * c._3 - (1 - MmrLambda) * pen)
-            }.minBy { case (c, m) => (-m, c._2) }
-            selected += best
-            remaining -= best
-            (qid, rank, best._2, math.rint(mmr * 1e6) / 1e6)
-          }
+          if (na == 0 || nb == 0) 0.0 else dt / math.sqrt(na * nb)
         }
-      s.createDataFrame(picked).toDF("qid", "rank", "vec_id", "mmr_r")
+        // Spark's SQL round() semantics (BigDecimal HALF_UP) so the
+        // penalty grid matches the engine-wide cos_r rounding exactly
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        val rs = it.map(t => (t._2, t._3, t._4.map(_.toDouble).toArray))
+          .toArray
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          rs.sortBy(c => (-c._2, c._1)): _*)
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Array[Double])]
+        (1 to math.min(K, remaining.size)).iterator.map { rank =>
+          val (best, mmr) = remaining.map { c =>
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.map(sl => r6(cos(c._3, sl._3))).max
+            (c, MmrLambda * c._2 - (1 - MmrLambda) * pen)
+          }.minBy { case (c, m) => (-m, c._1) }
+          selected += best
+          remaining -= best
+          (qid, rank, best._1, mmr)
+        }
+      }.toDF("qid", "rank", "vec_id", "mmr")
+      picked.select(col("qid"), col("rank"), col("vec_id"),
+        round(col("mmr"), 7).as("mmr_r"))
     }),
 
     // PQ probe against the PERSISTED index: the codebook (M x Kc rows)
@@ -619,6 +638,74 @@ object Similarity {
          |      6) AS cos_r
          |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid)""".stripMargin
 
+  /** Full DuckDB oracle for the MMR greedy: the K=5 iterations unroll
+    * into K chained CTE steps (selection is iterated argmax — not
+    * relational as a single query, but exactly relational per step).
+    * Cross-engine exactness rests on the same grid arguments as the
+    * engine side: pool scores and pairwise penalties are 6dp-rounded
+    * doubles both engines reproduce bit-identically (sequential-order
+    * list_sum = the codegen'd loop), mmr = lambda*(a) - (1-lambda)*(b)
+    * of on-grid terms is itself on the 5e-7 grid, and the output rounds
+    * at 7dp where every value sits ON a grid point (never at a rounding
+    * half-boundary). Pool pair count is Q * P^2 (bounded by the query
+    * batch, never the corpus), so the oracle stays cheap at any sf. */
+  private lazy val sim07Oracle: String = {
+    val lam = MmrLambda
+    val steps = (2 to K).map { n =>
+      val prev = n - 1
+      s"""c$n AS (
+         |  SELECT p.qid, p.vec_id, p.cos_r, MAX(ps.s) AS pen
+         |  FROM pool p
+         |  JOIN ps ON ps.qid = p.qid AND ps.ca = p.vec_id
+         |  JOIN sel$prev t ON t.qid = ps.qid AND t.vec_id = ps.cb
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$prev x
+         |    WHERE x.qid = p.qid AND x.vec_id = p.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |s$n AS (SELECT qid, vec_id, mmr FROM (
+         |  SELECT qid, vec_id, $lam * cos_r - ${1 - lam} * pen AS mmr,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ($lam * cos_r - ${1 - lam} * pen) DESC,
+         |        vec_id ASC) AS rn
+         |  FROM c$n) WHERE rn = 1)""".stripMargin +
+        (if (n < K)
+          s""",
+             |sel$n AS (SELECT * FROM sel$prev
+             |  UNION ALL SELECT qid, vec_id FROM s$n)""".stripMargin
+        else "")
+    }.mkString(",\n")
+    val unionTail = (2 to K).map(n =>
+      s"UNION ALL SELECT qid, $n AS rank, vec_id, round(mmr, 7) AS mmr_r FROM s$n")
+      .mkString("\n")
+    s"""$scoredCte,
+       |pool AS (
+       |  SELECT qid, vec_id, cos_r FROM (
+       |    SELECT qid, vec_id, cos_r, ROW_NUMBER() OVER
+       |      (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |    FROM scored) WHERE rn <= $MmrPool),
+       |pv AS (
+       |  SELECT p.qid, p.vec_id, p.cos_r, e.embedding AS v
+       |  FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id),
+       |ps AS (
+       |  SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+       |    round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))),
+       |      6) AS s
+       |  FROM pv a JOIN pv b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+       |s1 AS (SELECT qid, vec_id, $lam * cos_r AS mmr FROM (
+       |  SELECT qid, vec_id, cos_r, ROW_NUMBER() OVER
+       |    (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |  FROM pool) WHERE rn = 1),
+       |sel1 AS (SELECT qid, vec_id FROM s1),
+       |$steps
+       |SELECT qid, 1 AS rank, vec_id, round(mmr, 7) AS mmr_r FROM s1
+       |$unionTail""".stripMargin
+  }
+
   private lazy val sim01Oracle: String =
       s"""$scoredCte
          |SELECT qid, rank, vec_id, cos_r FROM (
@@ -631,6 +718,8 @@ object Similarity {
     "sim01_knn_bruteforce" -> sim01Oracle,
     // sim04 must produce exactly sim01's rows through the typed Aggregator
     "sim04_knn_aggregator" -> sim01Oracle,
+    // sim07: the greedy unrolls into K relational steps — full oracle
+    "sim07_mmr_rerank" -> sim07Oracle,
     "sim06_range_search" ->
       s"""$scoredCte
          |SELECT qid, vec_id, cos_r FROM scored

@@ -113,6 +113,21 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("sim07: the MMR greedy runs in an executor stage (MapGroups), " +
+      "not as a driver-side collect loop") {
+    // r11 ran the greedy on the driver over the collected pool — correct
+    // but serial in the query batch. The r12 form is one connected plan:
+    // scan -> TopK pool -> broadcast join -> exchange on qid ->
+    // MapGroups(greedy). A driver-side rerank would show up as a plan
+    // that ENDS at the pool join (the greedy invisible to Catalyst) —
+    // so pin the MapGroups node's presence.
+    val plan = SparkEntry.queries("sim07_mmr_rerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups"), plan)
+    assert("TopKPerGroup \\[".r.findAllIn(plan).size == 2, plan)
+    spark.catalog.clearCache()
+  }
+
   test("sim09: NO aggregate anywhere in the plan — the pair-dedup " +
       "exchange is structurally gone (r11: dedup lives in the TopK heaps)") {
     // r10's one unbounded exchange was groupBy(u,v).agg(max) keying the

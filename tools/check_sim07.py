@@ -7,11 +7,15 @@ scoring of the broadcast query set (vec_id < 10) against the corpus,
 top-30 candidate pool per query on (round(cos,6) desc, vec_id asc),
 then the Carbonell-Goldstein greedy
   argmax 0.5*rel(q,c) - 0.5*max_{s in selected} cos(c,s)
-with vec_id tie-breaks, exactly as the engine's driver-side greedy
-runs it. Dot products use sequential-order double accumulation (the
-same order the codegen'd cosine kernel uses), so scores are
-bit-identical, not merely close. Dev-loop tool only, like
-check_dd05.py.
+with vec_id tie-breaks and the pairwise penalty rounded to 6dp
+BEFORE the max, exactly as the engine's executor-side greedy runs it
+(r12: the greedy moved off the driver to flatMapGroups and gained a
+full unrolled DuckDB oracle; this replica stays as defense-in-depth).
+Dot products use sequential-order double accumulation (the same order
+the codegen'd cosine kernel uses), so scores are bit-identical, not
+merely close. Output rounds at 7dp: mmr = 0.5*(a-b) of 6dp terms sits
+exactly on the 5e-7 grid, where 6dp rounding is a half-boundary
+coin-flip. Dev-loop tool only, like check_dd05.py.
 
 Usage: python3 tools/check_sim07.py <sfDir> <verifyOutDir>
 """
@@ -24,6 +28,14 @@ NQ = 10
 POOL = 30
 K = 5
 LAM = 0.5
+
+
+def r6(x):
+    # Spark SQL round() = BigDecimal HALF_UP; values here never sit at a
+    # half boundary, so rint on the scaled value matches it exactly
+    import numpy as _np
+    return float(_np.rint(x * 1e6) / 1e6) if x >= 0 else -float(
+        _np.rint(-x * 1e6) / 1e6)
 
 
 def cos(a, b):
@@ -57,15 +69,15 @@ def main(sf_dir, out_dir):
         for rank in range(1, min(K, len(remaining)) + 1):
             best = None
             for vid, rel in remaining:
-                pen = max((cos(vecs[vid], vecs[s]) for s, _ in selected),
-                          default=0.0)
+                pen = max((r6(cos(vecs[vid], vecs[s]))
+                           for s, _ in selected), default=0.0)
                 m = LAM * rel - (1 - LAM) * pen
                 if best is None or (-m, vid) < (-best[2], best[0]):
                     best = (vid, rel, m)
             selected.append((best[0], best[1]))
             remaining = [r for r in remaining if r[0] != best[0]]
             want.add((qid, rank, best[0],
-                      float(np.rint(best[2] * 1e6) / 1e6)))
+                      float(np.rint(best[2] * 1e7) / 1e7)))
     got = con.execute(
         f"SELECT qid, rank, vec_id, mmr_r FROM '{out_dir}/sim07_mmr_rerank/"
         "*.parquet'").fetchall()
