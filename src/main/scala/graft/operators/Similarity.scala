@@ -234,121 +234,34 @@ object Similarity {
           col("item.vec_id").as("vec_id"), col("item.cos_r").as("cos_r"))
     }),
 
-    "sim02_ann_lsh" -> ((s, d) => {
-      // L independent hash tables of B hyperplanes each; a query probes its
-      // own bucket plus every 1-bit-flip bucket in every table. Expected
-      // touched fraction per table = (1+B)/2^B of the corpus — the knob
-      // that trades recall for scan fraction at 100 TB. Bucket ids for all
-      // tables come from ONE pass over the vector via the native
-      // SignBuckets expression (codegen; the lambda formulation walked the
-      // vector L*B times interpreted).
-      val L = 8; val B = 6
-      import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
-      val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          posexplode(sign_buckets(col("embedding"), B, L))
-            .as(Seq("tbl", "bucket")))
-      val q = queriesDf(s, d)
-        .select(col("qid"), col("qv"),
-          posexplode(sign_buckets(col("qv"), B, L)).as(Seq("tbl", "own")))
-        .select(col("qid"), col("qv"), col("tbl"),
-          explode(array(col("own") +: (0 until B).map(b =>
-            col("own").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
-      val scored = e.join(broadcast(q), Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
-        .distinct()
-      topkPerQuery(scored)
-    }),
+    // sim02/sim03/sim05 and the persisted-index probes are APPROXIMATE
+    // tiers: their raw result rows are engine-specific (which candidates
+    // an LSH table or an IVF cell surfaces), so instead of a `no_oracle`
+    // row the driver-gated entries emit the DERIVED BOUND the sf1
+    // sidecar used to defer to (VERDICT r11 #4): per-query result
+    // counts (DuckDB-pinned) plus a mean-recall floor computed against
+    // the in-Spark exact twin — which is itself the bit-exact-oracled
+    // sim01 relation, so the floor's reference point is independently
+    // grounded. The raw relations stay public ([[annLsh]] etc.) for
+    // specs, users, and the recall-model sidecar checkers.
+    "sim02_ann_lsh" -> ((s, d) =>
+      recallAudit(s, d, annLsh(s, d), Sim02RecallFloor)),
 
-    "sim03_ivf_knn" -> ((s, d) => {
-      // Coarse quantizer: Lloyd's k-means over the vectors themselves
-      // (Clustering.kmeansFull — deterministic init/ties, decimal-sum
-      // means); the inverted lists are the k-means cells. Queries probe
-      // their nearest centroid's cell only (nprobe=1) — the assignment
-      // metric (L2, lower-cl tie-break) is exactly the one the cells
-      // were built with, so a query lands in the cell whose members were
-      // assigned to its centroid.
-      //
-      // The TRAIN loads-or-trains through the same persisted path as
-      // sim03_probe (like sim05's codebook): the k-means build is a
-      // one-time index cost, not a per-query one — run inline it was the
-      // entire fused-vs-probe gap (1.98 s vs 0.73 s at sf0.1 in r9). The
-      // fused row's distinguishing work — assign the corpus to cells
-      // IN-PLAN rather than read the persisted cell files — stays
-      // inline. Rows are bit-identical to sim03_probe either way: the
-      // persisted cells were written by the same nearest_centroid kernel
-      // over the same centroids (doubles round-trip parquet exactly).
-      val centroids = s.read.parquet(ensureIvfIndex(s, d) + "/centroids")
-      // k x dim doubles — driver-side by construction; sorted by cl so
-      // exact-tie assignment scans centroids in the order kmeansFull used
-      val cents = centroids.collect()
-        .map(r => (r.getInt(0),
-          r.getAs[scala.collection.Seq[Double]]("cvec").toArray))
-        .sortBy(_._1)
-      val assigned = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
-        .select(col("vec_id"), col("embedding"),
-          org.apache.spark.sql.graftx.NearestCentroidFunctions
-            .nearest_centroid(col("embedding"), cents.map(_._2),
-              cents.map(_._1)).as("cl"))
-      // search only the probed cell's inverted list (`assigned` keeps the
-      // embedding column, so no join back to the corpus)
-      ivfScore(assigned, ivfAssignQueries(s, d, centroids))
-    }),
+    "sim03_ivf_knn" -> ((s, d) =>
+      recallAudit(s, d, ivfKnn(s, d), Sim03RecallFloor)),
 
-    // IVF probe against the PERSISTED index — the latency a vector-search
-    // user actually pays per query batch. Cells are written partitioned
-    // BY CELL, so the probe reads only the probed cells' files (static
-    // partition pruning via the Q-bounded routed-cell list — at 100 TB a
-    // probe touches ~1/k of the corpus bytes and the scan never sees the
-    // rest). Builds the index lazily on first touch; identical rows to
-    // sim03 (same kernels, deterministic k-means) — asserted in the spec.
-    "sim03_probe" -> ((s, d) => {
-      val root = ensureIvfIndex(s, d)
-      val centroids = s.read.parquet(root + "/centroids")
-      val qAssign = ivfAssignQueries(s, d, centroids)
-      // Q-bounded collect (<= NQueries cell ids) drives static partition
-      // pruning on the cells read — only probed directories are listed.
-      val probed = qAssign.select(col("cl")).distinct().collect()
-        .map(_.getInt(0))
-      val cells = s.read.parquet(root + "/cells")
-        .filter(col("cl").isin(probed.map(Int.box): _*))
-      ivfScore(cells, qAssign)
-    }),
+    // Probe entries emit the persisted-index PARITY contract as the
+    // driver-gated bound: probe rows must equal the fused variant's
+    // bit-for-bit, per qid (the spec asserts the same on the raw
+    // relations; this puts it in CORRECTNESS_r12).
+    "sim03_probe" -> ((s, d) =>
+      parityAudit(ivfProbe(s, d), ivfKnn(s, d))),
 
-    // Product-quantized ANN (ProductQuantizer): candidate scoring reads
-    // ONLY the 8-byte codes plus broadcast per-query lookup tables (ADC) —
-    // at 100 TB the scored relation is ~1/32 the corpus bytes and the raw
-    // vectors are touched just for the exact rescore of the top R
-    // approximate candidates per query (R rows per query, a broadcast
-    // join). The codebook LOADS-OR-TRAINS through the same persisted
-    // path as sim05_probe: the Kc=64 Lloyd's train is a one-time index
-    // build (it was +69% of this query's steady-state at sf2 when run
-    // inline per query), while the fused row's distinguishing work —
-    // encode the corpus in-plan rather than read persisted codes —
-    // stays inline. Identical rows to sim05_probe either way (one
-    // deterministic training code path).
-    "sim05_pq_knn" -> ((s, d) => {
-      // Persisted for the encode scan + the final rescore; stays cached
-      // because the returned plan lazily references it. Callers own the
-      // release via spark.catalog.clearCache() (the Verify/Bench harness
-      // contract, same as Clustering.kmeansFull documents).
-      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cb = readCodebook(s, ensurePqIndex(s, d) + "/codebook")
-      // The persist is a correctness-of-cost BARRIER, not a cache nicety:
-      // without it CollapseProject folds the pq_codes projection into the
-      // ADC cross join's output and the encoder re-runs PER (row, query)
-      // pair — measured 17.3 s vs 6.0 s probe at sf2 (Q x the 1.4 s
-      // encode), exactly the fused row's unexplained premium. Cached,
-      // the scored relation is the same narrow (vec_id, codes) the probe
-      // reads from parquet. ~13 bytes/row — corpus-scale-safe to cache,
-      // and spillable regardless.
-      val codes = ProductQuantizer.encode(e, cb, PqDsub)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pqScore(s, d, cb, codes, e)
-    }),
+    "sim05_pq_knn" -> ((s, d) =>
+      recallAudit(s, d, pqKnn(s, d), Sim05RecallFloor)),
+
+    "sim05_probe" -> ((s, d) =>
+      parityAudit(pqProbe(s, d), pqKnn(s, d))),
 
     // Diversified top-k (Maximal Marginal Relevance, Carbonell &
     // Goldstein SIGIR'98): greedily pick argmax of
@@ -425,19 +338,6 @@ object Similarity {
         round(col("mmr"), 7).as("mmr_r"))
     }),
 
-    // PQ probe against the PERSISTED index: the codebook (M x Kc rows)
-    // and the encoded corpus (vec_id + 8-byte codes, ~1/32 the corpus
-    // bytes) are parquet; a probe reads codes + codebook only, touching
-    // raw vectors just for the R-per-query exact rescore. Builds lazily
-    // on first touch; identical rows to sim05 (same kernel, deterministic
-    // training, exact double round-trip) — asserted in the spec.
-    "sim05_probe" -> ((s, d) => {
-      val root = ensurePqIndex(s, d)
-      val cb = readCodebook(s, root + "/codebook")
-      pqScore(s, d, cb, s.read.parquet(root + "/codes"),
-        Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
-    }),
-
     // k-NN GRAPH, exact anchor: EVERY vector's top-K neighbors — the
     // substrate graph-based curation builds on (SemDeDup variants,
     // diversity sampling, label propagation, mutual-kNN clustering).
@@ -494,7 +394,17 @@ object Similarity {
     // < K for vectors whose buckets are sparse — intrinsic to ANN
     // graphs. Approximate by construction -> rows-only driver check;
     // recall/exactness vs sim08 in the spec + sidecar checker.
-    "sim09_knn_graph_lsh" -> ((s, d) => {
+    //
+    // Driver-gated form (VERDICT r11 #4): [[knnGraphAudit]] wraps the
+    // raw graph ([[knnGraphLsh]], plan-pinned aggregate-free by
+    // PlanAuditSpec) with the derived bounds DuckDB can grade — sampled
+    // exact out-degrees, the total source count, and the GW-model
+    // recall floor computed against a LINEAR 32-source exact probe.
+    "sim09_knn_graph_lsh" -> ((s, d) => knnGraphAudit(s, d))
+  )
+
+  /** sim09's raw kNN graph (src, rank, dst, cos_r) — the scale path. */
+  def knnGraphLsh(s: SparkSession, d: String): DataFrame = {
       import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
       import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
       val L = 8
@@ -548,8 +458,244 @@ object Similarity {
         .select(col("e.src").as("src"), col("e.dst").as("dst"),
           col("e.c").as("c"))
       graphTopK(edges, dedupDst = true)
-    })
-  )
+  }
+
+  // ---- raw approximate relations + the driver-gated audits ----------
+  // The approximate tiers' result rows are engine-specific; the driver
+  // gate grades DERIVED BOUNDS instead (VERDICT r11 #4). Floors mirror
+  // the r11 sidecar checkers exactly, so the driver gate cannot grade
+  // softer than the sidecar used to.
+
+  /** Mean-recall@K floors vs the exact sim01 relation: sim02 touches an
+    * expected (1+B)/2^B fraction per table; sim03 probes 1 of 8 cells;
+    * sim05 exact-rescores the ADC top-R (near-exact by construction). */
+  val Sim02RecallFloor = 0.2
+  val Sim03RecallFloor = 0.2
+  val Sim05RecallFloor = 0.8
+
+  /** sim02's raw ANN result (qid, rank, vec_id, cos_r).
+    *
+    * L independent hash tables of B hyperplanes each; a query probes its
+    * own bucket plus every 1-bit-flip bucket in every table. Expected
+    * touched fraction per table = (1+B)/2^B of the corpus — the knob
+    * that trades recall for scan fraction at 100 TB. Bucket ids for all
+    * tables come from ONE pass over the vector via the native
+    * SignBuckets expression (codegen; the lambda formulation walked the
+    * vector L*B times interpreted). */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val L = 8; val B = 6
+    import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
+    val e = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        posexplode(sign_buckets(col("embedding"), B, L))
+          .as(Seq("tbl", "bucket")))
+    val q = queriesDf(s, d)
+      .select(col("qid"), col("qv"),
+        posexplode(sign_buckets(col("qv"), B, L)).as(Seq("tbl", "own")))
+      .select(col("qid"), col("qv"), col("tbl"),
+        explode(array(col("own") +: (0 until B).map(b =>
+          col("own").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val scored = e.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_r"))
+      .distinct()
+    topkPerQuery(scored)
+  }
+
+  /** sim03's raw IVF result (qid, rank, vec_id, cos_r).
+    *
+    * Coarse quantizer: Lloyd's k-means over the vectors themselves
+    * (Clustering.kmeansFull — deterministic init/ties, decimal-sum
+    * means); the inverted lists are the k-means cells. Queries probe
+    * their nearest centroid's cell only (nprobe=1) — the assignment
+    * metric (L2, lower-cl tie-break) is exactly the one the cells were
+    * built with. The TRAIN loads-or-trains through the same persisted
+    * path as [[ivfProbe]] (the k-means build is a one-time index cost —
+    * run inline it was the entire fused-vs-probe gap, 1.98 s vs 0.73 s
+    * at sf0.1 in r9); the fused row's distinguishing work — assign the
+    * corpus to cells IN-PLAN rather than read the persisted cell files —
+    * stays inline. Rows are bit-identical to the probe either way (same
+    * nearest_centroid kernel, doubles round-trip parquet exactly). */
+  def ivfKnn(s: SparkSession, d: String): DataFrame = {
+    val centroids = s.read.parquet(ensureIvfIndex(s, d) + "/centroids")
+    // k x dim doubles — driver-side by construction; sorted by cl so
+    // exact-tie assignment scans centroids in the order kmeansFull used
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]]("cvec").toArray))
+      .sortBy(_._1)
+    val assigned = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graftx.NearestCentroidFunctions
+          .nearest_centroid(col("embedding"), cents.map(_._2),
+            cents.map(_._1)).as("cl"))
+    // search only the probed cell's inverted list (`assigned` keeps the
+    // embedding column, so no join back to the corpus)
+    ivfScore(assigned, ivfAssignQueries(s, d, centroids))
+  }
+
+  /** IVF probe against the PERSISTED index — the latency a vector-search
+    * user actually pays per query batch. Cells are written partitioned
+    * BY CELL, so the probe reads only the probed cells' files (static
+    * partition pruning via the Q-bounded routed-cell list — at 100 TB a
+    * probe touches ~1/k of the corpus bytes and the scan never sees the
+    * rest). Builds the index lazily on first touch. */
+  def ivfProbe(s: SparkSession, d: String): DataFrame = {
+    val root = ensureIvfIndex(s, d)
+    val centroids = s.read.parquet(root + "/centroids")
+    val qAssign = ivfAssignQueries(s, d, centroids)
+    // Q-bounded collect (<= NQueries cell ids) drives static partition
+    // pruning on the cells read — only probed directories are listed.
+    val probed = qAssign.select(col("cl")).distinct().collect()
+      .map(_.getInt(0))
+    val cells = s.read.parquet(root + "/cells")
+      .filter(col("cl").isin(probed.map(Int.box): _*))
+    ivfScore(cells, qAssign)
+  }
+
+  /** sim05's raw PQ result (qid, rank, vec_id, cos_r).
+    *
+    * Product-quantized ANN: candidate scoring reads ONLY the 8-byte
+    * codes plus broadcast per-query lookup tables (ADC) — at 100 TB the
+    * scored relation is ~1/32 the corpus bytes and the raw vectors are
+    * touched just for the exact rescore of the top R approximate
+    * candidates per query (R rows per query, a broadcast join). The
+    * codebook LOADS-OR-TRAINS through the same persisted path as
+    * [[pqProbe]] (the Kc=64 Lloyd's train is a one-time index build —
+    * +69% of this query's sf2 steady-state when run inline); the fused
+    * row's distinguishing work — encode the corpus in-plan rather than
+    * read persisted codes — stays inline. */
+  def pqKnn(s: SparkSession, d: String): DataFrame = {
+    // Persisted for the encode scan + the final rescore; stays cached
+    // because the returned plan lazily references it. Callers own the
+    // release via spark.catalog.clearCache() (the Verify/Bench harness
+    // contract, same as Clustering.kmeansFull documents).
+    val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = readCodebook(s, ensurePqIndex(s, d) + "/codebook")
+    // The persist is a correctness-of-cost BARRIER, not a cache nicety:
+    // without it CollapseProject folds the pq_codes projection into the
+    // ADC cross join's output and the encoder re-runs PER (row, query)
+    // pair — measured 17.3 s vs 6.0 s probe at sf2 (Q x the 1.4 s
+    // encode), exactly the fused row's unexplained premium. Cached,
+    // the scored relation is the same narrow (vec_id, codes) the probe
+    // reads from parquet. ~13 bytes/row — corpus-scale-safe to cache,
+    // and spillable regardless.
+    val codes = ProductQuantizer.encode(e, cb, PqDsub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqScore(s, d, cb, codes, e)
+  }
+
+  /** PQ probe against the PERSISTED index: the codebook (M x Kc rows)
+    * and the encoded corpus (vec_id + 8-byte codes, ~1/32 the corpus
+    * bytes) are parquet; a probe reads codes + codebook only, touching
+    * raw vectors just for the R-per-query exact rescore. Builds lazily
+    * on first touch. */
+  def pqProbe(s: SparkSession, d: String): DataFrame = {
+    val root = ensurePqIndex(s, d)
+    val cb = readCodebook(s, root + "/codebook")
+    pqScore(s, d, cb, s.read.parquet(root + "/codes"),
+      Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+  }
+
+  /** Derived-bound audit for an approximate top-k relation: per query,
+    * the result count (DuckDB pins it at K) and a mean-recall@K floor
+    * against the in-Spark exact twin — sim01's relation, itself graded
+    * bit-exact by its own oracle, so the floor's reference point is
+    * independently grounded. The audit's extra cost is one exact
+    * broadcast-queries scan (sim01's own shape: O(Q·N) codegen, no
+    * corpus shuffle) — bounded by the query batch at any corpus size. */
+  private def recallAudit(s: SparkSession, d: String,
+      approx: DataFrame, floor: Double): DataFrame = {
+    val exact = queries("sim01_knn_bruteforce")(s, d)
+      .select(col("qid"), col("vec_id"))
+    val ap = approx.select(col("qid"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRes = ap.groupBy(col("qid")).agg(count(lit(1)).as("n_results"))
+    val hits = ap.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    val per = exact.select(col("qid")).distinct()
+      .join(nRes, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_results", "hits"))
+    val summary = per.agg(
+      avg(col("hits").cast("double") / K).as("mean_recall"))
+    per.crossJoin(broadcast(summary))
+      .select(col("qid"), col("n_results"),
+        (col("mean_recall") >= floor).as("recall_floor_ok"))
+  }
+
+  /** Persisted-index parity audit: per query, the probe's result count
+    * and whether its rows equal the fused variant's bit-for-bit (the
+    * exceptAll in both directions is over the 2·Q·K-bounded result
+    * relations, never the corpus). */
+  private def parityAudit(probe: DataFrame, fused: DataFrame): DataFrame = {
+    val p = probe.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = fused.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = p.exceptAll(f).union(f.exceptAll(p))
+      .groupBy(col("qid")).agg(count(lit(1)).as("bad"))
+    p.groupBy(col("qid")).agg(count(lit(1)).as("n_results"))
+      .join(bad, Seq("qid"), "left")
+      .select(col("qid"), col("n_results"),
+        (coalesce(col("bad"), lit(0L)) === 0L).as("match_fused"))
+  }
+
+  /** Sampled sources for sim09's exact-recall audit: exact top-K for a
+    * FIXED source set is one linear broadcast scan (O(S·N)), so the
+    * audit stays a rounding error of the graph build at any corpus
+    * size — unlike recall vs the full sim08 census, which is O(N^2)
+    * and exists only as the bench-gated anchor. */
+  val AuditSrcs = 32
+
+  /** Driver-gated derived bounds for the sim09 graph: per sampled
+    * source its out-degree (DuckDB pins K) plus two constants — the
+    * graph's total source count (DuckDB pins N) and a recall floor
+    * from the per-edge Goemans-Williamson survival model
+    * p = 1 - acos(c)/pi, p1 = p^B + B·p^(B-1)·(1-p), P = 1-(1-p1)^L
+    * integrated over the SAMPLED exact edges (the same model the r11
+    * sidecar checker applied to the full census), with 10% slack for
+    * sampling noise. */
+  private def knnGraphAudit(s: SparkSession, d: String): DataFrame = {
+    val g = knnGraphLsh(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val L = 8
+    val n = Tables(s, d, "embeddings").count()
+    val B = Scale.lshPlanes(n)
+    val qs = Tables(s, d, "embeddings")
+      .filter(col("vec_id") < AuditSrcs)
+      .select(col("vec_id").as("src"), col("embedding").as("qv"))
+    val exact = Scale.topKPerGroup(
+      Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+        .crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("dst"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_e")),
+      Seq("src"), K, col("cos_e").desc, col("dst").asc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pCol = lit(1.0) - acos(least(lit(1.0),
+      greatest(lit(-1.0), col("cos_e")))) / math.Pi
+    val p1 = pow(pCol, B) +
+      lit(B) * pow(pCol, B - 1) * (lit(1.0) - pCol)
+    val surv = lit(1.0) - pow(lit(1.0) - p1, L)
+    val floorRow = exact.agg(
+      (avg(surv) * 0.9).as("floor"), count(lit(1)).as("n_exact"))
+    val hitsRow = g.join(exact,
+        g("src") === exact("src") && g("dst") === exact("dst"))
+      .agg(count(lit(1)).as("hits"))
+    val summary = floorRow.crossJoin(hitsRow)
+      .select((col("hits").cast("double") / col("n_exact") >=
+        col("floor")).as("recall_floor_ok"))
+    val totals = g.agg(countDistinct(col("src")).as("n_srcs_total"))
+    g.filter(col("src") < AuditSrcs)
+      .groupBy(col("src")).agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(summary))
+      .select(col("src"), col("n_edges"), col("n_srcs_total"),
+        col("recall_floor_ok"))
+  }
 
   /** Slack survivors kept per src beyond K by the raw-cosine heap; see
     * sim08's boundary-inversion note. */
@@ -714,8 +860,31 @@ object Similarity {
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin
 
+  /** Derived-bound oracle shared by the approximate-tier audits: DuckDB
+    * pins the query-id domain, the per-query result count, and expects
+    * every Spark-computed bound column TRUE. The bound itself is
+    * computed in-engine against the bit-exact-oracled sim01 relation
+    * (see [[recallAudit]]), so a pass is a genuine cross-engine check
+    * of the structure plus an in-engine check of the floor. */
+  private def annAuditOracle(boundCol: String): String =
+    s"""SELECT vec_id AS qid, CAST($K AS BIGINT) AS n_results,
+       |  TRUE AS $boundCol
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "sim01_knn_bruteforce" -> sim01Oracle,
+    // approximate tiers: derived-bound audits (VERDICT r11 #4) — the
+    // structural columns are DuckDB-pinned, the floors in-engine
+    "sim02_ann_lsh" -> annAuditOracle("recall_floor_ok"),
+    "sim03_ivf_knn" -> annAuditOracle("recall_floor_ok"),
+    "sim05_pq_knn" -> annAuditOracle("recall_floor_ok"),
+    "sim03_probe" -> annAuditOracle("match_fused"),
+    "sim05_probe" -> annAuditOracle("match_fused"),
+    "sim09_knn_graph_lsh" ->
+      s"""SELECT vec_id AS src, CAST($K AS BIGINT) AS n_edges,
+         |  (SELECT COUNT(*) FROM embeddings) AS n_srcs_total,
+         |  TRUE AS recall_floor_ok
+         |FROM embeddings WHERE vec_id < $AuditSrcs""".stripMargin,
     // sim04 must produce exactly sim01's rows through the typed Aggregator
     "sim04_knn_aggregator" -> sim01Oracle,
     // sim07: the greedy unrolls into K relational steps — full oracle
@@ -746,6 +915,8 @@ object Similarity {
          |    (PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rank
          |  FROM p)
          |WHERE rank <= $K""".stripMargin
-    // sim02/sim03/sim09: approximate — no SQL oracle; recall in tests.
+    // r12: every approximate tier above carries a derived-bound oracle;
+    // raw-relation recall/parity invariants additionally live in the
+    // specs (OperatorsSpec, Round12Spec) against the raw builders.
   )
 }

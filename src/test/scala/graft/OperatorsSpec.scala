@@ -39,7 +39,7 @@ class OperatorsSpec extends AnyFunSuite {
     val brute = SparkEntry.queries("sim01_knn_bruteforce")(spark, sf)
       .select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val ann = SparkEntry.queries("sim02_ann_lsh")(spark, sf)
+    val ann = graft.operators.Similarity.annLsh(spark, sf)
       .select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     // recall@5 across queries should be well above chance (5/500 = 1%)
@@ -55,7 +55,7 @@ class OperatorsSpec extends AnyFunSuite {
     val brute = SparkEntry.queries("sim01_knn_bruteforce")(spark, sf)
       .select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val ivf = SparkEntry.queries("sim03_ivf_knn")(spark, sf)
+    val ivf = graft.operators.Similarity.ivfKnn(spark, sf)
       .select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = brute.keys.toSeq.map { q =>
@@ -71,7 +71,7 @@ class OperatorsSpec extends AnyFunSuite {
     val brute = SparkEntry.queries("sim01_knn_bruteforce")(spark, sf)
       .select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val pq = SparkEntry.queries("sim05_pq_knn")(spark, sf)
+    val pq = graft.operators.Similarity.pqKnn(spark, sf)
       .select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = brute.keys.toSeq.map { q =>
@@ -98,22 +98,22 @@ class OperatorsSpec extends AnyFunSuite {
       f.delete()
     }
     rmr(dir)
-    for ((fused, probe) <- Seq(
-        "sim03_ivf_knn" -> "sim03_probe",
-        "sim05_pq_knn" -> "sim05_probe")) {
-      val a = SparkEntry.queries(fused)(spark, sf).collect()
-        .map(_.toString).sorted
+    // raw builders: the queries entries wrap these in the driver-gated
+    // parity audit (r12); this test pins the underlying bit-identity
+    val sim = graft.operators.Similarity
+    for ((name, fused, probe) <- Seq(
+        ("sim03", sim.ivfKnn _, sim.ivfProbe _),
+        ("sim05", sim.pqKnn _, sim.pqProbe _))) {
+      val a = fused(spark, sf).collect().map(_.toString).sorted
       spark.catalog.clearCache()
-      val b = SparkEntry.queries(probe)(spark, sf).collect()
-        .map(_.toString).sorted
+      val b = probe(spark, sf).collect().map(_.toString).sorted
       spark.catalog.clearCache()
       assert(a.nonEmpty && a.sameElements(b),
-        s"$probe != $fused (${a.length} vs ${b.length} rows)")
+        s"$name probe != fused (${a.length} vs ${b.length} rows)")
       // second probe (index now on disk) must be identical too
-      val c = SparkEntry.queries(probe)(spark, sf).collect()
-        .map(_.toString).sorted
+      val c = probe(spark, sf).collect().map(_.toString).sorted
       spark.catalog.clearCache()
-      assert(b.sameElements(c), s"$probe not stable across probes")
+      assert(b.sameElements(c), s"$name probe not stable across probes")
     }
   }
 

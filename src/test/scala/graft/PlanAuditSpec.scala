@@ -134,7 +134,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // full candidate-pair domain; its removal is a PLAN property, so pin
     // it as one: the query is scan -> hash -> join -> explode -> TopK,
     // with zero aggregate operators of any kind.
-    val plan = SparkEntry.queries("sim09_knn_graph_lsh")(spark, sf)
+    // the RAW graph builder: the queries entry wraps it in the
+    // derived-bound audit, whose bounded summary joins/aggregates are
+    // fine — the pin is about the graph construction itself
+    val plan = graft.operators.Similarity.knnGraphLsh(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("HashAggregate"), plan)
     assert(!plan.contains("SortAggregate"), plan)

@@ -190,11 +190,13 @@ class Round12Spec extends AnyFunSuite {
   test("sim09: LSH kNN graph edges are exact-scored, deterministic, " +
       "find every >= 0.9 top neighbor, and recall@K clears the floor") {
     spark.catalog.clearCache()
-    val run1 = SparkEntry.queries("sim09_knn_graph_lsh")(spark, sf)
+    // raw builder: the driver-gated queries entry now wraps the graph
+    // in the derived-bound audit (r12); the edge invariants live here
+    val run1 = operators.Similarity.knnGraphLsh(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     spark.catalog.clearCache()
-    val run2 = SparkEntry.queries("sim09_knn_graph_lsh")(spark, sf)
+    val run2 = operators.Similarity.knnGraphLsh(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(run1.toSet == run2.toSet, "hash-seeded LSH must be deterministic")
