@@ -580,6 +580,203 @@ object Dedup {
     if (r.isEmpty || r(0).isNullAt(0)) 0 else r(0).getInt(0)
   }
 
+  /** Raw LSH near-dup pair relation (v1, v2, cos_r) — dd07's scale
+    * path; the driver-gated entry wraps it in [[pairAudit]]. */
+  def embedNearDupLsh(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+      import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
+      val L = 8
+      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          l2_norm(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // OCCUPANCY-ADAPTIVE plane count (Scale.lshPlanes; measured here:
+      // 2.2 s at 5e3 vectors -> 78 s at 5e4 with fixed B=8, a 35x step
+      // for 10x data; 22.7 s = linear with the adaptive B). The recall
+      // trade at the marginal tau=0.45 is the intrinsic LSH one
+      // documented above, while at production thresholds (>= 0.85)
+      // per-plane agreement 0.86 keeps 8-table recall ~1 well past
+      // B=20. The count() is one metadata-cheap job on the
+      // already-persisted corpus.
+      val B = Scale.lshPlanes(e.count())
+      // RESCORE-IN-JOIN: the embedding and norm ride THROUGH the bucket
+      // exchange, so the exact cosine is computed inline on each bucket
+      // collision and the candidate RELATION never materializes. The
+      // previous shape emitted the ~N*L*(B+1)*occupancy/2 candidate id
+      // pairs (measured 1.2e8 rows at sf1.0), ran a distinct over them,
+      // and joined the corpus back TWICE to rescore — three shuffles of
+      // a hundred-million-row relation that this formulation deletes
+      // outright (measured: 45-140 s -> ~20 s at sf1.0). The trade is a
+      // wider collision join (vec + 64 floats per row, N*L*(B+1) probe
+      // rows), which is linear in N with a fixed constant, against
+      // per-candidate-row shuffle overhead that was ~100x N. The final
+      // distinct runs on the THRESHOLDED output — dup-rate-bounded, not
+      // candidate-bounded (a pair colliding in several tables scores
+      // identically, so distinct collapses it exactly).
+      val own = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(sign_buckets(col("embedding"), B, L))
+          .as(Seq("tbl", "bucket")))
+      // probe own bucket + every 1-bit flip: catches any pair whose
+      // bucket ids differ by <= 1 plane in some table
+      val probe = own.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tbl"),
+        explode(array(col("bucket") +: (0 until B).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+      // probe/own are per-VECTOR x L tables (x B+1 probes): pin the
+      // collision join to sort-merge on (tbl, bucket) — a broadcast build
+      // of either side fails outright at 1e9 vectors.
+      probe.as("x").join(own.hint("merge").as("y"),
+          col("x.tbl") === col("y.tbl") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+          round(dot_product(col("x.embedding"), col("y.embedding")) /
+            (col("x.nrm") * col("y.nrm")), 6).as("cos_r"))
+        .filter(col("cos_r") >= 0.45)
+        .distinct()
+  }
+
+  /** Raw SemDeDup cluster-scoped pair relation (v1, v2, cos_r); the
+    * driver-gated entry wraps it in [[pairAudit]] (subset-only — there
+    * is no collision model for cross-cluster misses). */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+      import graft.functions.VectorFunctions.l2
+      val TargetM = 512
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val k = math.min(math.max(8, (e.count() / TargetM).toInt), 65536)
+      // adaptive quantizer: flat Lloyd's below k ~ 2e3 (each pass is
+      // scan-bound there — see Clustering.TwoLevelMinK), two-level
+      // above, where the flat N x k assignment is the N^2/512 cliff
+      // (at 1e9 vectors, k ~ 2M: flat is ~2e15 distance evals; the
+      // two-level N * 2*sqrt(k) path is ~5e4x less).
+      val (assigned, centroids) = Clustering.kmeansTwoLevelFull(e, k,
+        iters = 2)
+      val a = assigned
+        .join(broadcast(centroids), "cl")
+        .select(col("cl"), col("vec_id"), col("embedding"),
+          l2_norm(col("embedding")).as("nrm"),
+          l2(col("embedding"), col("cvec")).as("cdist"))
+        .filter(col("nrm") > 0)
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
+      val pos = a
+        .withColumn("pos", row_number().over(
+          bw.orderBy(col("cdist").asc, col("vec_id").asc)))
+        .withColumn("m", count(lit(1)).over(bw))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // forward-only: (p, p+j), j = 1..min(m - p, W(m)) — each unordered
+      // candidate pair generated exactly once, no distinct needed. The
+      // probe side drops its embedding before the explode (joined back
+      // below) so the fan-out carries ids only.
+      //
+      // W(m) is OCCUPANCY-ADAPTIVE: TargetM - 1 for cells at or under
+      // TargetM members (exact within-cluster all-pairs — the paper's
+      // regime, and the only regime below ~33M vectors where mean
+      // occupancy <= TargetM), shrinking as TargetM^2/m for oversized
+      // cells so per-CELL candidate volume is capped at ~TargetM^2
+      // no matter how skewed the occupancy distribution gets. The
+      // previous fixed cap (TargetM - 1 per row) bounded per-ROW fan-out
+      // but let a cell of m members cost m * TargetM — and k-means
+      // occupancy skew under 2 Lloyd iterations made exactly that the
+      // measured sf1->sf2 super-linearity (2.54x for 2x data): the mass
+      // in oversized cells grows faster than N. With the per-cell cap,
+      // total work is <= k * TargetM^2 + N * MinW — linear in N by
+      // construction. The MinW = 64 floor keeps radius-adjacent
+      // near-duplicates (cdist delta ~ perturbation size, so positions
+      // differ by a handful of ranks) inside the window even in a
+      // degenerate mega-cell; recall for the true-near-dup regime is
+      // unchanged (planted-pair spec), while far-apart marginal pairs in
+      // mega-cells — already best-effort under any windowing — are the
+      // only candidates dropped.
+      val MinW = 64
+      val win = greatest(lit(MinW), least(lit(TargetM - 1),
+        (lit(TargetM.toLong * TargetM) / col("m")).cast("int")))
+      val probes = pos.filter(col("pos") < col("m"))
+        .withColumn("j",
+          explode(sequence(lit(1), least(win, col("m") - col("pos")))))
+        .select(col("cl"), col("vec_id").as("va"),
+          (col("pos") + col("j")).as("tpos"))
+      // position join pinned to sort-merge (pos is per-vector — never a
+      // broadcast build); the rescore join back to the per-vector
+      // relation co-partitions on vec_id via shuffle-hash.
+      val cand = probes.as("x").join(pos.hint("merge").as("y"),
+          col("x.cl") === col("y.cl") && col("x.tpos") === col("y.pos"))
+        .select(col("x.va").as("va"), col("y.vec_id").as("vb"),
+          col("y.embedding").as("eb"), col("y.nrm").as("nb"))
+      cand.join(pos.hint("shuffle_hash").as("z"),
+          col("va") === col("z.vec_id"))
+        .select(least(col("va"), col("vb")).as("v1"),
+          greatest(col("va"), col("vb")).as("v2"),
+          round(dot_product(col("z.embedding"), col("eb")) /
+            (col("z.nrm") * col("nb")), 6).as("cos_r"))
+        .filter(col("cos_r") >= 0.45)
+  }
+
+  /** Sample bound for the embedding pair-family audits. For canonical
+    * a < b pairs, "pair touches the lowest-S vec_ids" collapses to
+    * a < S (a < b and b < S imply a < S), so the exact reference is ONE
+    * broadcast of S vectors against the corpus — O(S·N), LINEAR — never
+    * the O(N^2) dd05 census (which stays the bench-gated anchor). At
+    * the sf0.01 driver gate S >= N, so the sampled audit degenerates to
+    * the FULL dd05 comparison there. */
+  val DdAuditSample = 1000L
+
+  /** Exact near-dup pairs (cos >= 0.45) whose lower id is in the audit
+    * sample — dd05's kernel restricted to a broadcastable left side. */
+  private def sampledExactPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+    val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        l2_norm(col("embedding")).as("nrm"))
+    val sample = e.filter(col("vec_id") < DdAuditSample)
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"))
+    // raw-double guard first, rounding on survivors (dd05's note)
+    val raw = dot_product(col("e1"), col("embedding")) /
+      (col("n1") * col("nrm"))
+    e.join(broadcast(sample), col("v1") < col("vec_id"))
+      .filter(raw >= 0.4499995)
+      .select(col("v1"), col("vec_id").as("v2"), round(raw, 6).as("cos_r"))
+      .filter(col("cos_r") >= 0.45)
+  }
+
+  /** Derived-bound audit for an approximate near-dup pair relation
+    * (VERDICT r11 #4): DuckDB pins the sampled exact pair count; the
+    * booleans assert (a) SUBSET — every emitted sampled pair is a
+    * bit-equal member of the exact set (precision 1; structural for
+    * rescore-in-join kernels, but the audit proves it rather than
+    * trusting it) and (b) for `gwFloor` callers, sampled recall at or
+    * above the Goemans-Williamson multiprobe model at the marginal
+    * tau = 0.45 with 10% sampling slack — the same floors the r11
+    * sidecar checkers graded. All counted relations are the sampled
+    * pair sets (bounded by the true near-dup rate), never the corpus. */
+  private def pairAudit(s: SparkSession, d: String, approx: DataFrame,
+      gwFloor: Boolean): DataFrame = {
+    import s.implicits._
+    val exact = sampledExactPairs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val ap = approx.filter(col("v1") < DdAuditSample)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    val subsetOk = ap.exceptAll(exact).isEmpty
+    if (gwFloor) {
+      val found = exact.join(ap, Seq("v1", "v2", "cos_r"), "left_semi")
+        .count()
+      val n = Tables(s, d, "embeddings").count()
+      val b = Scale.lshPlanes(n)
+      val p = 1.0 - math.acos(0.45) / math.Pi
+      val p1 = math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
+      val floor = 0.9 * (1.0 - math.pow(1.0 - p1, 8))
+      val recallOk = nExact == 0 || found.toDouble / nExact >= floor
+      Seq((nExact, subsetOk, recallOk))
+        .toDF("n_exact_sample", "subset_sample_ok", "recall_floor_ok")
+    } else {
+      Seq((nExact, subsetOk))
+        .toDF("n_exact_sample", "subset_sample_ok")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: representative (min doc_id) per content fingerprint.
     "dd01_exact_dedup" -> ((s, d) => {
@@ -758,60 +955,8 @@ object Dedup {
     // recall is ~1 and the candidate set is a vanishing corpus fraction —
     // B and L are the published knobs. Approximate by construction ->
     // rows-only check; subset/recall/determinism in NewOpsSpec.
-    "dd07_embedding_neardup_lsh" -> ((s, d) => {
-      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
-      import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
-      val L = 8
-      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
-        .select(col("vec_id"), col("embedding"),
-          l2_norm(col("embedding")).as("nrm"))
-        .filter(col("nrm") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // OCCUPANCY-ADAPTIVE plane count (Scale.lshPlanes; measured here:
-      // 2.2 s at 5e3 vectors -> 78 s at 5e4 with fixed B=8, a 35x step
-      // for 10x data; 22.7 s = linear with the adaptive B). The recall
-      // trade at the marginal tau=0.45 is the intrinsic LSH one
-      // documented above, while at production thresholds (>= 0.85)
-      // per-plane agreement 0.86 keeps 8-table recall ~1 well past
-      // B=20. The count() is one metadata-cheap job on the
-      // already-persisted corpus.
-      val B = Scale.lshPlanes(e.count())
-      // RESCORE-IN-JOIN: the embedding and norm ride THROUGH the bucket
-      // exchange, so the exact cosine is computed inline on each bucket
-      // collision and the candidate RELATION never materializes. The
-      // previous shape emitted the ~N*L*(B+1)*occupancy/2 candidate id
-      // pairs (measured 1.2e8 rows at sf1.0), ran a distinct over them,
-      // and joined the corpus back TWICE to rescore — three shuffles of
-      // a hundred-million-row relation that this formulation deletes
-      // outright (measured: 45-140 s -> ~20 s at sf1.0). The trade is a
-      // wider collision join (vec + 64 floats per row, N*L*(B+1) probe
-      // rows), which is linear in N with a fixed constant, against
-      // per-candidate-row shuffle overhead that was ~100x N. The final
-      // distinct runs on the THRESHOLDED output — dup-rate-bounded, not
-      // candidate-bounded (a pair colliding in several tables scores
-      // identically, so distinct collapses it exactly).
-      val own = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(sign_buckets(col("embedding"), B, L))
-          .as(Seq("tbl", "bucket")))
-      // probe own bucket + every 1-bit flip: catches any pair whose
-      // bucket ids differ by <= 1 plane in some table
-      val probe = own.select(col("vec_id"), col("embedding"), col("nrm"),
-        col("tbl"),
-        explode(array(col("bucket") +: (0 until B).map(b =>
-          col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
-      // probe/own are per-VECTOR x L tables (x B+1 probes): pin the
-      // collision join to sort-merge on (tbl, bucket) — a broadcast build
-      // of either side fails outright at 1e9 vectors.
-      probe.as("x").join(own.hint("merge").as("y"),
-          col("x.tbl") === col("y.tbl") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-          round(dot_product(col("x.embedding"), col("y.embedding")) /
-            (col("x.nrm") * col("y.nrm")), 6).as("cos_r"))
-        .filter(col("cos_r") >= 0.45)
-        .distinct()
-    }),
+    "dd07_embedding_neardup_lsh" -> ((s, d) =>
+      pairAudit(s, d, embedNearDupLsh(s, d), gwFloor = true)),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     // semantic near-dup pairs — k-means partitions the embedding space
@@ -846,79 +991,8 @@ object Dedup {
     // degrades gracefully instead of the driver failing outright.
     // No SQL oracle (k-means is not SQL-expressible)
     // — subset-of-dd05 + recall floor + determinism in NewOpsSpec.
-    "dd13_semantic_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
-      import graft.functions.VectorFunctions.l2
-      val TargetM = 512
-      val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val k = math.min(math.max(8, (e.count() / TargetM).toInt), 65536)
-      // adaptive quantizer: flat Lloyd's below k ~ 2e3 (each pass is
-      // scan-bound there — see Clustering.TwoLevelMinK), two-level
-      // above, where the flat N x k assignment is the N^2/512 cliff
-      // (at 1e9 vectors, k ~ 2M: flat is ~2e15 distance evals; the
-      // two-level N * 2*sqrt(k) path is ~5e4x less).
-      val (assigned, centroids) = Clustering.kmeansTwoLevelFull(e, k,
-        iters = 2)
-      val a = assigned
-        .join(broadcast(centroids), "cl")
-        .select(col("cl"), col("vec_id"), col("embedding"),
-          l2_norm(col("embedding")).as("nrm"),
-          l2(col("embedding"), col("cvec")).as("cdist"))
-        .filter(col("nrm") > 0)
-      val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
-      val pos = a
-        .withColumn("pos", row_number().over(
-          bw.orderBy(col("cdist").asc, col("vec_id").asc)))
-        .withColumn("m", count(lit(1)).over(bw))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // forward-only: (p, p+j), j = 1..min(m - p, W(m)) — each unordered
-      // candidate pair generated exactly once, no distinct needed. The
-      // probe side drops its embedding before the explode (joined back
-      // below) so the fan-out carries ids only.
-      //
-      // W(m) is OCCUPANCY-ADAPTIVE: TargetM - 1 for cells at or under
-      // TargetM members (exact within-cluster all-pairs — the paper's
-      // regime, and the only regime below ~33M vectors where mean
-      // occupancy <= TargetM), shrinking as TargetM^2/m for oversized
-      // cells so per-CELL candidate volume is capped at ~TargetM^2
-      // no matter how skewed the occupancy distribution gets. The
-      // previous fixed cap (TargetM - 1 per row) bounded per-ROW fan-out
-      // but let a cell of m members cost m * TargetM — and k-means
-      // occupancy skew under 2 Lloyd iterations made exactly that the
-      // measured sf1->sf2 super-linearity (2.54x for 2x data): the mass
-      // in oversized cells grows faster than N. With the per-cell cap,
-      // total work is <= k * TargetM^2 + N * MinW — linear in N by
-      // construction. The MinW = 64 floor keeps radius-adjacent
-      // near-duplicates (cdist delta ~ perturbation size, so positions
-      // differ by a handful of ranks) inside the window even in a
-      // degenerate mega-cell; recall for the true-near-dup regime is
-      // unchanged (planted-pair spec), while far-apart marginal pairs in
-      // mega-cells — already best-effort under any windowing — are the
-      // only candidates dropped.
-      val MinW = 64
-      val win = greatest(lit(MinW), least(lit(TargetM - 1),
-        (lit(TargetM.toLong * TargetM) / col("m")).cast("int")))
-      val probes = pos.filter(col("pos") < col("m"))
-        .withColumn("j",
-          explode(sequence(lit(1), least(win, col("m") - col("pos")))))
-        .select(col("cl"), col("vec_id").as("va"),
-          (col("pos") + col("j")).as("tpos"))
-      // position join pinned to sort-merge (pos is per-vector — never a
-      // broadcast build); the rescore join back to the per-vector
-      // relation co-partitions on vec_id via shuffle-hash.
-      val cand = probes.as("x").join(pos.hint("merge").as("y"),
-          col("x.cl") === col("y.cl") && col("x.tpos") === col("y.pos"))
-        .select(col("x.va").as("va"), col("y.vec_id").as("vb"),
-          col("y.embedding").as("eb"), col("y.nrm").as("nb"))
-      cand.join(pos.hint("shuffle_hash").as("z"),
-          col("va") === col("z.vec_id"))
-        .select(least(col("va"), col("vb")).as("v1"),
-          greatest(col("va"), col("vb")).as("v2"),
-          round(dot_product(col("z.embedding"), col("eb")) /
-            (col("z.nrm") * col("nb")), 6).as("cos_r"))
-        .filter(col("cos_r") >= 0.45)
-    }),
+    "dd13_semantic_dedup" -> ((s, d) =>
+      pairAudit(s, d, semanticDedup(s, d), gwFloor = false)),
 
     // SimHash: 64 conditional-sum aggregates over token postings build the
     // 64-bit signature; Hamming<=3 pairs via Manku-style block
@@ -1334,6 +1408,22 @@ object Dedup {
     * threshold scaled to this corpus's 25-70-token documents. */
   val SpanSeedLen = 15
 
+  /** dd05's exact-pair kernel restricted to the audit sample (see
+    * [[DdAuditSample]]), as a DuckDB CTE. */
+  private lazy val sampledPairCte: String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id < b.vec_id AND a.vec_id < $DdAuditSample
+       |  WHERE round(
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, 65),
+       |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(1, 65),
+       |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+       |    6) >= 0.45)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dd01_exact_dedup" ->
       s"""SELECT ${graft.core.Fingerprints.sqlContent("text")} AS fp,
@@ -1396,6 +1486,19 @@ object Dedup {
     // dd03 finds the same pairs as dd02 for this corpus (see class doc);
     // verified against the same exact-Jaccard oracle.
     "dd03_minhash_lsh" -> jaccardOracle,
+
+    // dd07/dd13 derived bounds: DuckDB pins the SAMPLED exact pair
+    // count (dd05's kernel restricted to a.vec_id < DdAuditSample —
+    // the same linear-cost reference the engine audit uses); the
+    // subset/recall booleans are asserted in-engine
+    "dd07_embedding_neardup_lsh" ->
+      s"""$sampledPairCte
+         |SELECT COUNT(*) AS n_exact_sample, TRUE AS subset_sample_ok,
+         |  TRUE AS recall_floor_ok FROM p""".stripMargin,
+    "dd13_semantic_dedup" ->
+      s"""$sampledPairCte
+         |SELECT COUNT(*) AS n_exact_sample, TRUE AS subset_sample_ok
+         |FROM p""".stripMargin,
     // dd04_simhash_pairs: intentionally no oracle (hash-specific).
 
     // dd11: DuckDB's 1-based inclusive list slice w[a:b] mirrors Spark's

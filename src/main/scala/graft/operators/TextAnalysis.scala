@@ -26,6 +26,38 @@ object TextAnalysis {
     * vocabulary at every SF). */
   val BmTerms = Seq("spark", "table", "query")
 
+  /** Raw Bloom-decontamination relation (doc_id, n_sh, n_hits,
+    * contamination, contaminated) — the sketch path a user runs; the
+    * driver-gated tx17 entry wraps it with the one-sidedness audit. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.graftx.BloomFunctions._
+      val sh = Tables.wide(s, d, "documents", "doc_id", "source", "text")
+        .select(col("doc_id"), col("source"),
+          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
+            .word_shingles(col("text"), 3)).as("sg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 1M expected items / 9.6M bits = 1% fpp at capacity, ~1.2 MB on
+      // the wire regardless of how the benchmark set grows toward it.
+      // The merged sketch is collected and embedded as a BINARY LITERAL
+      // (might_contain requires a constant/scalar-subquery build side —
+      // the same contract Spark's InjectRuntimeFilter satisfies): a
+      // bounded driver hop like sim05's query LUT — it scales with the
+      // SKETCH SIZE (fixed at build time), never with the corpus.
+      val bfBytes = sh.filter(col("source") === "src0")
+        .agg(bloom_filter_agg(xxhash64(col("sg")), 1000000L, 9585059L)
+          .as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val probe = if (bfBytes == null) lit(false) // no benchmark shingles
+        else might_contain(lit(bfBytes), xxhash64(col("sg")))
+      val hits = sh.filter(col("source") =!= "src0")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(probe.cast("long")).as("n_hits"))
+      val frac = round(col("n_hits").cast("double") / col("n_sh"), 6)
+      hits.select(col("doc_id"), col("n_sh"), col("n_hits"),
+        frac.as("contamination"), (frac >= 0.5).as("contaminated"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: corpus-level stats per language. The per-doc token
     // count stays in the scan projection; only (lang -> 3 longs) shuffles.
@@ -351,20 +383,26 @@ object TextAnalysis {
     // mergeable-sketch path that replaces a full groupBy at 100 TB the way
     // HLL replaces distinct. The sketch build is distributed (tree-
     // aggregated partials); only the bounded heavy-hitter set is estimated
-    // driver-side. Sketch-specific output -> rows-only check; the
-    // overcount bound (exact <= est <= exact + eps*N) is asserted in the
-    // spec.
+    // driver-side. The estimates are sketch-specific, so the driver-gated
+    // output is the DERIVED BOUND (VERDICT r11 #4): the heavy-hitter
+    // token set and exact counts are DuckDB-pinned (tx10's oracle), and
+    // the CMS one-sided guarantee — exact <= est <= exact + ceil(eps*N)
+    // — is asserted in-engine per token (the same bound the r11 sidecar
+    // checker graded, previously only in the spec).
     "tx11_cms_token_counts" -> ((s, d) => {
       val tok = Tables(s, d, "documents")
         .select(explode(expr(tokensExpr)).as("t"))
       val sketch = tok.stat.countMinSketch(col("t"),
         eps = 0.0001, confidence = 0.99, seed = 42)
+      val slack = math.ceil(1e-4 * sketch.totalCount()).toLong
       val hh = queries("tx10_token_heavy_hitters")(s, d)
         .collect() // bounded: only tokens above 1% of the corpus
       import s.implicits._
-      hh.toSeq.map(r => (r.getString(0), r.getLong(1),
-          sketch.estimateCount(r.getString(0))))
-        .toDF("t", "n_exact", "n_est")
+      hh.toSeq.map { r =>
+        val est = sketch.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1),
+          est >= r.getLong(1), est <= r.getLong(1) + slack)
+      }.toDF("t", "n_exact", "est_ge_exact", "est_le_eps_bound")
     }),
 
     // Content fingerprinting: md5 over whitespace-normalized text. Exact-dup
@@ -506,37 +544,30 @@ object TextAnalysis {
     // is one-sided — a probe never misses a true member — so the
     // flagged set is a guaranteed SUPERSET of tx13's exact flags: a
     // contaminated document can never slip through; a clean one may
-    // rarely be over-flagged (the spec gates both properties). No
-    // oracle by construction (sketch-specific).
+    // rarely be over-flagged (the spec gates both properties).
+    //
+    // Driver-gated form (VERDICT r11 #4): the raw sketch relation is
+    // [[bloomDecontaminate]]; the queries entry joins it against tx13's
+    // exact per-doc relation (itself DuckDB-oracled) and emits the
+    // one-sidedness bounds per document — hits_ge_exact (a Bloom probe
+    // never undercounts a true member) and flag_superset_ok (an
+    // exact-contaminated doc is always sketch-flagged). The doc domain
+    // and exact distinct-shingle counts are DuckDB-pinned.
     "tx17_bloom_decontaminate" -> ((s, d) => {
-      import org.apache.spark.sql.graftx.BloomFunctions._
-      val sh = Tables.wide(s, d, "documents", "doc_id", "source", "text")
-        .select(col("doc_id"), col("source"),
-          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
-            .word_shingles(col("text"), 3)).as("sg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // 1M expected items / 9.6M bits = 1% fpp at capacity, ~1.2 MB on
-      // the wire regardless of how the benchmark set grows toward it.
-      // The merged sketch is collected and embedded as a BINARY LITERAL
-      // (might_contain requires a constant/scalar-subquery build side —
-      // the same contract Spark's InjectRuntimeFilter satisfies): a
-      // bounded driver hop like sim05's query LUT — it scales with the
-      // SKETCH SIZE (fixed at build time), never with the corpus.
-      val bfBytes = sh.filter(col("source") === "src0")
-        .agg(bloom_filter_agg(xxhash64(col("sg")), 1000000L, 9585059L)
-          .as("bf"))
-        .head.getAs[Array[Byte]]("bf")
-      val probe = if (bfBytes == null) lit(false) // no benchmark shingles
-        else might_contain(lit(bfBytes), xxhash64(col("sg")))
-      val hits = sh.filter(col("source") =!= "src0")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_sh"),
-          sum(probe.cast("long")).as("n_hits"))
-      val frac = round(col("n_hits").cast("double") / col("n_sh"), 6)
-      hits.select(col("doc_id"), col("n_sh"), col("n_hits"),
-        frac.as("contamination"), (frac >= 0.5).as("contaminated"))
+      val bloom = bloomDecontaminate(s, d)
+      val exact = queries("tx13_decontaminate")(s, d)
+      exact.as("e").join(bloom.as("b"),
+          col("e.doc_id") === col("b.doc_id"), "full_outer")
+        .select(
+          coalesce(col("e.doc_id"), col("b.doc_id")).as("doc_id"),
+          col("e.n_sh"),
+          coalesce(col("b.n_hits") >= col("e.n_shared"), lit(false))
+            .as("hits_ge_exact"),
+          coalesce(!col("e.contaminated") || col("b.contaminated"),
+            lit(false)).as("flag_superset_ok"))
     }),
 
+    
     // Sequence packing ("concatenate and chunk"): the final shaping step
     // of an LLM training pipeline — documents are tokenized, laid out in
     // one deterministic global token stream, and cut into fixed-size
@@ -1096,8 +1127,29 @@ object TextAnalysis {
          |FROM sh LEFT JOIN bench ON sh.s = bench.s
          |WHERE sh.source <> 'src0'
          |GROUP BY sh.doc_id""".stripMargin,
-    // tx17_bloom_decontaminate: intentionally no oracle (sketch-specific;
-    // superset-of-tx13 + over-flag bound asserted in NewOpsSpec).
+    // tx17's derived bound: DuckDB pins the doc domain and exact
+    // distinct-shingle counts (tx13's CTEs); the Bloom one-sidedness
+    // booleans are asserted in-engine against the oracled tx13 relation
+    "tx17_bloom_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, s FROM (
+         |  SELECT doc_id, source, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM t WHERE len(w) >= 3))
+         |SELECT doc_id, COUNT(*) AS n_sh, TRUE AS hits_ge_exact,
+         |  TRUE AS flag_superset_ok
+         |FROM sh WHERE source <> 'src0'
+         |GROUP BY doc_id""".stripMargin,
+
+    // tx11's derived bound: tx10's oracle pins tokens + exact counts;
+    // the CMS one-sided bounds are asserted in-engine
+    "tx11_cms_token_counts" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($tokensSql) AS t FROM documents)
+         |SELECT t, COUNT(*) AS n_exact, TRUE AS est_ge_exact,
+         |  TRUE AS est_le_eps_bound
+         |FROM tok GROUP BY t
+         |HAVING COUNT(*) >= (SELECT COUNT(*) FROM tok) * 0.01""".stripMargin,
 
     "tx15_pii_redact" ->
       """WITH r AS (SELECT doc_id,

@@ -81,17 +81,21 @@ class NewOpsSpec extends AnyFunSuite {
   }
 
   test("tx10/tx11: CMS estimates bound the exact heavy-hitter counts") {
+    // r12: tx11 emits the one-sided CMS bounds as its driver-gated
+    // output (est_ge_exact / est_le_eps_bound) with tx10's token set
+    // and exact counts DuckDB-pinned; assert the bounds held and the
+    // exact counts agree with tx10
     val rows = SparkEntry.queries("tx11_cms_token_counts")(spark, sf)
       .collect()
     assert(rows.nonEmpty)
-    val nTotal = SparkEntry.queries("tx10_token_heavy_hitters")(spark, sf)
-      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val exact = SparkEntry.queries("tx10_token_heavy_hitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
     rows.foreach { r =>
-      val (exact, est) = (r.getLong(1), r.getLong(2))
-      assert(est >= exact, s"${r.getString(0)}: CMS must never undercount")
-      // eps = 1e-4 of total stream length (heavy hitters hold most of it)
-      assert(est <= exact + math.ceil(nTotal * 2 * 1e-4).toLong + 1,
-        s"${r.getString(0)}: est $est too far above exact $exact")
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: exact count drifted from tx10")
+      assert(r.getBoolean(2), s"${r.getString(0)}: CMS undercounted")
+      assert(r.getBoolean(3), s"${r.getString(0)}: CMS above eps bound")
     }
   }
 
@@ -100,7 +104,7 @@ class NewOpsSpec extends AnyFunSuite {
     val exact = SparkEntry.queries("dd05_embedding_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.catalog.clearCache()
-    val lsh = SparkEntry.queries("dd07_embedding_neardup_lsh")(spark, sf)
+    val lsh = graft.operators.Dedup.embedNearDupLsh(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     // precision 1 by construction: every candidate is exact-rescored, so
@@ -119,9 +123,16 @@ class NewOpsSpec extends AnyFunSuite {
     // the point of the LSH rewires: candidate generation must plan as
     // equi-joins on (table, bucket), never a nested-loop over N^2 pairs.
     // dd05 (the exact baseline) by contrast IS the nested-loop shape.
-    Seq("dd07_embedding_neardup_lsh", "mm04_media_embed_knn").foreach { q =>
-      val plan = SparkEntry.queries(q)(spark, sf)
-        .queryExecution.executedPlan.toString
+    // dd07 via the raw relation: the driver-gated entry wraps it in the
+    // sampled audit, whose bounded broadcast-sample reference join is a
+    // deliberate (linear) nested-loop
+    val plans = Seq(
+      "dd07_embedding_neardup_lsh" ->
+        graft.operators.Dedup.embedNearDupLsh(spark, sf),
+      "mm04_media_embed_knn" ->
+        SparkEntry.queries("mm04_media_embed_knn")(spark, sf))
+    plans.foreach { case (q, df) =>
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
       // the only BNL joins allowed are broadcast of the tiny mean/centroid
       // side (inner equi-joins plan as hash/sort-merge)
@@ -215,10 +226,10 @@ class NewOpsSpec extends AnyFunSuite {
     val exact = SparkEntry.queries("dd05_embedding_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.catalog.clearCache()
-    val sem = SparkEntry.queries("dd13_semantic_dedup")(spark, sf)
+    val sem = graft.operators.Dedup.semanticDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.catalog.clearCache()
-    val sem2 = SparkEntry.queries("dd13_semantic_dedup")(spark, sf)
+    val sem2 = graft.operators.Dedup.semanticDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.catalog.clearCache()
     assert(sem == sem2, "two runs must agree exactly")
@@ -257,7 +268,7 @@ class NewOpsSpec extends AnyFunSuite {
     (base ++ dups).map { case (id, v) => (id, v.toSeq, 0) }
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
-    val got = SparkEntry.queries("dd13_semantic_dedup")(spark, dir.toString)
+    val got = graft.operators.Dedup.semanticDedup(spark, dir.toString)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.catalog.clearCache()
     val want = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet

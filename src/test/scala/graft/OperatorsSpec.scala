@@ -125,30 +125,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dd.select("keep_id").distinct().count() == dd.count())
   }
 
-  test("approx distinct (HLL) within 2% of exact per event_type") {
+  test("approx distinct (HLL): per-group error bound holds and the exact " +
+      "column agrees with ev04") {
+    // r12: ev05 emits the derived bound (exact cardinality + rel-err
+    // boolean) as its driver-gated output
     val exact = SparkEntry.queries("ev04_distinct_users")(spark, sf)
       .collect().map(r => (r.getAs[String]("event_type"),
         r.getAs[Long]("n_users"))).toMap
-    val approx = SparkEntry.queries("ev05_approx_distinct_users")(spark, sf)
-      .collect().map(r => (r.getAs[String]("event_type"),
-        r.getAs[Long]("n_users_approx"))).toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n <= 0.02, s"$k: approx $a vs $n")
+    val rows = SparkEntry.queries("ev05_approx_distinct_users")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: exact cardinality drifted from ev04")
+      assert(r.getBoolean(2), s"${r.getString(0)}: HLL error above bound")
     }
   }
 
-  test("approx percentiles within 2% of exact") {
-    val exact = SparkEntry.queries("q23_percentiles")(spark, sf).collect()
-      .map(r => r.getAs[String]("o_orderstatus") ->
-        (r.getAs[Double]("median_price"), r.getAs[Double]("p95_price")))
-      .toMap
-    SparkEntry.queries("q26_approx_percentiles")(spark, sf).collect()
-      .foreach { r =>
-        val (m, p95) = exact(r.getAs[String]("o_orderstatus"))
-        assert(math.abs(r.getAs[Double]("median_approx") - m) / m < 0.02)
-        assert(math.abs(r.getAs[Double]("p95_approx") - p95) / p95 < 0.02)
-      }
+  test("approx percentiles: rank-error windows hold per status group") {
+    // r12: q26 emits the derived bound (group counts + in-window
+    // booleans vs exact percentiles) as its driver-gated output
+    val rows = SparkEntry.queries("q26_approx_percentiles")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: p50 outside window")
+      assert(r.getBoolean(3), s"${r.getString(0)}: p95 outside window")
+    }
   }
 
   test("stratified sample respects per-stratum fractions") {

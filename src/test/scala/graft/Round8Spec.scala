@@ -97,7 +97,7 @@ class Round8Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
     spark.catalog.clearCache()
-    val bloom = SparkEntry.queries("tx17_bloom_decontaminate")(spark, sf)
+    val bloom = graft.operators.TextAnalysis.bloomDecontaminate(spark, sf)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
     spark.catalog.clearCache()

@@ -23,7 +23,7 @@ import check_dd04  # noqa: E402
 import check_dd05  # noqa: E402
 import check_derived  # noqa: E402
 import check_mm04  # noqa: E402
-import check_sim07  # noqa: E402
+import check_sim07  # noqa: E402  (dev-loop replica; sim07 now oracled)
 import check_sim08  # noqa: E402
 import check_tx05  # noqa: E402
 
@@ -36,8 +36,6 @@ SPECIAL = {
                         check_sim08.main),
     "dd04_simhash_pairs": ("xxh64 brute force (tools/check_dd04.py)",
                            check_dd04.main),
-    "sim07_mmr_rerank": ("MMR replica (tools/check_sim07.py)",
-                         check_sim07.main),
     "tx05_winnow_pairs": ("winnowing brute force (tools/check_tx05.py)",
                           check_tx05.main),
     "mm04_media_embed_knn": ("stub-encoder contract (tools/check_mm04.py)",
