@@ -24,7 +24,8 @@ object SparkEntry {
     (Events.queries, Events.oracleSql),
     (Graphs.queries, Graphs.oracleSql),
     (Learn.queries, Learn.oracleSql),
-    (Bpe.queries, Bpe.oracleSql)
+    (Bpe.queries, Bpe.oracleSql),
+    (Pipeline.queries, Pipeline.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

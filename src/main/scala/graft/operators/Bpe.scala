@@ -67,7 +67,7 @@ import graft.core.Tables
 object Bpe {
 
   /** Merge-rule count — fixed and unrolled in both engines. */
-  private val Merges = 10
+  private[graft] val Merges = 10
 
   /** Word → pipe-fenced char sequence: "the" → "|t||h||e|". */
   private val encExpr = "regexp_replace(w, '(.)', '|$1|')"
@@ -75,7 +75,7 @@ object Bpe {
 
   /** The k learned merges folded over an encoded column as literal
     * substring replaces — "|a||b|" → "|ab|", greedy left-to-right. */
-  private def applyMerges(enc: Column, merges: Seq[(String, String)]): Column =
+  private[graft] def applyMerges(enc: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(enc) { case (e, (a, b)) =>
       call_function("replace", e, lit(s"|$a||$b|"), lit(s"|$a$b|"))
     }
@@ -103,8 +103,18 @@ object Bpe {
     * materialized, so at most two vocab relations ever coexist. */
   private[graft] def trainN(s: SparkSession, d: String, nMerges: Int,
       batch: Int = 100,
+      onStep: (Int, Double) => Unit = (_, _) => ()): Seq[(String, String, Long)] =
+    trainOnDocs(Tables.wide(s, d, "documents", "text"), nMerges, batch,
+      onStep)
+
+  /** [[trainN]] over an ARBITRARY docs relation carrying `text` — the
+    * pipeline capstone trains its vocabulary on the staged (filtered,
+    * deduplicated, span-cleaned, decontaminated, sampled, split)
+    * corpus, which is what a real tokenizer run sees. */
+  private[graft] def trainOnDocs(docs: DataFrame, nMerges: Int,
+      batch: Int = 100,
       onStep: (Int, Double) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
-    var wf = Tables.wide(s, d, "documents", "text")
+    var wf = docs
       .select(explode(expr(TextAnalysis.tokensExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), expr(encExpr).as("enc"))
@@ -197,7 +207,12 @@ object Bpe {
     * referenced three times inside w_k's replace and again by the final
     * select — inlined CTEs re-run the whole upstream chain per
     * reference). */
-  private val trainCtes: String = {
+  private val trainCtes: String = trainCtesOn("documents")
+
+  /** [[trainCtes]] with the corpus CTE parameterized — the pipeline
+    * capstone trains on its staged corpus relation. `rel` must expose a
+    * `text` column. */
+  private[graft] def trainCtesOn(rel: String): String = {
     val steps = (1 to Merges).map { k =>
       val prev = if (k == 1) "w0" else s"w${k - 1}"
       s"""l$k AS (
@@ -218,7 +233,7 @@ object Bpe {
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
     s"""tok AS (
-       |  SELECT unnest(${TextAnalysis.tokensSql}) AS w FROM documents),
+       |  SELECT unnest(${TextAnalysis.tokensSql}) AS w FROM $rel),
        |w0 AS MATERIALIZED (
        |  SELECT COUNT(*) AS freq, $encSql AS enc FROM tok GROUP BY w),
        |$steps""".stripMargin
@@ -226,7 +241,7 @@ object Bpe {
 
   /** The k learned merges as nested replaces with scalar-subquery
     * patterns — the oracle twin of [[applyMerges]]. */
-  private def applySql(inner: String): String =
+  private[graft] def applySql(inner: String): String =
     (1 to Merges).foldLeft(inner) { (e, k) =>
       s"""replace($e,
          |  concat('|', (SELECT a FROM b$k), '||', (SELECT b FROM b$k), '|'),

@@ -65,6 +65,20 @@ object Dedup {
           .word_shingles(col("text"), 3).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** dd02's exact >= 0.8 Jaccard pair relation over an ARBITRARY docs
+    * relation (doc_id, text) — the pipeline capstone runs the dedup
+    * stage on its quality-filtered corpus, not the raw table. Same
+    * kernel chain as dd02 (word_shingles -> bounded inverted index ->
+    * length-pruned pair counts), one code path, verified once. */
+  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    val idx = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftx.WordShinglesFunctions
+          .word_shingles(col("text"), 3).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    jaccardFrom(pairCounts(explPostings(idx)), idx)
+  }
+
   /** The Jaccard threshold every pair query/oracle in this family uses. */
   private val JaccardTau = 0.8
 
