@@ -42,6 +42,7 @@ object ScaleData {
     val sf = args(0).toDouble
     val out = args(1)
     val openVocab = args.length > 2 && args(2) == "open"
+    val anisoEmb = args.length > 2 && args.contains("aniso")
     val spark = SparkSession.builder()
       .appName(s"graft-scaledata-sf$sf")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -49,12 +50,12 @@ object ScaleData {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, out, openVocab)
+    generate(spark, sf, out, openVocab, anisoEmb)
     spark.stop()
   }
 
   def generate(spark: SparkSession, sf: Double, out: String,
-      openVocab: Boolean = false): Unit = {
+      openVocab: Boolean = false, anisoEmb: Boolean = false): Unit = {
     // Bounded parquet row groups (2 MB vs the 128 MB default): row
     // groups are the scan-parallelism unit — a single-row-group file
     // scans on ONE core no matter the split config (the r9 finding that
@@ -194,7 +195,7 @@ object ScaleData {
         pmod(xxhash64($"event_id", lit("p")), lit(100L)), lit("}"))))
 
     write(out, "documents", documents(spark, nDocs, openVocab))
-    write(out, "embeddings", embeddings(spark, nVecs))
+    write(out, "embeddings", embeddings(spark, nVecs, anisoEmb))
   }
 
   /** Bag-of-words docs over the driver vocab; ~5% are near-dup copies of
@@ -262,8 +263,22 @@ object ScaleData {
   }
 
   /** Unit-norm 64-dim random vectors (Box-Muller over id-hash uniforms);
-    * labels are independent of the vectors, as in the driver data. */
-  private def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    * labels are independent of the vectors, as in the driver data.
+    *
+    * `aniso = true` switches to the ANISOTROPIC-spectrum variant (the
+    * whitening-adoption evidence fixture — VERDICT r11 #5): per-dim
+    * standard deviations {8, 6, 4, 3} on the first four raw dimensions
+    * before normalization, then four fixed Givens rotations (c = 0.8,
+    * s = 0.6) mixing each dominant axis with a far one, so the leading
+    * eigenvectors are NOT axis-aligned and the PCA path genuinely has
+    * to recover them — the Heaps-law analogue for spectra: real text
+    * embeddings concentrate variance in a few directions, which is the
+    * regime where sign-LSH bucket distributions skew and whitening
+    * pays (PcaRotateBench's planted control measured a 3.3x
+    * candidate-volume drop; this fixture lets PRODUCT queries exercise
+    * the adoption path end-to-end). */
+  private def embeddings(spark: SparkSession, n: Long,
+      aniso: Boolean = false): DataFrame = {
     import spark.implicits._
     def z(d: Column): Column = {
       val u1 = (pmod(xxhash64($"vec_id", d, lit("g1")), lit(999999000L))
@@ -272,8 +287,32 @@ object ScaleData {
         .cast("double") / 1e9
       sqrt(log(u1) * -2) * cos(u2 * 2 * math.Pi)
     }
-    spark.range(0, n, 1, 32).toDF("vec_id")
-      .withColumn("raw", transform(sequence(lit(0), lit(63)), d => z(d)))
+    // anisotropy: scale the first four raw dims, then mix each with a
+    // far axis through a fixed Givens rotation so dominance is not
+    // axis-aligned. Everything stays a pure hash of the row id.
+    val scales = Map(0 -> 8.0, 1 -> 6.0, 2 -> 4.0, 3 -> 3.0)
+    val givens = Seq((0, 17), (1, 29), (2, 41), (3, 53))
+    def rawCol: Column =
+      if (!aniso) transform(sequence(lit(0), lit(63)), d => z(d))
+      else {
+        // rotation as an index remap over the materialized __sc array
+        val rot = givens.foldLeft(
+            (v: Column, d: Column) => element_at(v, d.cast("int") + 1)) {
+          case (get, (a, b)) => (v: Column, d: Column) =>
+            when(d === a, get(v, lit(a)) * 0.8 - get(v, lit(b)) * 0.6)
+              .when(d === b, get(v, lit(a)) * 0.6 + get(v, lit(b)) * 0.8)
+              .otherwise(get(v, d))
+        }
+        transform(sequence(lit(0), lit(63)), d => rot($"__sc", d))
+      }
+    val base0 = spark.range(0, n, 1, 32).toDF("vec_id")
+    val based = if (aniso) base0.withColumn("__sc",
+        transform(sequence(lit(0), lit(63)), d =>
+          scales.foldLeft(z(d)) { case (c, (dim, sc)) =>
+            when(d === dim, z(d) * sc).otherwise(c) }))
+      else base0
+    based
+      .withColumn("raw", rawCol)
       .withColumn("norm", sqrt(aggregate($"raw", lit(0.0),
         (acc, x) => acc + x * x)))
       .withColumn("embedding",

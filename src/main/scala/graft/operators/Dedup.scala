@@ -614,6 +614,10 @@ object Dedup {
       // B=20. The count() is one metadata-cheap job on the
       // already-persisted corpus.
       val B = Scale.lshPlanes(e.count())
+      // per-corpus whitened HASHING view (default off — see Whitening):
+      // candidate generation may move, every emitted pair is still
+      // exact-rescored on the raw vectors below
+      val hv = Whitening.hashingView(s, d, e)
       // RESCORE-IN-JOIN: the embedding and norm ride THROUGH the bucket
       // exchange, so the exact cosine is computed inline on each bucket
       // collision and the candidate RELATION never materializes. The
@@ -629,7 +633,7 @@ object Dedup {
       // candidate-bounded (a pair colliding in several tables scores
       // identically, so distinct collapses it exactly).
       val own = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(sign_buckets(col("embedding"), B, L))
+        posexplode(sign_buckets(hv, B, L))
           .as(Seq("tbl", "bucket")))
       // probe own bucket + every 1-bit flip: catches any pair whose
       // bucket ids differ by <= 1 plane in some table
@@ -739,7 +743,7 @@ object Dedup {
 
   /** Exact near-dup pairs (cos >= 0.45) whose lower id is in the audit
     * sample — dd05's kernel restricted to a broadcastable left side. */
-  private def sampledExactPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def sampledExactPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
     val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
       .select(col("vec_id"), col("embedding"),

@@ -412,10 +412,67 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           l2_norm(col("embedding")).as("nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val B = Scale.lshPlanes(e.count())
+      val n = e.count()
+      val B = Scale.lshPlanes(n)
+      // per-corpus whitened HASHING view (default off — see Whitening):
+      // bucket ids may move, the rescore stays on the raw vectors
+      val hv = Whitening.hashingView(s, d, e)
       val own = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(sign_buckets(col("embedding"), B, L))
+        posexplode(sign_buckets(hv, B, L))
           .as(Seq("tbl", "bucket")))
+      // SOURCE-SLICED SELECTION (r12): one partial-pass task holds at
+      // most `covered` fully-retained source heaps under the byte
+      // budget; beyond that, rows of unseen sources stream to the
+      // exchange UN-PRUNED, and because collision candidates arrive
+      // scattered, every task sees nearly every source — so at N well
+      // past coverage the exchange converges to the full candidate
+      // volume. Time-wise that saturates (the r11 trend's 2.6x/3.7x
+      // steps are the pass-through fraction RAMP: 22% of sources
+      // uncovered at sf4, 61% at sf8); disk-wise it does not — the
+      // 800k-vector sf16 point spilled ~2x candidate volume and ran a
+      // 72 GB host out of disk outright. The fix is structural: when
+      // N exceeds coverage, process sources in S = ceil(N/(0.75*cov))
+      // hash-slices — each slice's probe side carries ONLY its
+      // sources, so its partial heaps cover EVERYTHING they see and
+      // the exchange drops to <= (K+slack) rows per (source x
+      // partition) at ANY N. Each unordered pair is rescored once per
+      // endpoint slice (2x the u<v kernel's dot products — the price
+      // of slicing, paid only when S > 1); the own-side bucket
+      // exchange is plan-identical across slices, so Spark's
+      // ReusedExchange materializes it ONCE and every slice re-reads
+      // it. S adapts to the same budget the heaps use: more heap or
+      // more executors => fewer slices; a cluster with enough
+      // aggregate memory runs S = 1 and keeps the halved kernel.
+      // -Dgraft.sim09.slices overrides for A/B (1 = force-unsliced).
+      val covered = org.apache.spark.sql.graftx.TopKPerGroupExec
+        .coveredPartialGroups(K + RankSlack, 32)
+      val S = sys.props.get("graft.sim09.slices").map(_.toInt)
+        .filter(_ > 0)
+        .getOrElse(math.max(1, math.ceil(n / (0.75 * covered)).toInt))
+      if (S > 1) {
+        val raw2 = dot_product(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))
+        val perSlice = (0 until S).map { si =>
+          val probeS = own
+            .filter(pmod(col("vec_id"), lit(S.toLong)) === si)
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              col("tbl"),
+              explode(array(col("bucket") +: (0 until B).map(b =>
+                col("bucket").bitwiseXOR(lit(1L << b))): _*))
+                .as("bucket"))
+          val edges = probeS.as("x")
+            .join(own.hint(sys.props.getOrElse("graft.sim09.join",
+              "merge")).as("y"),
+              col("x.tbl") === col("y.tbl") &&
+                col("x.bucket") === col("y.bucket") &&
+                col("x.vec_id") =!= col("y.vec_id"))
+            .select(col("x.vec_id").as("src"),
+              col("y.vec_id").as("dst"), raw2.as("c"))
+          Scale.topKPerGroupDistinct(edges, Seq("src"), K + RankSlack,
+            Seq("dst"), col("c").desc, col("dst").asc)
+        }
+        graphRerank(perSlice.reduce(_ union _))
+      } else {
       val probe = own.select(col("vec_id"), col("embedding"), col("nrm"),
         col("tbl"),
         explode(array(col("bucket") +: (0 until B).map(b =>
@@ -458,6 +515,7 @@ object Similarity {
         .select(col("e.src").as("src"), col("e.dst").as("dst"),
           col("e.c").as("c"))
       graphTopK(edges, dedupDst = true)
+      }
   }
 
   // ---- raw approximate relations + the driver-gated audits ----------
@@ -716,6 +774,13 @@ object Similarity {
         Seq("dst"), col("c").desc, col("dst").asc)
     else Scale.topKPerGroup(edges, Seq("src"), K + RankSlack,
       col("c").desc, col("dst").asc)
+    graphRerank(top)
+  }
+
+  /** The selection tail shared by the one-pass and source-sliced kNN
+    * graph forms: round the bounded survivor set once and re-rank on
+    * the cross-engine-stable (cos_r DESC, dst ASC) order. */
+  private def graphRerank(top: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_r").desc, col("dst").asc)
     top.select(col("src"), col("dst"), round(col("c"), 6).as("cos_r"))

@@ -347,6 +347,18 @@ object TopKPerGroupExec {
     else math.max(16L << 20, Runtime.getRuntime.maxMemory / 3 / taskSlots)
   }
 
+  /** How many groups one partial-pass task can hold fully retained
+    * under the byte budget, for a fixed-width row of `rowBytes` — the
+    * number callers use to decide whether a single partial pass covers
+    * their group domain or the work should be SLICED by group hash so
+    * every slice is fully covered (sim09's kNN-graph selection: beyond
+    * coverage, rows of unseen groups stream to the exchange un-pruned,
+    * and at 800k sources that pass-through exchange exceeded a local
+    * host's disk outright — see Similarity.knnGraphLsh's slicing note). */
+  def coveredPartialGroups(k: Int, rowBytes: Int): Int =
+    math.max(1, math.min(maxPartialGroups(k).toLong,
+      partialBudgetBytes / (k.toLong * rowBytes + 160L)).toInt)
+
   /** Concurrent task slots sharing this JVM's heap: local[n]'s n, or
     * executor cores / task cpus — availableProcessors is only the LAST
     * fallback (no SparkEnv, unparsable master), because it overstates

@@ -247,6 +247,30 @@ class Round12Spec extends AnyFunSuite {
     assert(mean >= 0.30, f"recall floor: $mean%.3f")
   }
 
+  test("sim09: the source-sliced selection emits EXACTLY the one-pass " +
+      "rows (r12 slicing is a cost rewrite, never a semantic one)") {
+    // slicing kicks in automatically only past the partial-coverage
+    // bound (~10^5 sources); force it here and pin row identity — each
+    // source lives in exactly one hash slice, candidates are the same
+    // hamming<=1 collision set (symmetric), and the rescore is
+    // deterministic, so the union of per-slice top-k must equal the
+    // exploded one-pass selection bit-for-bit.
+    def run(): Set[(Long, Int, Long, Double)] = {
+      spark.catalog.clearCache()
+      operators.Similarity.knnGraphLsh(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    val onePass = run()
+    sys.props("graft.sim09.slices") = "3"
+    try {
+      val sliced = run()
+      assert(sliced == onePass,
+        s"sliced != one-pass: only-sliced ${(sliced -- onePass).take(3)}, " +
+          s"only-one-pass ${(onePass -- sliced).take(3)}")
+    } finally sys.props.remove("graft.sim09.slices")
+  }
+
   // ---- tx27 ---------------------------------------------------------
 
   test("tx27: spectrum mass equals the brute-force df census for both " +
