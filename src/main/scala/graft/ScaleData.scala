@@ -280,17 +280,33 @@ object ScaleData {
   private def embeddings(spark: SparkSession, n: Long,
       aniso: Boolean = false): DataFrame = {
     import spark.implicits._
-    def z(d: Column): Column = {
-      val u1 = (pmod(xxhash64($"vec_id", d, lit("g1")), lit(999999000L))
+    def zOf(id: Column, d: Column): Column = {
+      val u1 = (pmod(xxhash64(id, d, lit("g1")), lit(999999000L))
         .cast("double") + 500) / 1e9
-      val u2 = pmod(xxhash64($"vec_id", d, lit("g2")), lit(1000000000L))
+      val u2 = pmod(xxhash64(id, d, lit("g2")), lit(1000000000L))
         .cast("double") / 1e9
       sqrt(log(u1) * -2) * cos(u2 * 2 * math.Pi)
     }
+    def z(d: Column): Column = zOf($"vec_id", d)
     // anisotropy: scale the first four raw dims, then mix each with a
     // far axis through a fixed Givens rotation so dominance is not
     // axis-aligned. Everything stays a pure hash of the row id.
-    val scales = Map(0 -> 8.0, 1 -> 6.0, 2 -> 4.0, 3 -> 3.0)
+    // PLANTED near-dups (aniso only): ~2% of vectors are perturbed
+    // copies of an earlier vector (scaled-space v_base + 0.35*noise ->
+    // cos ~ 0.94 after normalization; rotation is linear so the angle
+    // survives) — the HIGH-threshold band real dedup corpora carry,
+    // without which band-split recall (the whitening knob's actual
+    // adoption domain) is unmeasurable on random geometry
+    val plantDelta = pmod(xxhash64($"vec_id", lit("pd")), lit(500L)) + 1
+    val planted = pmod(xxhash64($"vec_id", lit("plant")), lit(100L)) < 2 &&
+      $"vec_id" >= 500
+    // spectrum sized so lambda_1/mean ~ 7x (well past the 4x adoption
+    // threshold) while pairwise-cosine spread stays moderate — an
+    // {8,6,4,3} trial concentrated so much variance that the 0.45
+    // near-dup threshold admitted ~13% of ALL pairs and the exact pair
+    // family exploded; {3,2.5,2,1.5} keeps the pair relation real-world
+    // sparse (~0.5%) with the skew the whitening knob exists for
+    val scales = Map(0 -> 3.0, 1 -> 2.5, 2 -> 2.0, 3 -> 1.5)
     val givens = Seq((0, 17), (1, 29), (2, 41), (3, 53))
     def rawCol: Column =
       if (!aniso) transform(sequence(lit(0), lit(63)), d => z(d))
@@ -305,11 +321,15 @@ object ScaleData {
         }
         transform(sequence(lit(0), lit(63)), d => rot($"__sc", d))
       }
+    def scz(id: Column, d: Column): Column =
+      scales.foldLeft(zOf(id, d)) { case (c, (dim, sc)) =>
+        when(d === dim, zOf(id, d) * sc).otherwise(c) }
     val base0 = spark.range(0, n, 1, 32).toDF("vec_id")
     val based = if (aniso) base0.withColumn("__sc",
         transform(sequence(lit(0), lit(63)), d =>
-          scales.foldLeft(z(d)) { case (c, (dim, sc)) =>
-            when(d === dim, z(d) * sc).otherwise(c) }))
+          when(planted,
+            scz($"vec_id" - plantDelta, d) + lit(0.35) * scz($"vec_id", d))
+            .otherwise(scz($"vec_id", d))))
       else base0
     based
       .withColumn("raw", rawCol)

@@ -53,11 +53,18 @@ object WhitenBench {
       val sp = Whitening.ensure(spark, dir, e0)
       val autoDecision =
         if (sp.skew >= Whitening.SkewThreshold) "adopt" else "reject"
-      // exact sampled pair set once per fixture (mode-independent)
+      // exact sampled pair set once per fixture (mode-independent),
+      // with the cosine kept for BAND-split recall: the marginal band
+      // (0.45 <= cos < 0.7, random-geometry pairs) and the high band
+      // (cos >= 0.85, true near-dups — planted on the aniso fixture)
+      // answer DIFFERENT adoption questions
       val exactPairs = Dedup.sampledExactPairs(spark, dir)
-        .select(col("v1"), col("v2"))
+        .select(col("v1"), col("v2"), col("cos_r"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nExact = exactPairs.count()
+      val nMarginal = exactPairs
+        .filter(col("cos_r") >= 0.45 && col("cos_r") < 0.7).count()
+      val nHigh = exactPairs.filter(col("cos_r") >= 0.85).count()
       // exact top-5 for 32 probe sources (sim09's audit reference)
       val qs = e0.filter(col("vec_id") < 32)
         .select(col("vec_id").as("src"), col("embedding").as("qv"))
@@ -94,11 +101,21 @@ object WhitenBench {
               col("x.vec_id") < col("y.vec_id"))
           .count()
         own.unpersist(blocking = false)
-        // dd07 recall vs the exact sampled pairs
-        val found = Dedup.embedNearDupLsh(spark, dir)
+        // dd07 recall vs the exact sampled pairs, split by cosine band
+        val foundPairs = Dedup.embedNearDupLsh(spark, dir)
           .select(col("v1"), col("v2"))
-          .join(exactPairs, Seq("v1", "v2"), "left_semi").count()
-        val dd07Recall = if (nExact == 0) 1.0 else found.toDouble / nExact
+          .join(exactPairs, Seq("v1", "v2"), "left_semi")
+          .join(exactPairs, Seq("v1", "v2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val found = foundPairs.count()
+        val foundMarginal = foundPairs
+          .filter(col("cos_r") >= 0.45 && col("cos_r") < 0.7).count()
+        val foundHigh = foundPairs.filter(col("cos_r") >= 0.85).count()
+        foundPairs.unpersist(blocking = false)
+        def rec(f: Long, n0: Long) = if (n0 == 0) 1.0 else f.toDouble / n0
+        val dd07Recall = rec(found, nExact)
+        val dd07RecallMarginal = rec(foundMarginal, nMarginal)
+        val dd07RecallHigh = rec(foundHigh, nHigh)
         // sim09 wall + recall vs the 32-source exact probe
         val t0 = System.nanoTime()
         val g = Similarity.knnGraphLsh(spark, dir)
@@ -112,11 +129,14 @@ object WhitenBench {
         g.unpersist(blocking = false)
         s""""$mode":{"candidate_rows":$volume,""" +
           s""""dd07_recall":${jnum(dd07Recall)},""" +
+          s""""dd07_recall_marginal":${jnum(dd07RecallMarginal)},""" +
+          s""""dd07_recall_high":${jnum(dd07RecallHigh)},""" +
           s""""sim09_recall":${jnum(s9Recall)},""" +
           s""""sim09_wall_s":${jnum(wall)}}"""
       }
       spark.catalog.clearCache()
       s""""$fname":{"n":$n,"B":$b,"skew":${jnum(sp.skew)},""" +
+        s""""n_exact_marginal":$nMarginal,"n_exact_high":$nHigh,""" +
         s""""eigvals":[${sp.eigvals.map(jnum).mkString(",")}],""" +
         s""""mean_var":${jnum(sp.meanVar)},"auto":"$autoDecision",""" +
         s""""n_exact_pairs":$nExact,${arms.mkString(",")}}"""

@@ -22,13 +22,22 @@ import org.apache.spark.sql.functions._
   * adopt iff the top-eigenvalue skew clears [[SkewThreshold]].
   *
   * Knob: -Dgraft.lsh.whiten = off (default) | auto | on.
-  *   off  — hash raw vectors. The default keeps the driver/bench
-  *          protocol byte-identical to r11 (the driver fixture is
-  *          isotropic, where the measured gain is nil) — the adoption
-  *          path's evidence lives in BENCH_whiten.json (WhitenBench:
-  *          auto-reject on the isotropic fixture, auto-adopt + the
-  *          recall-at-equal-cost win on the aniso fixture).
+  *   off  — hash raw vectors (the DEFAULT, and the r12 measured
+  *          verdict for this engine's queries — see below).
   *   auto — probe the persisted spectrum, whiten iff skew >= 4x.
+  *          CAVEAT (r12 BENCH_whiten.json, product queries on the
+  *          planted anisotropic open fixture, skew 6.2): whitening is
+  *          angle-preserving only for NEAR-IDENTICAL pairs — the
+  *          planted high-band near-dups (cos ~0.94) kept recall
+  *          1.0000 in both arms, but MARGINAL-band pairs
+  *          (0.45 <= cos < 0.7), whose similarity lives in the
+  *          dominant directions the transform compresses, fell from
+  *          0.58 to 0.30 recall for only a 1.13x candidate-volume
+  *          saving. So the adoption domain is HIGH-THRESHOLD dedup on
+  *          skewed spectra (where the r11 planted 50x control measured
+  *          3.3x volume at recall 1); dd07/sim09 operate at/below the
+  *          marginal regime, hence their default stays off and `auto`
+  *          is for callers who know their threshold regime.
   *   on   — always whiten (A/B arm).
   *
   * The eigensolve is the DOUBLE-precision twin of Learn's em01 path
