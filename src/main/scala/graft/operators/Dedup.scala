@@ -1024,7 +1024,8 @@ object Dedup {
     // holds ~15k docs = ~1e8 join pairs per bucket, while 32-bit keys
     // keep buckets O(1)). The exact bit_count verify keeps the emitted
     // pair set identical under either blocking.
-    // No SQL oracle (hash-function specific) — rows-only.
+    // FULLY oracled (r12): DuckDB replays xxhash64 itself (XxhSql) plus
+    // the signature/banding stages — see the oracleSql entry.
     "dd04_simhash_pairs" -> ((s, d) => {
       val toks = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("t"))
@@ -1517,7 +1518,57 @@ object Dedup {
       s"""$sampledPairCte
          |SELECT COUNT(*) AS n_exact_sample, TRUE AS subset_sample_ok
          |FROM p""".stripMargin,
-    // dd04_simhash_pairs: intentionally no oracle (hash-specific).
+    // dd04: FULL cross-engine replay (r12). DuckDB recomputes Spark's
+    // xxhash64 per token via graft.core.XxhSql (HUGEINT mod-2^64
+    // arithmetic — see there for the exactness argument), rebuilds the
+    // 64 conditional bit sums, the signature, all 20 Manku block-keyed
+    // tables, and the Hamming<=3 collision join. The bit sums are exact
+    // integer arithmetic and the signature/keys pure bit fields, so
+    // every stage is engine-order-independent and the pair table is
+    // bit-identical by construction.
+    "dd04_simhash_pairs" -> {
+      val bitSums = (0 until 64).map(b =>
+        s"SUM(CASE WHEN (h // ${java.math.BigInteger.ONE.shiftLeft(b)
+          }::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+      val simExpr = (0 until 64).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${java.math.BigInteger.ONE.shiftLeft(b)
+          }::HUGEINT ELSE 0::HUGEINT END)").mkString(" + ")
+      val offs = Array(0, 11, 22, 33, 44, 54)
+      val widths = Array(11, 11, 11, 11, 10, 10)
+      val tabs = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+        case (intact, t) =>
+          var sh = 0
+          val parts = intact.map { b =>
+            val p = s"(((simu // ${1L << offs(b)}::HUGEINT) % ${
+              1L << widths(b)}) * ${1L << sh})"
+            sh += widths(b)
+            p
+          }
+          s"struct_pack(band := $t, bh := (${parts.mkString(" + ")})::BIGINT)"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         |    '[a-z0-9]+')) AS t
+         |  FROM documents),
+         |${graft.core.XxhSql.hashCte},
+         |sig AS (
+         |  SELECT doc_id, $simExpr AS simu
+         |  FROM (SELECT doc_id,
+         |    $bitSums
+         |  FROM hs GROUP BY doc_id)),
+         |bands AS (
+         |  SELECT doc_id,
+         |    CASE WHEN simu >= 9223372036854775808::HUGEINT
+         |      THEN (simu - 18446744073709551616::HUGEINT)::BIGINT
+         |      ELSE simu::BIGINT END AS sim,
+         |    unnest([${tabs.mkString(",\n      ")}], recursive := true)
+         |  FROM sig)
+         |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |  bit_count(xor(x.sim, y.sim))::BIGINT AS hamming
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sim, y.sim)) <= 3""".stripMargin
+    },
 
     // dd11: DuckDB's 1-based inclusive list slice w[a:b] mirrors Spark's
     // slice(w, start, length); range(n) = 0..n-1 matches sequence(0, n-1).

@@ -113,7 +113,9 @@ object TextAnalysis {
     // Winnowing fingerprints (native rolling-hash expression,
     // org.apache.spark.sql.graftx.WinnowFingerprint): doc pairs sharing
     // >= 5 selected k-gram hashes — substring-level near-dup evidence.
-    // Hash-specific output -> rows-only check; properties in the spec.
+    // FULLY oracled (r12): DuckDB replays the polynomial rolling hash in
+    // HUGEINT mod-2^64 arithmetic and the window-min selection per doc —
+    // see the oracleSql entry for the replay's exactness argument.
     "tx05_winnow_pairs" -> ((s, d) => {
       val fp = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"),
@@ -988,6 +990,56 @@ object TextAnalysis {
         |FROM dots JOIN nrm n1 ON d1 = n1.doc_id
         |JOIN nrm n2 ON d2 = n2.doc_id
         |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.9""".stripMargin,
+
+    // tx05: a FULL cross-engine replay of the winnowing kernel
+    // (WinnowFingerprint: K=24-byte grams, W=16 windows, base 257, 64-bit
+    // wraparound). Exactness argument:
+    //  - the fixture text is pure ASCII (checked: octet_length(encode(t))
+    //    = length(t) for every row), so unicode(text[i]) IS the UTF-8
+    //    byte the Scala kernel hashes;
+    //  - gram hashes fold in HUGEINT with an explicit mod 2^64, exactly
+    //    Scala's Long wraparound; comparisons happen on the SIGNED view
+    //    (h >= 2^63 -> h - 2^64) because the kernel's window-argmin
+    //    compares signed longs;
+    //  - the kernel's rightmost-min tie rule and consecutive-pick dedup
+    //    only affect WHICH INDEX is picked, never the picked VALUE (ties
+    //    are equal values), and tx05 takes DISTINCT (doc_id, f) anyway —
+    //    so the fingerprint SET per doc is exactly the distinct window
+    //    minima, which is what this query emits;
+    //  - the InvertedIndex stop-key cap (df in [2, 1000]) is the HAVING.
+    "tx05_winnow_pairs" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> unicode(text[i])::HUGEINT) AS cs,
+        |    length(text) AS n
+        |  FROM documents WHERE length(text) >= 24),
+        |grams AS (
+        |  SELECT doc_id, n - 23 AS ng,
+        |    list_transform(range(1, n - 22), p ->
+        |      list_reduce(list_slice(cs, p, p + 23),
+        |        (a, b) -> (a * 257 + b)
+        |          % 18446744073709551616::HUGEINT)) AS hu
+        |  FROM codes),
+        |signed AS (
+        |  SELECT doc_id, ng,
+        |    list_transform(hu, h ->
+        |      CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+        |        ELSE h::BIGINT END) AS hs
+        |  FROM grams),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, f FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      list_transform(range(0, greatest(ng - 16, 0) + 1), w0 ->
+        |        list_min(list_slice(hs, w0 + 1, least(w0 + 16, ng)))))) AS f
+        |    FROM signed)),
+        |live AS (
+        |  SELECT f FROM fps GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 1000)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |FROM fps a JOIN fps b USING (f) JOIN live USING (f)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
 
     "tx06_bpe_token_count" ->
       """SELECT source, COUNT(*) AS n_docs,

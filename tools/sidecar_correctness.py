@@ -3,8 +3,9 @@
 
 Runs the DuckDB oracle for every query in oracle_sql.json (check.py's
 comparison, same canonicalization), the independent Python checkers for
-the three operators that have them (dd05 numpy, dd04 xxh64+simhash
-brute force, sim07 MMR replica), and records row counts + a
+the operators that have them (dd05/sim08 numpy, mm04 stub contract;
+dd04/tx05 run their brute-force replicas as a SECOND tier on top of
+their r12 DuckDB oracles), and records row counts + a
 `no_oracle (spec-gated)` marker for the rest. Output format matches the
 hand-assembled round-7 sidecar so cross-round diffs stay trivial.
 
@@ -34,12 +35,19 @@ SPECIAL = {
     # the infeasible all-pairs SQL for the blocked-numpy replica
     "sim08_knn_graph": ("numpy (tools/check_sim08.py)",
                         check_sim08.main),
+    "mm04_media_embed_knn": ("stub-encoder contract (tools/check_mm04.py)",
+                             check_mm04.main),
+}
+
+# dd04/tx05 gained FULL DuckDB oracles in r12 (XxhSql / winnow replay in
+# HUGEINT mod-2^64 arithmetic), so the standard oracle compare is now the
+# primary grade; the python brute-force replicas stay as an independent
+# second tier — a pass requires BOTH graders to agree with the engine.
+AUGMENT = {
     "dd04_simhash_pairs": ("xxh64 brute force (tools/check_dd04.py)",
                            check_dd04.main),
     "tx05_winnow_pairs": ("winnowing brute force (tools/check_tx05.py)",
                           check_tx05.main),
-    "mm04_media_embed_knn": ("stub-encoder contract (tools/check_mm04.py)",
-                             check_mm04.main),
 }
 
 
@@ -167,6 +175,16 @@ def main(sf_dir, out_dir, sf, out_path):
             queries[name] = {"oracle": "duckdb", "pass": False,
                              "spark_rows": int(rows), "err": str(e)[:200]}
             print(f"FAIL {name}: {e}")
+            continue
+        if name in AUGMENT:
+            label, fn = AUGMENT[name]
+            checker_ok = fn(sf_dir, out_dir) == 0
+            queries[name] = {"oracle": f"duckdb + {label}",
+                             "pass": bool(ok and checker_ok),
+                             "spark_rows": int(rows),
+                             "checker_pass": bool(checker_ok)}
+            print(f"{'PASS' if ok and checker_ok else 'FAIL'} {name} "
+                  f"({rows} rows, oracle={ok}, checker={checker_ok})")
             continue
         queries[name] = {"oracle": "duckdb", "pass": bool(ok),
                          "spark_rows": int(rows)}
