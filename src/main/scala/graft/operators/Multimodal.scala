@@ -18,9 +18,13 @@ import graft.core.Tables
   * (r12): payloads are genuine RIFF/WAVE files (closed-form 16-bit PCM
   * → `javax.sound.sampled` writer), and mm02/mm04 decode them back
   * through `AudioSystem`, sample stats oracled against the closed form.
-  * VIDEO kinds remain a DETERMINISTIC BYTE STUB (clearly marked below)
-  * — the JDK ships no video codec, and a fake one would be worse than
-  * a marked stub. The Spark-side contract is identical for all tiers
+  * VIDEO kinds are REAL too as of r12: genuine AVI containers with
+  * PNG-compressed frames (`MPNG` — the lossless PNG-in-AVI format
+  * ffmpeg writes with `-c:v png`; the engine implements the RIFF/AVI
+  * container, ImageIO supplies the frame codec — [[MediaCodec]]), and
+  * mm02/mm04 decode them back through a true chunk-tree parse +
+  * per-frame PNG decode, frame stats oracled against the closed form.
+  * The Spark-side contract is identical for all tiers
   * and is the part that matters at scale:
   *
   *  - payloads live in a `BinaryType` column, scanned but never parsed by
@@ -46,50 +50,60 @@ case class MediaResized(media_id: Long, width: Int, height: Int,
 object Multimodal {
 
   /** Synthesize the media catalog from `documents`: kind round-robins
-    * image/audio/video. IMAGE payloads are REAL PNGs and AUDIO payloads
-    * REAL WAVs ([[MediaCodec]] via the png_synth / wav_synth
-    * expressions — Expressions, not mapPartitions stages, so the
-    * catalog stays a pure columnar plan and metadata-only consumers
-    * never encode a single payload); video payloads are the utf-8 text
-    * bytes (the stand-in blob of the remaining byte-stub tier). Image
-    * meta carries the TRUE dims and audio meta the TRUE sample rate;
-    * codec payloads derive from doc_id alone so the DuckDB side can
-    * reproduce every downstream pixel/sample stat without a PNG/WAV
-    * parser. (Audio meta keeps the legacy text-derived width/height
-    * stand-ins — mm01 is the metadata-pruning query, and a generic
-    * media catalog carries kind-inapplicable fields as-is.) */
+    * image/audio/video. IMAGE payloads are REAL PNGs, AUDIO payloads
+    * REAL WAVs, VIDEO payloads REAL AVI/MPNG containers ([[MediaCodec]]
+    * via the png_synth / wav_synth / avi_synth expressions —
+    * Expressions, not mapPartitions stages, so the catalog stays a pure
+    * columnar plan and metadata-only consumers never encode a single
+    * payload). Image/video meta carries the TRUE dims (and video the
+    * TRUE frame count — what mm03 samples without touching a payload),
+    * audio meta the TRUE sample rate; codec payloads derive from doc_id
+    * alone so the DuckDB side can reproduce every downstream
+    * pixel/sample/frame stat without a PNG/WAV/AVI parser. (Audio meta
+    * keeps the legacy text-derived width/height stand-ins — mm01 is the
+    * metadata-pruning query, and a generic media catalog carries
+    * kind-inapplicable fields as-is.) */
   def mediaCatalog(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftx.PngSynthFunctions.png_synth
     import org.apache.spark.sql.graftx.WavSynthFunctions.wav_synth
+    import org.apache.spark.sql.graftx.AviSynthFunctions.avi_synth
     val isImage = col("doc_id") % 3 === 0
     val isAudio = col("doc_id") % 3 === 1
+    val isVideo = col("doc_id") % 3 === 2
+    // video GROUP seed (MediaCodec.vseed): planted duplicate payloads
+    val vs = col("doc_id") - lit(3) * ((col("doc_id") / 3).cast("long") % 5)
+    // meta dims: the PAYLOAD's true dims — the seed's for video
+    val dimId = when(isVideo, vs).otherwise(col("doc_id"))
     Tables(s, d, "documents").select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       when(isImage, png_synth(col("doc_id")))
         .when(isAudio, wav_synth(col("doc_id")))
-        .otherwise(col("text").cast("binary")).as("payload"),
+        .otherwise(avi_synth(col("doc_id"))).as("payload"),
       struct(
-        when(isImage, lit(8) + col("doc_id") % 9)
-          .otherwise(col("n_chars") % 640).cast("int").as("width"),
-        when(isImage, lit(8) + col("doc_id") % 7)
-          .otherwise(col("n_chars") % 480).cast("int").as("height"),
+        when(isAudio, col("n_chars") % 640)
+          .otherwise(lit(8) + dimId % 9).cast("int").as("width"),
+        when(isAudio, col("n_chars") % 480)
+          .otherwise(lit(8) + dimId % 7).cast("int").as("height"),
         lit(3).as("channels"),
-        lit(16000).as("sample_rate")).as("meta"))
+        lit(16000).as("sample_rate"),
+        when(isVideo, lit(4) + vs % 8)
+          .otherwise(lit(1)).cast("int").as("n_frames")).as("meta"))
   }
 
-  /** Decode + feature extraction. IMAGE rows run the REAL path: ImageIO
-    * PNG decode, stats over the decoded pixel raster (n_bytes = content
-    * bytes w*h*3, checksum = sum of channel values). AUDIO rows run the
-    * REAL path too: AudioSystem WAV decode, stats over the decoded
-    * 16-bit samples (n_bytes = PCM content bytes 2*n, checksum = sum of
-    * SIGNED sample values). VIDEO rows remain the ===== STUB =====
-    * byte fold (no JDK video codec exists). The mapPartitions shape
-    * (batch iterator in, batch iterator out, schema fixed by the
-    * case-class encoder) is what any real decoder plugs into —
-    * per-partition setup amortized, Tungsten rows in and out
-    * (SerializeFromObject, no RDD[Row] detour). */
+  /** Decode + feature extraction — every kind on its REAL codec path.
+    * IMAGE: ImageIO PNG decode, stats over the decoded pixel raster
+    * (n_bytes = content bytes w*h*3, checksum = sum of channel values).
+    * AUDIO: AudioSystem WAV decode, stats over the decoded 16-bit
+    * samples (n_bytes = PCM content bytes 2*n, checksum = sum of SIGNED
+    * sample values). VIDEO (r12): true AVI chunk-tree parse + per-frame
+    * PNG decode, stats over ALL decoded frame rasters (n_bytes =
+    * nframes*w*h*3, checksum = sum of channel values across frames).
+    * The mapPartitions shape (batch iterator in, batch iterator out,
+    * schema fixed by the case-class encoder) is what any real decoder
+    * plugs into — per-partition setup amortized, Tungsten rows in and
+    * out (SerializeFromObject, no RDD[Row] detour). */
   private def decodeKernel(
       rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] =
     rows.map { case (mediaId, kind, bytes) =>
@@ -108,20 +122,27 @@ object Multimodal {
         MediaFeatures(mediaId, kind, sm.length * 2, sum,
           if (sm.length == 0) 0.0 else sum.toDouble / sm.length)
       } else {
+        val v = MediaCodec.decodeAvi(bytes)
         var sum = 0L
-        var i = 0
-        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-        MediaFeatures(mediaId, kind, bytes.length, sum,
-          if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
+        var n = 0
+        v.frames.foreach { px =>
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          n += px.length
+        }
+        MediaFeatures(mediaId, kind, n, sum,
+          if (n == 0) 0.0 else sum.toDouble / n)
       }
     }
 
-  /** Embedding kernel. IMAGE rows embed the REAL decoded pixel raster
-    * and AUDIO rows the REAL decoded sample stream (8 chunked sums — a
-    * fixed featurizer, stand-in for a model forward pass; audio slot
-    * sums stay under 2^21, integer-exact in float32); VIDEO remains the
-    * ===== STUB ===== raw-byte fold. The per-partition iterator is
-    * where a real model would load once and serve the whole batch. */
+  /** Embedding kernel — every kind embeds its REAL decoded content
+    * (8 chunked sums — a fixed featurizer, stand-in for a model forward
+    * pass). IMAGE: the decoded pixel raster; AUDIO: the decoded sample
+    * stream (slot sums stay under 2^21); VIDEO (r12): the decoded frame
+    * rasters concatenated in frame order (slot sums stay under 2^19 —
+    * 11 frames x 16x14x3 / 8 slots x 255 max; all integer-exact in
+    * float32). The per-partition iterator is where a real model would
+    * load once and serve the whole batch. */
   private def encodeKernel(
       rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaEmb] =
     rows.map { case (mediaId, kind, bytes) =>
@@ -135,8 +156,12 @@ object Multimodal {
         var i = 0
         while (i < sm.length) { emb(i % 8) += sm(i); i += 1 }
       } else {
+        val v = MediaCodec.decodeAvi(bytes)
         var i = 0
-        while (i < bytes.length) { emb(i % 8) += (bytes(i) & 0xff); i += 1 }
+        v.frames.foreach { px =>
+          var j = 0
+          while (j < px.length) { emb(i % 8) += px(j); i += 1; j += 1 }
+        }
       }
       MediaEmb(mediaId, kind, emb)
     }
@@ -350,16 +375,18 @@ object Multimodal {
         col("sim").desc, col("neighbor_id").asc)
     }),
 
-    // Frame sampling: every 10th frame of each "video"; pure expression
-    // fan-out, payload not carried through the explode.
+    // Frame sampling: every 2nd frame of each video; pure expression
+    // fan-out over the catalog's TRUE frame count (meta.n_frames — the
+    // container stamps the same count, asserted by the decode path), so
+    // the payload column is pruned away entirely and no AVI is parsed:
+    // the metadata-only contract mm01 pins, on the query whose job is
+    // index fan-out.
     "mm03_frame_sample" -> ((s, d) => {
       mediaCatalog(s, d)
         .filter(col("kind") === "video")
+        .select(col("media_id"), col("meta.n_frames").as("n_frames"))
         .select(col("media_id"),
-          (octet_length(col("payload")) / lit(10)).cast("int").as("n_frames"))
-        .select(col("media_id"),
-          explode(expr("sequence(0, greatest(n_frames - 1, 0), 10)"))
-            .as("frame_idx"))
+          explode(expr("sequence(0, n_frames - 1, 2)")).as("frame_idx"))
     })
   )
 
@@ -386,6 +413,26 @@ object Multimodal {
     * through a REAL AudioSystem encode->decode round trip. */
   private val SampleSql = "((doc_id*37 + i*11 + i*i) % 65536) - 32768"
 
+  /** The closed-form per-frame pixel term — MUST stay in sync with
+    * [[MediaCodec.vpixel]] (and the replica in tools/check_mm04.py). The
+    * oracle never parses an AVI: the engine must arrive at these numbers
+    * through a REAL container-parse + per-frame PNG decode. */
+  private val VPixelSql = "(s*31 + f*17 + x*7 + y*13 + c*101 + x*y) % 256"
+
+  /** Full max-bounds (f, x, y, c) frame grid (frame counts bounded 4..11
+    * by [[MediaCodec.frameCount]], dims by [[MediaCodec.dims]]) filtered
+    * under the per-video bounds — the video twin of [[GridSql]]. `s` is
+    * the video GROUP SEED ([[MediaCodec.vseed]]): every stat derives
+    * from the seed because the payload IS the seed's container. */
+  private val VideoGridSql =
+    """gv AS (SELECT f, x, y, c
+      |  FROM range(0, 11) rf(f), range(0, 16) rx(x), range(0, 14) ry(y),
+      |       range(0, 3) rc(c)),
+      |vid AS (SELECT doc_id, s, (8 + s % 9) AS w, (8 + s % 7) AS h,
+      |    (4 + s % 8) AS nf
+      |  FROM (SELECT doc_id, doc_id - 3 * ((doc_id // 3) % 5) AS s
+      |        FROM documents WHERE doc_id % 3 = 2))""".stripMargin
+
   /** Full max-count sample grid (counts bounded 256..512 by
     * [[MediaCodec.sampleCount]]) filtered under the per-media bound —
     * the audio twin of [[GridSql]]. */
@@ -395,23 +442,30 @@ object Multimodal {
       |  FROM documents WHERE doc_id % 3 = 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // width/height: the payload's true dims — the doc's own for image,
+    // the GROUP SEED's for video (duplicate runs share one payload),
+    // the legacy text stand-ins for audio
     "mm01_media_catalog" ->
-      """SELECT doc_id AS media_id,
+      """WITH m AS (SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 3 = 2
+        |      THEN doc_id - 3 * ((doc_id // 3) % 5) ELSE doc_id END AS s
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
         |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
-        |  CASE WHEN doc_id % 3 = 0 THEN (8 + doc_id % 9)::INT
-        |    ELSE (n_chars % 640)::INT END AS width,
-        |  CASE WHEN doc_id % 3 = 0 THEN (8 + doc_id % 7)::INT
-        |    ELSE (n_chars % 480)::INT END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN (n_chars % 640)::INT
+        |    ELSE (8 + s % 9)::INT END AS width,
+        |  CASE WHEN doc_id % 3 = 1 THEN (n_chars % 480)::INT
+        |    ELSE (8 + s % 7)::INT END AS height,
         |  3 AS channels
-        |FROM documents""".stripMargin,
+        |FROM m""".stripMargin,
 
     // mm02: image rows check the REAL ImageIO decode against the pixel
     // closed form; audio rows check the REAL AudioSystem WAV decode
     // against the sample closed form (the oracle never parses a WAV —
     // PCM is lossless, so decoded sample sums must land on the formula);
-    // video rows check the byte stub (corpus is ASCII, so utf-8 byte
-    // values == codepoints) — every tier validated end-to-end against
-    // an independent implementation.
+    // video rows (r12) check the REAL AVI parse + frame decodes against
+    // the per-frame closed form the same way — every tier's codec path
+    // validated end-to-end against arithmetic DuckDB evaluates itself.
     "mm02_media_features" ->
       s"""WITH $GridSql,
         |ipx AS (
@@ -425,24 +479,28 @@ object Multimodal {
         |    SUM($SampleSql) AS checksum
         |  FROM aud JOIN ga ON ga.i < aud.n
         |  GROUP BY aud.doc_id, n),
+        |$VideoGridSql,
+        |vpx AS (
+        |  SELECT vid.doc_id, nf * w * h * 3 AS n_bytes,
+        |    SUM($VPixelSql) AS checksum
+        |  FROM vid JOIN gv ON gv.f < vid.nf AND gv.x < vid.w
+        |    AND gv.y < vid.h
+        |  GROUP BY vid.doc_id, s, nf, w, h),
         |f AS (
         |  SELECT doc_id, 'image' AS kind, n_bytes, checksum FROM ipx
         |  UNION ALL
         |  SELECT doc_id, 'audio' AS kind, n_bytes, checksum FROM apx
         |  UNION ALL
-        |  SELECT doc_id, 'video' AS kind,
-        |    octet_length(encode(text)) AS n_bytes,
-        |    list_sum(list_transform(string_split_regex(text, ''),
-        |      ch -> ord(ch))) AS checksum
-        |  FROM documents WHERE doc_id % 3 = 2)
+        |  SELECT doc_id, 'video' AS kind, n_bytes, checksum FROM vpx)
         |SELECT kind, COUNT(*) AS n_media,
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(SUM(checksum) AS BIGINT) AS total_checksum
         |FROM f GROUP BY kind""".stripMargin,
 
     "mm03_frame_sample" ->
-      """SELECT doc_id AS media_id, unnest(range(0,
-        |  greatest(octet_length(encode(text)) // 10, 1), 10)) AS frame_idx
+      """SELECT doc_id AS media_id,
+        |  unnest(range(0, 4 + (doc_id - 3 * ((doc_id // 3) % 5)) % 8, 2))
+        |    AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     // mm05: stride-2 downsample of the synth pixels — out(x,y,c) =

@@ -96,12 +96,72 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(all.forall(s => s >= -32768 && s <= 32767))
   }
 
+  // ---- video (real AVI/MPNG container, ImageIO frame codec) -----------
+
+  test("AVI encode -> container parse + frame decode is pixel-lossless") {
+    Seq(2L, 5L, 8L, 11L, 125L, 4569L).foreach { id =>
+      val v = MediaCodec.decodeAvi(MediaCodec.aviBytes(id))
+      val s = MediaCodec.vseed(id) // payload = the GROUP SEED's container
+      val (w, h) = MediaCodec.dims(s)
+      assert(v.width == w && v.height == h, s"id=$id dims")
+      assert(v.fps == MediaCodec.VideoFps, s"id=$id fps")
+      assert(v.frames.length == MediaCodec.frameCount(s), s"id=$id frames")
+      v.frames.zipWithIndex.foreach { case (px, f) =>
+        var i = 0
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+          assert(px(i) == MediaCodec.vpixel(s, f, x, y, c),
+            s"id=$id f=$f ($x,$y,$c)")
+          i += 1
+        }
+      }
+    }
+    // the planted-duplicate contract: a 5-run of video ids shares one
+    // byte-identical payload, the next run differs
+    assert(MediaCodec.aviBytes(2L).sameElements(MediaCodec.aviBytes(14L)))
+    assert(!MediaCodec.aviBytes(2L).sameElements(MediaCodec.aviBytes(17L)))
+  }
+
+  test("payload bytes are a REAL AVI (RIFF magic, MPNG stream, idx1)") {
+    val b = MediaCodec.aviBytes(14L)
+    assert(new String(b.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(b.slice(8, 12), "US-ASCII") == "AVI ")
+    val s = new String(b.map(x => if (x >= 32 && x < 127) x.toChar
+      else '.').mkString)
+    // stream declaration + index + frame chunks all present in the tree
+    assert(s.contains("hdrl") && s.contains("vids") && s.contains("MPNG"))
+    assert(s.contains("movi") && s.contains("00dc") && s.contains("idx1"))
+  }
+
+  test("AVI decode fails loudly on corrupted containers") {
+    val good = MediaCodec.aviBytes(17L)
+    // wrong magic
+    val notRiff = good.clone(); notRiff(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](MediaCodec.decodeAvi(notRiff))
+    // truncated mid-movi: the chunk walk must detect the overrun
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodeAvi(good.take(good.length / 2)))
+  }
+
   test("metadata-only catalog plan never synthesizes a payload") {
     val plan = SparkEntry.queries("mm01_media_catalog")(
       spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("png_synth"), plan)
     assert(!plan.contains("wav_synth"), plan)
+    assert(!plan.contains("avi_synth"), plan)
+  }
+
+  test("mm03 samples TRUE frame counts payload-pruned (no avi_synth)") {
+    val q = SparkEntry.queries("mm03_frame_sample")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("avi_synth"), plan)
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = (0L until 500L).filter(_ % 3 == 2).flatMap { id =>
+      (0 until MediaCodec.frameCount(MediaCodec.vseed(id)) by 2)
+        .map(f => (id, f))
+    }.toSet
+    assert(got == want)
   }
 
   test("mm05 resize rows match the closed-form downsample stats") {

@@ -5,9 +5,10 @@ mm04's candidate generation is blocking-specific (mean-centered sign-LSH
 buckets + a sorted-neighborhood ring), so an exact SQL oracle does not
 exist; its documented CONTRACT, though, is independently checkable
 outside Spark by replicating the deterministic encoder per kind (image:
-closed-form pixel fold; audio: closed-form PCM sample fold; video: the
-byte stub emb[i % 8] += byte — all integer-valued float32 slots, exact
-up to 2^24, so the replica is bit-faithful):
+closed-form pixel fold; audio: closed-form PCM sample fold; video:
+closed-form per-frame pixel fold over the decoded AVI/MPNG frames — all
+integer-valued float32 slots, exact up to 2^24, so the replica is
+bit-faithful):
 
   1. soundness — every output row names a distinct same-kind neighbor
      and its `sim` is a valid 6-decimal rounding of the true cosine of
@@ -27,12 +28,28 @@ import duckdb
 import numpy as np
 
 
-def embed(text: str) -> np.ndarray:
-    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+def embed_video(doc_id: int) -> np.ndarray:
+    """Replica of the video-kind embedding: the engine parses a REAL
+    AVI/MPNG container and PNG-decodes every frame (MediaCodec closed-form
+    frames -> RIFF+ImageIO round trip), folding the concatenated frame
+    rasters into 8 chunked sums; this recomputes the same sums from the
+    closed-form vpixel formula (kept in sync with MediaCodec.vpixel and
+    the mm02 SQL oracle). Payloads synthesize from the GROUP SEED
+    (MediaCodec.vseed — runs of 5 video ids share one payload, the
+    planted duplicate clusters the recall tier below exists for). Slot
+    sums stay under 2^19 — integer-exact in the engine's float32
+    slots."""
+    doc_id = doc_id - 3 * ((doc_id // 3) % 5)  # vseed
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    nf = 4 + doc_id % 8
+    f, y, x, c = np.meshgrid(np.arange(nf), np.arange(h), np.arange(w),
+                             np.arange(3), indexing="ij")
+    px = (doc_id * 31 + f * 17 + x * 7 + y * 13 + c * 101 + x * y) % 256
+    flat = px.reshape(-1).astype(np.int64)
     emb = np.zeros(8, dtype=np.int64)
     for r in range(8):
-        emb[r] = int(b[r::8].sum(dtype=np.int64))
-    return emb.astype(np.float64)  # exact: integer-valued float32 slots
+        emb[r] = int(flat[r::8].sum(dtype=np.int64))
+    return emb.astype(np.float64)
 
 
 def embed_audio(doc_id: int) -> np.ndarray:
@@ -71,12 +88,12 @@ def embed_image(doc_id: int) -> np.ndarray:
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     docs = con.execute(
-        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
         "ORDER BY doc_id").fetchall()
-    kinds = {d: ("image", "audio", "video")[d % 3] for d, _ in docs}
+    kinds = {d: ("image", "audio", "video")[d % 3] for (d,) in docs}
     embs = {d: embed_image(d) if d % 3 == 0
             else embed_audio(d) if d % 3 == 1
-            else embed(t) for d, t in docs}
+            else embed_video(d) for (d,) in docs}
     nrm = {d: float(np.sqrt((e * e).sum())) for d, e in embs.items()}
     rows = con.execute(
         f"SELECT media_id, kind, neighbor_id, sim FROM "
