@@ -49,8 +49,18 @@ def main(sf_dir, out_dir, sidecar_path, names):
             cols_ok = sorted(c.lower() for c in got.columns) == sorted(
                 c.lower() for c in want.columns)
             ok = cols_ok and check.canon(got) == check.canon(want)
-            entry = {"oracle": "duckdb", "pass": bool(ok),
-                     "spark_rows": int(rows)}
+            if name in sc.AUGMENT:
+                # dd04/tx05: DuckDB oracle primary + python brute-force
+                # second tier, same dual grading as the full sidecar pass
+                label, fn = sc.AUGMENT[name]
+                checker_ok = fn(sf_dir, out_dir) == 0
+                entry = {"oracle": f"duckdb + {label}",
+                         "pass": bool(ok and checker_ok),
+                         "spark_rows": int(rows),
+                         "checker_pass": bool(checker_ok)}
+            else:
+                entry = {"oracle": "duckdb", "pass": bool(ok),
+                         "spark_rows": int(rows)}
         elif name in check_derived.CHECKS:
             ok, msg = check_derived.CHECKS[name](con, sf_dir, out_dir)
             entry = {"oracle": "derived (tools/check_derived.py)",
