@@ -42,10 +42,12 @@ object Scratch {
       println("========== warmup done ==========")
     }
     val useNoop = sys.env.get("SCRATCH_SINK").contains("noop")
+    val showPlan = sys.env.get("SCRATCH_PLAN").contains("1")
     names.foreach { n =>
       println(s"========== $n ==========")
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, d)
+      if (showPlan) println(df.queryExecution.executedPlan.toString)
       val tBuild = (System.nanoTime() - t0) / 1e9
       val rows = if (useNoop) {
         df.write.format("noop").mode("overwrite").save(); -1L

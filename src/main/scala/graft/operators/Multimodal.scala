@@ -62,8 +62,13 @@ object Multimodal {
     * pixel/sample/frame stat without a PNG/WAV/AVI parser. (Audio meta
     * keeps the legacy text-derived width/height stand-ins — mm01 is the
     * metadata-pruning query, and a generic media catalog carries
-    * kind-inapplicable fields as-is.) */
-  def mediaCatalog(s: SparkSession, d: String): DataFrame = {
+    * kind-inapplicable fields as-is.)
+    *
+    * Factored over an arbitrary documents relation so codec consumers
+    * can width-normalize the RAW rows BEFORE the synth expressions run
+    * ([[codecCatalog]]): an exchange placed after this projection would
+    * leave the payload ENCODE itself on the narrow small-file scan. */
+  private def catalogProjection(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftx.PngSynthFunctions.png_synth
     import org.apache.spark.sql.graftx.WavSynthFunctions.wav_synth
     import org.apache.spark.sql.graftx.AviSynthFunctions.avi_synth
@@ -74,7 +79,7 @@ object Multimodal {
     val vs = col("doc_id") - lit(3) * ((col("doc_id") / 3).cast("long") % 5)
     // meta dims: the PAYLOAD's true dims — the seed's for video
     val dimId = when(isVideo, vs).otherwise(col("doc_id"))
-    Tables(s, d, "documents").select(
+    docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
@@ -91,6 +96,19 @@ object Multimodal {
         when(isVideo, lit(4) + vs % 8)
           .otherwise(lit(1)).cast("int").as("n_frames")).as("meta"))
   }
+
+  def mediaCatalog(s: SparkSession, d: String): DataFrame =
+    catalogProjection(Tables(s, d, "documents"))
+
+  /** The catalog's payload-bearing columns over WIDTH-NORMALIZED raw
+    * rows: the (doc_id, n_chars) base relation repartitions to full
+    * parallelism FIRST, so both the payload encode (synth expressions)
+    * and the downstream kernel decode run at cluster width instead of
+    * the small documents file's ~1-partition scan width. */
+  private def codecCatalog(s: SparkSession, d: String): DataFrame =
+    catalogProjection(
+      Tables(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .repartition(s.sparkContext.defaultParallelism))
 
   /** Decode + feature extraction — every kind on its REAL codec path.
     * IMAGE: ImageIO PNG decode, stats over the decoded pixel raster
@@ -184,26 +202,24 @@ object Multimodal {
       MediaResized(mediaId, rt.getWidth, rt.getHeight, px.length, sum)
     }
 
-  /** (media_id, kind, payload) as a typed Dataset for the stub kernels. */
-  private def payloads(cat: DataFrame) = {
-    val spark = cat.sparkSession
-    import spark.implicits._
-    // width-normalized HERE, not in the catalog: the decode/encode stubs
-    // (a real codec/model at deployment) are per-row-heavy over the
-    // payload bytes and must not inherit the file's row-group
-    // parallelism — while metadata-only consumers (mm01/mm03) keep a
-    // payload-pruned scan with no exchange at all.
-    // Deployment note on parallelism: with a REAL codec/model the
-    // per-row work here dwarfs everything and a width-normalizing
-    // repartition belongs right before the mapPartitions (the
-    // single-row-group fixture files otherwise cap it at one core —
-    // see Tables.wide). With the cheap stubs the exchange costs MORE
-    // than it parallelizes (measured +2.1 s on mm04 at sf2: payload
-    // bytes serialized through the exchange into the object boundary),
-    // so the measured engine leaves the scan width alone and the
-    // metadata-only consumers (mm01/mm03) keep a payload-pruned,
-    // exchange-free plan either way.
-    cat.select(col("media_id"), col("kind"), col("payload"))
+  /** (media_id, kind, payload) as a typed Dataset for the codec kernels,
+    * over the WIDTH-NORMALIZED [[codecCatalog]]: with every kind now on
+    * a real codec path (r12 — PNG/WAV/AVI round trips, not byte folds)
+    * the per-row encode+decode work dwarfs an exchange of (doc_id,
+    * n_chars) rows, and the small documents file otherwise scans as ~1
+    * partition (5.6 MB at sf1 under 16 MB maxPartitionBytes),
+    * serializing ~10^5 PNG encodes+decodes onto one core — measured
+    * 25.6 s -> 1.8 s on mm02 at sf1. This flips the r11 call (cheap
+    * stubs: the exchange cost MORE than it parallelized, +2.1 s on mm04
+    * at sf2); the r11 comment itself recorded that a real codec belongs
+    * behind a width-normalizing repartition. The exchange runs BELOW
+    * the synth projection and carries two longs per row, never payload
+    * bytes; metadata-only consumers (mm01/mm03) never come through here
+    * and keep their payload-pruned, exchange-free plans. */
+  private def payloads(s: SparkSession, d: String) = {
+    import s.implicits._
+    codecCatalog(s, d)
+      .select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
   }
 
@@ -222,7 +238,11 @@ object Multimodal {
     // mapPartitions batch — the shape a GPU/codec resize stage plugs into.
     "mm05_media_resize" -> ((s, d) => {
       import s.implicits._
-      mediaCatalog(s, d).filter(col("kind") === "image")
+      // codecCatalog = width-normalized BELOW the synth (4 real codec
+      // passes per row must not inherit a ~1-partition small-file
+      // scan); the kind filter pushes through the projection to the
+      // pre-exchange scan, so only image rows are exchanged or encoded
+      codecCatalog(s, d).filter(col("kind") === "image")
         .select(col("media_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(resizeKernel).toDF()
@@ -230,7 +250,7 @@ object Multimodal {
 
     "mm02_media_features" -> ((s, d) => {
       import s.implicits._
-      val feats = payloads(mediaCatalog(s, d))
+      val feats = payloads(s, d)
         .mapPartitions(decodeKernel).toDF()
       feats.groupBy(col("kind")).agg(
         count(lit(1)).as("n_media"),
@@ -261,7 +281,7 @@ object Multimodal {
       // candidate multiplier.
       val B = 8; val L = 2
       import s.implicits._
-      val emb = payloads(mediaCatalog(s, d))
+      val emb = payloads(s, d)
         .mapPartitions(encodeKernel).toDF()
       val e = emb.withColumn("nrm", l2_norm(col("emb")))
         .filter(col("nrm") > 0)
