@@ -119,37 +119,13 @@ object Relational2 {
     // h = p*(n-1) evaluated in the same double arithmetic both engines
     // use; round(4) absorbs last-ulp drift as before.
     "q23_percentiles" -> ((s, d) => {
-      val ranked = Scale.globalRank(
-        Tables(s, d, "orders")
-          .select(col("o_orderstatus"), col("o_totalprice")),
-        Seq(col("o_orderstatus").asc, col("o_totalprice").asc))
-      val bounds = ranked.groupBy(col("o_orderstatus"))
-        .agg(min(col("__rank")).as("__start"), count(lit(1)).as("__gn"))
-      val g = ranked.join(broadcast(bounds), "o_orderstatus")
-        .withColumn("__grank", col("__rank") - col("__start") + 1)
-      // boundary-rank picks and the interpolation fraction as row-level
-      // columns (constant per group), aggregated with max (each rank
-      // matches exactly one row; max over one value + nulls selects it)
-      def parts(p: Double, tag: String) = {
-        val h = (col("__gn") - 1).cast("double") * lit(p)
-        Seq(
-          when(col("__grank") === floor(h) + 1, col("o_totalprice"))
-            .as(s"__vlo_$tag"),
-          when(col("__grank") === ceil(h) + 1, col("o_totalprice"))
-            .as(s"__vhi_$tag"),
-          (h - floor(h)).as(s"__frac_$tag"))
-      }
-      g.select(Seq(col("o_orderstatus"), col("__gn")) ++
-          parts(0.5, "med") ++ parts(0.95, "p95"): _*)
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          round(max(col("__vlo_med")) + max(col("__frac_med")) *
-            (max(col("__vhi_med")) - max(col("__vlo_med"))), 4)
-            .as("median_price"),
-          round(max(col("__vlo_p95")) + max(col("__frac_p95")) *
-            (max(col("__vhi_p95")) - max(col("__vlo_p95"))), 4)
-            .as("p95_price"),
-          max(col("__gn")).as("n"))
+      rankPercentiles(
+        Tables(s, d, "orders"), "o_orderstatus", "o_totalprice",
+        Seq(0.5 -> "med", 0.95 -> "p95"))
+        .select(col("o_orderstatus"),
+          round(col("med"), 4).as("median_price"),
+          round(col("p95"), 4).as("p95_price"),
+          col("__gn").as("n"))
     }),
 
     // Moment statistics. Spark's stddev/corr merge partial moments
@@ -190,18 +166,25 @@ object Relational2 {
     // approx value must lie inside the EXACT percentiles at p +/- 0.02
     // (accuracy 10000 => rank error <= 1e-4*n, two orders inside the
     // window; the interpolated bound is strictly inside the discrete
-    // +/-0.02-rank one for n >= ~100). Exact and approx percentiles
-    // ride one aggregation pass.
+    // +/-0.02-rank one for n >= ~100).
+    // The EXACT bounds come from the rank-based kernel q23 uses (see
+    // [[rankPercentiles]]), NOT the built-in percentile() aggregate:
+    // the r12 first cut ran four percentile() aggs alongside the
+    // sketch, and that aggregate buffers every value of a group in one
+    // aggregation state — measured 5.9/13.2/31.0 s at sf1/2/4 (~2.3x
+    // per 2x, group-sized executor state) vs q23's 2.7/3.3/4.9 s on
+    // the identical relation. The sketch agg and the bounds relation
+    // join on the few-row group domain.
     "q26_approx_percentiles" -> ((s, d) => {
-      Tables(s, d, "orders")
+      val sk = Tables(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           expr("approx_percentile(o_totalprice, 0.5, 10000)").as("m_apx"),
-          expr("approx_percentile(o_totalprice, 0.95, 10000)").as("p_apx"),
-          expr("percentile(o_totalprice, 0.48)").as("m_lo"),
-          expr("percentile(o_totalprice, 0.52)").as("m_hi"),
-          expr("percentile(o_totalprice, 0.93)").as("p_lo"),
-          expr("percentile(o_totalprice, 0.97)").as("p_hi"))
+          expr("approx_percentile(o_totalprice, 0.95, 10000)").as("p_apx"))
+      val bounds = rankPercentiles(
+        Tables(s, d, "orders"), "o_orderstatus", "o_totalprice",
+        Seq(0.48 -> "m_lo", 0.52 -> "m_hi", 0.93 -> "p_lo", 0.97 -> "p_hi"))
+      sk.join(broadcast(bounds), "o_orderstatus")
         .select(col("o_orderstatus"), col("n_orders"),
           (col("m_apx") >= col("m_lo") && col("m_apx") <= col("m_hi"))
             .as("p50_in_bounds"),
@@ -326,6 +309,51 @@ object Relational2 {
           col("o_orderpriority").as("mode_priority"), col("n").as("n_mode"))
     })
   )
+
+  /** Exact interpolated percentiles per group via the rank-based kernel
+    * (q23's rationale, verbatim): NOT the built-in `percentile()`
+    * aggregate — that one buffers every value of a group inside ONE
+    * aggregation state (an OpenHashMap merged on a |groups|-partition
+    * shuffle), so with few huge groups per-executor state grows with
+    * the relation and OOMs long before 100 TB. Instead the values are
+    * range-ranked in parallel (Scale.globalRank: distributed sort +
+    * per-partition row_number, driver state = one offset per
+    * partition), group-local ranks fall out by subtracting the group's
+    * first global rank (a |groups|-row broadcast), and each percentile
+    * reads exactly its two boundary ranks. Ties need no tie-break:
+    * equal values are interchangeable at a rank. Interpolation is the
+    * same R-7 lower + frac*(upper - lower) DuckDB's quantile_cont uses,
+    * with h = p*(n-1) in the same double arithmetic.
+    *
+    * Returns one row per group: (group, __gn, <tag> per requested
+    * percentile), values unrounded. Boundary-rank picks and the
+    * interpolation fraction ride as row-level columns (constant per
+    * group) aggregated with max — each rank matches exactly one row,
+    * so max over one value + nulls selects it. */
+  private def rankPercentiles(df: DataFrame, group: String, value: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val ranked = Scale.globalRank(df.select(col(group), col(value)),
+      Seq(col(group).asc, col(value).asc))
+    val bounds = ranked.groupBy(col(group))
+      .agg(min(col("__rank")).as("__start"), count(lit(1)).as("__gn"))
+    val g = ranked.join(broadcast(bounds), group)
+      .withColumn("__grank", col("__rank") - col("__start") + 1)
+    def parts(p: Double, tag: String) = {
+      val h = (col("__gn") - 1).cast("double") * lit(p)
+      Seq(
+        when(col("__grank") === floor(h) + 1, col(value)).as(s"__vlo_$tag"),
+        when(col("__grank") === ceil(h) + 1, col(value)).as(s"__vhi_$tag"),
+        (h - floor(h)).as(s"__frac_$tag"))
+    }
+    val aggs = ps.map { case (_, tag) =>
+      (max(col(s"__vlo_$tag")) + max(col(s"__frac_$tag")) *
+        (max(col(s"__vhi_$tag")) - max(col(s"__vlo_$tag")))).as(tag)
+    } :+ max(col("__gn")).as("__gn")
+    g.select(Seq(col(group), col("__gn")) ++
+        ps.flatMap { case (p, t) => parts(p, t) }: _*)
+      .groupBy(col(group))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q31_grouping_sets" ->
