@@ -434,8 +434,12 @@ object Events {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("apx"))
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users_exact"))
-      exact.join(broadcast(hll), Seq("event_type"))
-        .select(col("event_type"), col("n_users_exact"),
+      // null-safe equality: a NULL event_type groups on both sides and
+      // must survive the join (plain `=` would silently drop the row).
+      exact.as("__e").join(broadcast(hll).as("__h"),
+          col("__e.event_type") <=> col("__h.event_type"))
+        .select(col("__e.event_type").as("event_type"),
+          col("n_users_exact"),
           (abs(col("apx") - col("n_users_exact")).cast("double") /
             col("n_users_exact") <= 0.05).as("rel_err_le_5pct"))
     })

@@ -337,12 +337,20 @@ object MediaCodec {
       var off = off0
       while (off + 8 <= end) {
         val id = tag(off); val sz = rd32(off + 4)
+        // sz is read signed: a corrupt high bit would make it negative,
+        // pass the overrun require (body + sz < end), and step the walk
+        // BACKWARDS — an infinite loop instead of the loud failure this
+        // decoder promises. Reject it explicitly.
+        require(sz >= 0, s"chunk $id size is negative (corrupt container)")
         val body = off + 8
         require(body + sz <= end, s"chunk $id overruns its parent")
         id match {
           case "LIST" => walk(body + 4, body + sz) // skip the kind fourcc
           case "avih" =>
-            fps = 1000000 / rd32(body)
+            val usecPerFrame = rd32(body)
+            require(usecPerFrame > 0,
+              "avih usecPerFrame must be positive (corrupt container)")
+            fps = 1000000 / usecPerFrame
             totalFrames = rd32(body + 16)
             w = rd32(body + 32); h = rd32(body + 36)
           case "strh" =>

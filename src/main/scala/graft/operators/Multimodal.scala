@@ -75,8 +75,12 @@ object Multimodal {
     val isImage = col("doc_id") % 3 === 0
     val isAudio = col("doc_id") % 3 === 1
     val isVideo = col("doc_id") % 3 === 2
-    // video GROUP seed (MediaCodec.vseed): planted duplicate payloads
-    val vs = col("doc_id") - lit(3) * ((col("doc_id") / 3).cast("long") % 5)
+    // video GROUP seed (MediaCodec.vseed): planted duplicate payloads.
+    // `div` is integral division — same integer arithmetic as the
+    // Scala kernel's id/3 and the DuckDB oracle's doc_id // 3 (the
+    // former Double-division form was exact only while doc_id/3 fit a
+    // double mantissa).
+    val vs = col("doc_id") - lit(3) * (expr("doc_id div 3") % 5)
     // meta dims: the PAYLOAD's true dims — the seed's for video
     val dimId = when(isVideo, vs).otherwise(col("doc_id"))
     docs.select(

@@ -218,7 +218,8 @@ object Pipeline {
     * and the staged frames (for the read-once plan audit in the spec —
     * every stage's executed plan must read its input from the persisted
     * parent, never re-scan parquet). */
-  private[graft] def run(s: SparkSession, d: String)
+  private[graft] def run(s: SparkSession, d: String,
+      keepFrames: Boolean = false)
       : (Seq[(Int, String, Long, Long, Long)], Seq[(String, DataFrame)]) = {
     // THE one corpus read of the whole job (read-once contract)
     val base = Tables.wide(s, d, "documents",
@@ -228,30 +229,70 @@ object Pipeline {
     val lineage = ArrayBuffer.empty[(Int, String, Long, Long, Long)]
     val frames = ArrayBuffer.empty[(String, DataFrame)]
     var prevN = base.count()
+    // Stage-boundary PLAN CUT + persist LIFECYCLE (r13, VERDICT r12
+    // "what's wrong" #1). Two defects shared one root:
+    //  * PLAN NESTING — building stage N+1 on stage N's DataFrame embeds
+    //    N's whole build plan inside N+1's; every multi-consumer stage
+    //    (dedup's pair self-join, decontaminate probing base AND its
+    //    input, the rank kernel reading its ranged relation twice)
+    //    MULTIPLIES the embedded subtrees. Nine stages in, one count()
+    //    planned a ~1.1M-line tree (139k rendered InMemoryTableScans) and
+    //    every action paid ~15 s of DRIVER-side planning on 2k rows —
+    //    data-independent, hence the measured sf0.1-slower-than-sf1
+    //    inversion and the bench's [108.8, 350.1] passes. PlanCut.cut
+    //    severs each materialized stage to a one-leaf LogicalRDD over its
+    //    cached-scan RDD, so every downstream plan is one stage deep.
+    //  * PERSIST LEAK — all nine frames plus base stayed MEMORY_AND_DISK
+    //    until the bench's post-query clearCache. Each parent now
+    //    unpersists as soon as its child's count() lands; q6 (consumed by
+    //    both stage 7 and the BPE train) waits for the merge computation,
+    //    base survives until stage 4 (decontaminate probes it).
+    // keepFrames=true (the spec's audit) retains every frame's blocks.
+    var livePrev: DataFrame = null
     def stage(ord: Int, name: String, df: DataFrame,
         fpParts: Seq[Column]): DataFrame = {
+      val t0 = System.nanoTime()
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       val n = p.count()
-      lineage += ((ord, name, prevN, n, fpOf(p, fpParts: _*)))
-      frames += ((name, p))
+      val cut = org.apache.spark.sql.graftx.PlanCut.cut(p)
+      val tMat = (System.nanoTime() - t0) / 1e9
+      lineage += ((ord, name, prevN, n, fpOf(cut, fpParts: _*)))
+      if (sys.props.get("graft.pp01.timing").contains("true"))
+        println(f"PP01TIME  $ord%2d $name%-14s mat=$tMat%7.2fs fp=${
+          (System.nanoTime() - t0) / 1e9 - tMat}%6.2fs")
+      frames += ((name, cut))
       prevN = n
-      p
+      // the child is materialized: its parent's blocks are now dead
+      // (q6 = ord 6 is held past stage 7 for the BPE train; released
+      // explicitly below)
+      if (!keepFrames && livePrev != null && ord != 7)
+        livePrev.unpersist(blocking = false)
+      livePrev = p
+      cut
     }
     val docFp = Seq(col("doc_id"), col("text"))
-    val q1 = stage(1, "quality", quality(base), docFp)
+    // base is materialized (count above) — sever it too, so stage 1 and
+    // decontaminate's probe side plan over a one-leaf cached scan
+    val baseCut = org.apache.spark.sql.graftx.PlanCut.cut(base)
+    val q1 = stage(1, "quality", quality(baseCut), docFp)
     val q2 = stage(2, "dedup", dedup(q1), docFp)
     val q3 = stage(3, "span_dedup", spanDedup(q2), docFp)
-    val q4 = stage(4, "decontaminate", decontaminate(q3, base), docFp)
+    val q4 = stage(4, "decontaminate", decontaminate(q3, baseCut), docFp)
+    if (!keepFrames) base.unpersist(blocking = false)
     val q5 = stage(5, "mixture", mixture(q4), docFp)
     val q6 = stage(6, "split_train",
       q5.filter(md5Bucket(100L) < 90), docFp)
     val q7 = stage(7, "shuffle", shuffle(q6),
       Seq(col("doc_id"), col("pos")))
     val merges = Bpe.trainOnDocs(q6, Bpe.Merges).map(m => (m._1, m._2))
+    if (!keepFrames) q6.unpersist(blocking = false)
     val q8 = stage(8, "bpe_segment", segment(q7, merges),
       Seq(col("doc_id"), col("n_bpe")))
     stage(9, "pack", pack(q8),
       Seq(col("doc_id"), col("window_id"), col("win_tokens")))
+    // every lineage row (counts + fingerprints) is already a driver-side
+    // value; the last frame's blocks are dead weight too
+    if (!keepFrames) livePrev.unpersist(blocking = false)
     (lineage.toSeq, frames.toSeq)
   }
 

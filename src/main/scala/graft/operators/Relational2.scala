@@ -184,8 +184,12 @@ object Relational2 {
       val bounds = rankPercentiles(
         Tables(s, d, "orders"), "o_orderstatus", "o_totalprice",
         Seq(0.48 -> "m_lo", 0.52 -> "m_hi", 0.93 -> "p_lo", 0.97 -> "p_hi"))
-      sk.join(broadcast(bounds), "o_orderstatus")
-        .select(col("o_orderstatus"), col("n_orders"),
+      // null-safe group-key join: both aggregations emit a row for a
+      // NULL o_orderstatus; `<=>` keeps it where `=` would drop it.
+      sk.as("__s").join(broadcast(bounds).as("__b"),
+          col("__s.o_orderstatus") <=> col("__b.o_orderstatus"))
+        .select(col("__s.o_orderstatus").as("o_orderstatus"),
+          col("n_orders"),
           (col("m_apx") >= col("m_lo") && col("m_apx") <= col("m_hi"))
             .as("p50_in_bounds"),
           (col("p_apx") >= col("p_lo") && col("p_apx") <= col("p_hi"))
@@ -336,7 +340,11 @@ object Relational2 {
       Seq(col(group).asc, col(value).asc))
     val bounds = ranked.groupBy(col(group))
       .agg(min(col("__rank")).as("__start"), count(lit(1)).as("__gn"))
-    val g = ranked.join(broadcast(bounds), group)
+    // null-safe: a NULL group key ranks and aggregates like any other
+    // group; the equi-join form would silently drop its bounds row.
+    val g = ranked.as("__r").join(broadcast(bounds).as("__b"),
+        col(s"__r.$group") <=> col(s"__b.$group"))
+      .select(col("__r.*"), col("__b.__start"), col("__b.__gn"))
       .withColumn("__grank", col("__rank") - col("__start") + 1)
     def parts(p: Double, tag: String) = {
       val h = (col("__gn") - 1).cast("double") * lit(p)

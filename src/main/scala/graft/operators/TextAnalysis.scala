@@ -994,9 +994,15 @@ object TextAnalysis {
     // tx05: a FULL cross-engine replay of the winnowing kernel
     // (WinnowFingerprint: K=24-byte grams, W=16 windows, base 257, 64-bit
     // wraparound). Exactness argument:
-    //  - the fixture text is pure ASCII (checked: octet_length(encode(t))
-    //    = length(t) for every row), so unicode(text[i]) IS the UTF-8
-    //    byte the Scala kernel hashes;
+    //  - the fixture text is pure ASCII — ASSERTED in the codes CTE
+    //    (error() fires on any row where octet_length(encode(text)) !=
+    //    length(text)), so unicode(text[i]) IS the UTF-8 byte the Scala
+    //    kernel hashes, and a future non-ASCII fixture fails LOUDLY
+    //    instead of diverging silently. The guard must be CASE WHEN, not
+    //    `ok OR error(...)`: DuckDB constant-folds error('literal') at
+    //    plan time and does NOT short-circuit OR over a scan, so both
+    //    OR forms throw even on all-ASCII data (measured); CASE branches
+    //    are documented-lazy;
     //  - gram hashes fold in HUGEINT with an explicit mod 2^64, exactly
     //    Scala's Long wraparound; comparisons happen on the SIGNED view
     //    (h >= 2^63 -> h - 2^64) because the kernel's window-argmin
@@ -1013,7 +1019,12 @@ object TextAnalysis {
         |    list_transform(range(1, length(text) + 1),
         |      i -> unicode(text[i])::HUGEINT) AS cs,
         |    length(text) AS n
-        |  FROM documents WHERE length(text) >= 24),
+        |  FROM documents WHERE length(text) >= 24
+        |    AND CASE WHEN octet_length(encode(text)) = length(text)
+        |      THEN TRUE
+        |      ELSE error('tx05 oracle assumes ASCII text (char ops must '
+        |        || 'equal the UTF-8 bytes the kernel hashes); doc_id='
+        |        || doc_id) END),
         |grams AS (
         |  SELECT doc_id, n - 23 AS ng,
         |    list_transform(range(1, n - 22), p ->

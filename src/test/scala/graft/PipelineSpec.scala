@@ -31,34 +31,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(byName("pack")._4 > 0, "empty packed corpus")
   }
 
-  test("pp01: READ-ONCE — no stage's executed plan re-scans parquet; " +
-      "every input flows from a persisted parent") {
-    val (_, frames) = operators.Pipeline.run(spark, sf)
+  test("pp01: READ-ONCE + BOUNDED PLANS — the whole nine-stage run " +
+      "reads the documents parquet once (byte-counted), every stage is " +
+      "plan-severed, and no fresh action re-scans parquet") {
+    import scala.jdk.CollectionConverters._
+    // the EMPIRICAL read-once contract: Hadoop FileSystem statistics
+    // count every byte the local-FS scheme reads across all in-process
+    // task threads. run() may read documents.parquet once (column-
+    // pruned, so a single scan reads LESS than the file size); a stage
+    // that re-scanned parquet would add ~another scan's worth.
+    def fileBytesRead: Long =
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    def diskSize(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(diskSize).sum).getOrElse(0L)
+    val docBytes = diskSize(new java.io.File(s"$sf/documents.parquet"))
+    val before = fileBytesRead
+    // keepFrames: every frame's blocks are retained for the fresh-action
+    // probes below (the r13 eager-unpersist lifecycle is off here)
+    val (_, frames) = operators.Pipeline.run(spark, sf, keepFrames = true)
+    val delta = fileBytesRead - before
     try {
-      // walk the executed TREE (through AQE's plan/stage wrappers): a
-      // FileSourceScanExec node is a real parquet read; the FileScan
-      // text nested inside an InMemoryRelation's rendering is just the
-      // cache's build plan and must not count
-      import org.apache.spark.sql.execution.SparkPlan
-      def walk(p: SparkPlan): (Int, Int) = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          (0, 0) // its original was counted where it was planned
-        case _: org.apache.spark.sql.execution.FileSourceScanExec => (1, 0)
-        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          (0, 1)
-        case o => o.children.map(walk)
-          .foldLeft((0, 0))((x, y) => (x._1 + y._1, x._2 + y._2))
-      }
+      assert(delta <= (docBytes * 1.25).toLong + (1 << 20),
+        s"pipeline read $delta file bytes for a $docBytes-byte corpus — " +
+          "some stage re-scans parquet instead of its cached parent")
+      assert(delta > 0, "pipeline read nothing — the byte audit is broken")
+      // every stage frame is severed to a one-leaf LogicalRDD over its
+      // materialized cache scan (the r13 fix for the exponential plan
+      // nesting that made every pp01 action pay ~15 s of driver-side
+      // planning at sf0.1)
       frames.foreach { case (name, df) =>
-        val exec = df.queryExecution.executedPlan
-        val (fileScans, cachedScans) = walk(exec)
-        assert(fileScans == 0, s"stage $name re-reads parquet:\n$exec")
-        assert(cachedScans > 0,
-          s"stage $name does not read a cached parent:\n$exec")
+        val lp = df.queryExecution.logical
+        assert(lp.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+          s"stage $name is not plan-severed: ${lp.getClass.getName}")
+      }
+      // regression guard for the blowup itself: a FRESH action on the
+      // deepest frame must plan a tiny tree (the unsevered r12 form
+      // planned ~1.1M lines here) and never touch parquet
+      frames.foreach { case (name, df) =>
+        val ep = df.groupBy().count().queryExecution.executedPlan.toString
+        assert(ep.linesIterator.length < 200,
+          s"stage $name plans ${ep.linesIterator.length} lines — lineage " +
+            "is accreting again")
+        assert(!ep.contains("FileScan"), s"stage $name re-scans parquet")
       }
     } finally spark.catalog.clearCache()
   }
