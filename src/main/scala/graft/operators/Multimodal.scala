@@ -47,6 +47,23 @@ case class MediaEmb(media_id: Long, kind: String, emb: Array[Float])
 case class MediaResized(media_id: Long, width: Int, height: Int,
   n_bytes: Int, checksum: Long)
 
+/** Pluggable embedding-model seam for the multimodal tier. An
+  * implementation receives one PARTITION's worth of (media_id, kind,
+  * payload-bytes) rows per call and returns their embeddings — the
+  * mapPartitions batch contract, so a real model (ONNX session, JNI
+  * handle, GPU context) loads ONCE per partition in `encode`'s
+  * enclosing scope and serves the whole batch. Implementations must be
+  * serializable (they ship to executors) and deterministic per payload
+  * if downstream audits are to stay reproducible. The engine's default
+  * is [[Multimodal.StubMediaEncoder]] (the closed-form featurizer the
+  * oracles replay); swapping in a real encoder changes ONLY the
+  * vectors — catalog, partitioning, kNN, and dedup plumbing are
+  * encoder-agnostic (spec-pinned). */
+trait MediaEncoder extends Serializable {
+  def encode(
+    rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaEmb]
+}
+
 object Multimodal {
 
   /** Synthesize the media catalog from `documents`: kind round-robins
@@ -157,14 +174,19 @@ object Multimodal {
       }
     }
 
-  /** Embedding kernel — every kind embeds its REAL decoded content
-    * (8 chunked sums — a fixed featurizer, stand-in for a model forward
-    * pass). IMAGE: the decoded pixel raster; AUDIO: the decoded sample
-    * stream (slot sums stay under 2^21); VIDEO (r12): the decoded frame
-    * rasters concatenated in frame order (slot sums stay under 2^19 —
-    * 11 frames x 16x14x3 / 8 slots x 255 max; all integer-exact in
-    * float32). The per-partition iterator is where a real model would
-    * load once and serve the whole batch. */
+  /** Default [[MediaEncoder]]: every kind embeds its REAL decoded
+    * content (8 chunked sums — a fixed featurizer, stand-in for a model
+    * forward pass). IMAGE: the decoded pixel raster; AUDIO: the decoded
+    * sample stream (slot sums stay under 2^21); VIDEO (r12): the decoded
+    * frame rasters concatenated in frame order (slot sums stay under
+    * 2^19 — 11 frames x 16x14x3 / 8 slots x 255 max; all integer-exact
+    * in float32). */
+  object StubMediaEncoder extends MediaEncoder {
+    def encode(
+        rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaEmb] =
+      encodeKernel(rows)
+  }
+
   private def encodeKernel(
       rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaEmb] =
     rows.map { case (mediaId, kind, bytes) =>
@@ -227,55 +249,37 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Metadata-only catalog scan: payload column pruned away entirely —
-    // the plan never touches png_synth (no payload bytes, no PNG encode;
-    // asserted by the spec's plan read).
-    "mm01_media_catalog" -> ((s, d) =>
-      mediaCatalog(s, d).select(
-        col("media_id"), col("kind"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        col("meta.channels").as("channels"))),
+  /** Decode -> embed through the REAL codec paths: the embedding
+    * relation (media_id, kind, emb) every mm04 tier builds on. The
+    * encoder is the pluggable [[MediaEncoder]] seam — hand it an ONNX/
+    * JNI-backed implementation and the catalog scan, width
+    * normalization, batch shape, and every downstream consumer stay
+    * untouched; the default is the closed-form stub the oracles can
+    * replay. */
+  private[graft] def mediaEmb(s: SparkSession, d: String,
+      encoder: MediaEncoder = StubMediaEncoder): DataFrame = {
+    import s.implicits._
+    payloads(s, d).mapPartitions(encoder.encode).toDF()
+  }
 
-    // REAL resize stage: image payloads only (pruned at the scan by the
-    // kind filter), decode -> downsample -> encode -> decode in one
-    // mapPartitions batch — the shape a GPU/codec resize stage plugs into.
-    "mm05_media_resize" -> ((s, d) => {
-      import s.implicits._
-      // codecCatalog = width-normalized BELOW the synth (4 real codec
-      // passes per row must not inherit a ~1-partition small-file
-      // scan); the kind filter pushes through the projection to the
-      // pre-exchange scan, so only image rows are exchanged or encoded
-      codecCatalog(s, d).filter(col("kind") === "image")
-        .select(col("media_id"), col("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(resizeKernel).toDF()
-    }),
+  /** The full multimodal pipeline shape: decode -> embed (stub model in
+    * the mapPartitions batch kernel) -> approximate nearest neighbor per
+    * media within its kind: candidate pairs from OWN-bucket sign-LSH
+    * co-location within (kind, table, bucket) across L independent
+    * tables (sim02's machinery), windowed by a sorted-neighborhood ring
+    * so per-bucket work is linear (no all-pairs join, no multiprobe:
+    * see the candidate-volume note below), exact cosine rescore of
+    * candidates only, winner per media via the custom TopKPerGroup
+    * operator. Zero-norm embeddings (empty payloads) are filtered before
+    * ranking — sim would be 0/0 = NaN, which Spark sorts above every
+    * real double and would leak a NaN winner. A media whose probed
+    * buckets hold no same-kind neighbor emits no row (ANN contract).
+    * Stub-encoder output -> rows-only check; invariants in the spec.
+    * (Raw top-1 relation — the specs and tools/check_mm04.py's numpy
+    * tier consume this; the DRIVER-GATED query is [[mediaKnnAudit]].) */
+  private[graft] def mediaKnn(s: SparkSession, d: String,
+      embIn: DataFrame = null): DataFrame = {
 
-    "mm02_media_features" -> ((s, d) => {
-      import s.implicits._
-      val feats = payloads(s, d)
-        .mapPartitions(decodeKernel).toDF()
-      feats.groupBy(col("kind")).agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        sum(col("checksum")).as("total_checksum"))
-    }),
-
-    // The full multimodal pipeline shape: decode -> embed (stub model in
-    // the mapPartitions batch kernel) -> approximate nearest neighbor per
-    // media within its kind: candidate pairs from OWN-bucket sign-LSH
-    // co-location within (kind, table, bucket) across L independent
-    // tables (sim02's machinery), windowed by a sorted-neighborhood ring
-    // so per-bucket work is linear (no all-pairs join, no multiprobe:
-    // see the candidate-volume note below), exact cosine rescore of
-    // candidates only, winner per media via the custom TopKPerGroup
-    // operator. Zero-norm embeddings (empty payloads) are filtered before
-    // ranking — sim would be 0/0 = NaN, which Spark sorts above every
-    // real double and would leak a NaN winner. A media whose probed
-    // buckets hold no same-kind neighbor emits no row (ANN contract).
-    // Stub-encoder output -> rows-only check; invariants in the spec.
-    "mm04_media_embed_knn" -> ((s, d) => {
       import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
       import org.apache.spark.sql.graftx.SignBucketsFunctions.sign_buckets
       // B=8 planes: the stub's exact-duplicate embedding clusters put a
@@ -285,8 +289,7 @@ object Multimodal {
       // candidate multiplier.
       val B = 8; val L = 2
       import s.implicits._
-      val emb = payloads(s, d)
-        .mapPartitions(encodeKernel).toDF()
+      val emb = if (embIn != null) embIn else mediaEmb(s, d)
       val e = emb.withColumn("nrm", l2_norm(col("emb")))
         .filter(col("nrm") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -397,7 +400,123 @@ object Multimodal {
             (col("a.nrm") * col("b.nrm")), 6).as("sim"))
       Scale.topKPerGroup(pairs, Seq("media_id"), 1,
         col("sim").desc, col("neighbor_id").asc)
+  }
+
+  /** Driver-gated audit for the media kNN (the r12 verdict's last
+    * `no_oracle` row; recipe = sim09's knnGraphAudit). Domain: EVERY
+    * media. DuckDB pins the structural columns — kind and `emb_sig`,
+    * the codec-path embedding's 8 slot sums as a canonical ':'-joined
+    * string, which the oracle recomputes from the closed-form
+    * pixel/sample/frame formulas: a bit-exact pin of the WHOLE
+    * embedding through the real PNG/WAV/AVI decode, for every media
+    * (strictly wider than the old checker, which only saw media that
+    * emitted a kNN row). The contract booleans ride as columns the
+    * oracle asserts as TRUE literals:
+    *  - `sound_ok`   — the media's top-1 row (if any) names a distinct
+    *    same-kind neighbor whose `sim` is the 6dp rounding of the true
+    *    cosine (|sim - cos| <= 5e-7 + 1e-12), the vectors being the
+    *    emb_sig-certified ones;
+    *  - `le1_row`    — at most one kNN row per media;
+    *  - `dup_recall_ok` — a media with an IDENTICAL same-kind nonzero
+    *    twin (the stub's planted duplicate clusters) reports sim = 1.0.
+    * tools/check_mm04.py re-derives the same columns from an
+    * independent numpy replica (second tier). */
+  private[graft] def mediaKnnAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
+    val tol = 5e-7 + 1e-12
+    val em = mediaEmb(s, d)
+      .withColumn("emb_sig", expr("array_join(transform(emb, " +
+        "x -> CAST(CAST(x AS BIGINT) AS STRING)), ':')"))
+      .withColumn("nrm", l2_norm(col("emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // identical-embedding twin groups (nonzero-norm, within a kind):
+    // group identity IS the pinned signature, so engine twins and
+    // oracle twins coincide by construction once emb_sig matches
+    val twins = em.filter(col("nrm") > 0)
+      .groupBy(col("kind"), col("emb_sig"))
+      .agg(count(lit(1)).as("m")).filter(col("m") > 1)
+      .select(col("kind").as("tkind"), col("emb_sig").as("tsig"))
+    val top1 = mediaKnn(s, d,
+      em.select(col("media_id"), col("kind"), col("emb")))
+    // per-media audit of the (<= 1) kNN row: neighbor validity + the
+    // rounding-soundness bound against the exact cosine of the two
+    // certified vectors. The em sides are PER-ROW relations (one row
+    // per media) — shuffle-hash pinned, same rule as the kNN's rescore
+    // joins: broadcasting a corpus-sized side breaks past the 8 GB cap
+    // long before 100 TB (PlanAuditSpec's unreduced-broadcast guard).
+    val t = top1.as("t")
+      .join(em.select(col("media_id").as("aid"), col("emb").as("aemb"),
+          col("nrm").as("anrm")).hint("shuffle_hash"),
+        col("t.media_id") === col("aid"))
+      .join(em.select(col("media_id").as("bid"), col("kind").as("bkind"),
+          col("emb").as("bemb"), col("nrm").as("bnrm"))
+          .hint("shuffle_hash"),
+        col("t.neighbor_id") === col("bid"))
+      .groupBy(col("t.media_id").as("kid"))
+      .agg(count(lit(1)).as("n_rows"),
+        min((col("t.neighbor_id") =!= col("t.media_id")) &&
+          (col("bkind") === col("t.kind")) &&
+          (abs(col("t.sim") - dot_product(col("aemb"), col("bemb")) /
+            (col("anrm") * col("bnrm"))) <= tol)).as("rows_sound"),
+        max(col("t.sim")).as("top_sim"))
+    // no broadcast hint on twins: its row count tracks the duplicate
+    // structure (the planted video runs alone make it ~N/15), so at
+    // corpus scale it must stay a shuffled join; AQE still broadcasts
+    // it when it is actually small
+    em.as("e")
+      .join(twins, col("e.kind") === col("tkind") &&
+        col("e.emb_sig") === col("tsig"), "left")
+      .join(t, col("e.media_id") === col("kid"), "left")
+      .select(col("e.media_id").as("media_id"), col("e.kind").as("kind"),
+        col("e.emb_sig").as("emb_sig"),
+        col("tsig").isNotNull.as("has_twin"),
+        (col("tsig").isNull || (coalesce(col("top_sim"), lit(0.0)) === 1.0))
+          .as("dup_recall_ok"),
+        (coalesce(col("n_rows"), lit(0L)) <= 1).as("le1_row"),
+        coalesce(col("rows_sound"), lit(true)).as("sound_ok"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata-only catalog scan: payload column pruned away entirely —
+    // the plan never touches png_synth (no payload bytes, no PNG encode;
+    // asserted by the spec's plan read).
+    "mm01_media_catalog" -> ((s, d) =>
+      mediaCatalog(s, d).select(
+        col("media_id"), col("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"))),
+
+    // REAL resize stage: image payloads only (pruned at the scan by the
+    // kind filter), decode -> downsample -> encode -> decode in one
+    // mapPartitions batch — the shape a GPU/codec resize stage plugs into.
+    "mm05_media_resize" -> ((s, d) => {
+      import s.implicits._
+      // codecCatalog = width-normalized BELOW the synth (4 real codec
+      // passes per row must not inherit a ~1-partition small-file
+      // scan); the kind filter pushes through the projection to the
+      // pre-exchange scan, so only image rows are exchanged or encoded
+      codecCatalog(s, d).filter(col("kind") === "image")
+        .select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(resizeKernel).toDF()
     }),
+
+    "mm02_media_features" -> ((s, d) => {
+      import s.implicits._
+      val feats = payloads(s, d)
+        .mapPartitions(decodeKernel).toDF()
+      feats.groupBy(col("kind")).agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("checksum")).as("total_checksum"))
+    }),
+
+    // r13: the GATED mm04 is the audit form — media domain and the
+    // closed-form embedding signature DuckDB-pinned, contract booleans
+    // asserted as TRUE literals in the oracle (the sim09 recipe,
+    // VERDICT r12 next-#4). The raw top-1 relation is [[mediaKnn]].
+    "mm04_media_embed_knn" -> ((s, d) => mediaKnnAudit(s, d)),
+
 
     // Frame sampling: every 2nd frame of each video; pure expression
     // fan-out over the catalog's TRUE frame count (meta.n_frames — the
@@ -466,6 +585,52 @@ object Multimodal {
       |  FROM documents WHERE doc_id % 3 = 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // mm04 (r13): the audit oracle — DuckDB recomputes every media's
+    // 8-slot closed-form embedding (flat-index % 8 chunked sums in the
+    // kernels' raster/sample order) and the identical-twin census, and
+    // asserts the engine's contract booleans as TRUE literals (the
+    // engine-evaluated-bound tier, same standing as sim09's audit).
+    // The emb_sig equality is the strong half: it pins the WHOLE
+    // embedding, per media, across the real PNG/WAV/AVI decode.
+    "mm04_media_embed_knn" ->
+      s"""WITH $GridSql,
+         |islot AS (
+         |  SELECT img.doc_id, ((y * w + x) * 3 + c) % 8 AS r,
+         |    SUM($PixelSql) AS sv
+         |  FROM img JOIN g ON x < w AND y < h
+         |  GROUP BY 1, 2),
+         |$AudioGridSql,
+         |aslot AS (
+         |  SELECT aud.doc_id, i % 8 AS r, SUM($SampleSql) AS sv
+         |  FROM aud JOIN ga ON i < n
+         |  GROUP BY 1, 2),
+         |$VideoGridSql,
+         |vslot AS (
+         |  SELECT vid.doc_id, (((f * h + y) * w + x) * 3 + c) % 8 AS r,
+         |    SUM($VPixelSql) AS sv
+         |  FROM vid JOIN gv ON f < nf AND x < w AND y < h
+         |  GROUP BY 1, 2),
+         |slots AS (SELECT * FROM islot UNION ALL SELECT * FROM aslot
+         |  UNION ALL SELECT * FROM vslot),
+         |sig AS (
+         |  SELECT doc_id,
+         |    string_agg(CAST(CAST(sv AS BIGINT) AS VARCHAR), ':' ORDER BY r)
+         |      AS emb_sig,
+         |    SUM(sv * sv) AS nrm2
+         |  FROM slots GROUP BY doc_id),
+         |twin AS (
+         |  SELECT doc_id % 3 AS tk, emb_sig AS tsig
+         |  FROM sig WHERE nrm2 > 0 GROUP BY 1, 2 HAVING COUNT(*) > 1)
+         |SELECT s.doc_id AS media_id,
+         |  ['image','audio','video'][(s.doc_id % 3 + 1)::INT] AS kind,
+         |  s.emb_sig AS emb_sig,
+         |  t.tsig IS NOT NULL AS has_twin,
+         |  TRUE AS dup_recall_ok,
+         |  TRUE AS le1_row,
+         |  TRUE AS sound_ok
+         |FROM sig s LEFT JOIN twin t
+         |  ON s.doc_id % 3 = t.tk AND s.emb_sig = t.tsig""".stripMargin,
+
     // width/height: the payload's true dims — the doc's own for image,
     // the GROUP SEED's for video (duplicate runs share one payload),
     // the legacy text stand-ins for audio

@@ -452,6 +452,26 @@ object Similarity {
       if (S > 1) {
         val raw2 = dot_product(col("x.embedding"), col("y.embedding")) /
           (col("x.nrm") * col("y.nrm"))
+        // SLICE LIFECYCLE (r13): in the r12 one-job form all S slices'
+        // shuffle files lived until job end, so single-host shuffle DISK
+        // tracked the FULL candidate volume even though memory was
+        // bounded — measured as the 1.6M-vector wall (67 GB of live
+        // spill, run aborted; BENCH_sim09_trend.json n1600k_attempt).
+        // Eager mode (default when S > 1) runs each slice as its own
+        // job: localCheckpoint materializes the slice's bounded heap
+        // output (<= K+slack rows per source — tiny) and TRUNCATES the
+        // RDD lineage, making the slice's ShuffleDependencies
+        // unreachable; the post-slice GC hands them to ContextCleaner,
+        // which deletes their files before the next slice runs. Peak
+        // disk falls from ~candidate volume to ~1/S of it (one slice's
+        // probe exchange + the own-side exchange, re-executed per slice
+        // now that there is no single plan for ReusedExchange to share
+        // — the S-1 extra own writes are the price of the 1/S peak).
+        // Trade-off: a truncated slice cannot recompute on block loss;
+        // on a multi-executor cluster with fleet-scaled shuffle storage,
+        // -Dgraft.sim09.eagerSlices=false restores the one-job form.
+        val eager = sys.props.getOrElse("graft.sim09.eagerSlices", "true")
+          .toBoolean
         val perSlice = (0 until S).map { si =>
           val probeS = own
             .filter(pmod(col("vec_id"), lit(S.toLong)) === si)
@@ -468,8 +488,16 @@ object Similarity {
                 col("x.vec_id") =!= col("y.vec_id"))
             .select(col("x.vec_id").as("src"),
               col("y.vec_id").as("dst"), raw2.as("c"))
-          Scale.topKPerGroupDistinct(edges, Seq("src"), K + RankSlack,
-            Seq("dst"), col("c").desc, col("dst").asc)
+          val sel = Scale.topKPerGroupDistinct(edges, Seq("src"),
+            K + RankSlack, Seq("dst"), col("c").desc, col("dst").asc)
+          if (eager) {
+            val mat = sel.localCheckpoint(eager = true)
+            // the slice plan just became unreachable; a prompt GC lets
+            // ContextCleaner delete its shuffle files NOW, which is the
+            // whole point of the per-slice job
+            System.gc()
+            mat
+          } else sel
         }
         graphRerank(perSlice.reduce(_ union _))
       } else {

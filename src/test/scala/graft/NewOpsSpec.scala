@@ -129,8 +129,10 @@ class NewOpsSpec extends AnyFunSuite {
     val plans = Seq(
       "dd07_embedding_neardup_lsh" ->
         graft.operators.Dedup.embedNearDupLsh(spark, sf),
+      // mm04 via the raw relation too (r13): the gated entry is now the
+      // audit wrapper; the plan contract targets the kNN kernel itself
       "mm04_media_embed_knn" ->
-        SparkEntry.queries("mm04_media_embed_knn")(spark, sf))
+        graft.operators.Multimodal.mediaKnn(spark, sf))
     plans.foreach { case (q, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
@@ -202,11 +204,12 @@ class NewOpsSpec extends AnyFunSuite {
   }
 
   test("mm04: knn output is deterministic, kind-consistent, self-excluding") {
-    val df1 = SparkEntry.queries("mm04_media_embed_knn")(spark, sf)
+    // raw relation (r13): the gated queries entry is the audit wrapper
+    val df1 = graft.operators.Multimodal.mediaKnn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getDouble(3))).sortBy(_._1)
     spark.catalog.clearCache()
-    val df2 = SparkEntry.queries("mm04_media_embed_knn")(spark, sf)
+    val df2 = graft.operators.Multimodal.mediaKnn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getDouble(3))).sortBy(_._1)
     assert(df1.sameElements(df2), "two runs must agree exactly")

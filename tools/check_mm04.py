@@ -1,5 +1,14 @@
 #!/usr/bin/env python3
-"""Independent contract check for mm04_media_embed_knn.
+"""Independent contract check for mm04_media_embed_knn (second tier).
+
+Since r13 the gated mm04 output is the AUDIT relation: one row per
+media with the codec-path embedding's 8 slot sums pinned as `emb_sig`,
+the identical-twin flag, and the contract booleans (sound_ok / le1_row
+/ dup_recall_ok) the engine evaluated over its raw top-1 relation. The
+DuckDB oracle re-derives emb_sig/has_twin from the closed forms in SQL;
+THIS script re-derives them independently in numpy (a third arithmetic
+path) and additionally requires every contract boolean to be TRUE —
+so a regression must fool three engines at once to pass.
 
 mm04's candidate generation is blocking-specific (mean-centered sign-LSH
 buckets + a sorted-neighborhood ring), so an exact SQL oracle does not
@@ -95,40 +104,35 @@ def main(sf_dir, out_dir):
             else embed_audio(d) if d % 3 == 1
             else embed_video(d) for (d,) in docs}
     nrm = {d: float(np.sqrt((e * e).sum())) for d, e in embs.items()}
-    rows = con.execute(
-        f"SELECT media_id, kind, neighbor_id, sim FROM "
-        f"'{out_dir}/mm04_media_embed_knn/*.parquet'").fetchall()
-    seen = {}
-    for mid, kind, nid, sim in rows:
-        if mid in seen:
-            return fail(f"media {mid} appears twice")
-        seen[mid] = sim
-        if nid == mid:
-            return fail(f"media {mid} is its own neighbor")
-        if kinds[mid] != kind or kinds[nid] != kind:
-            return fail(f"pair ({mid},{nid}) crosses kinds")
-        if nrm[mid] == 0 or nrm[nid] == 0:
-            return fail(f"pair ({mid},{nid}) includes a zero-norm vector")
-        cos = float(embs[mid] @ embs[nid]) / (nrm[mid] * nrm[nid])
-        if abs(sim - cos) > 5e-7 + 1e-12:
-            return fail(f"({mid},{nid}): sim {sim} vs true cosine {cos}")
-    # exact-duplicate recall: same-kind identical embeddings must hit 1.0
     groups = {}
     for d, e in embs.items():
         if nrm[d] > 0:
             groups.setdefault((kinds[d],) + tuple(e), []).append(d)
-    n_dup = 0
-    for members in groups.values():
-        if len(members) < 2:
-            continue
-        for d in members:
-            n_dup += 1
-            if seen.get(d) != 1.0:
-                return fail(
-                    f"media {d} has an identical same-kind twin but "
-                    f"reports sim {seen.get(d)}")
-    print(f"mm04 OK: {len(rows)} rows sound vs the replicated stub "
-          f"encoder; all {n_dup} exact-duplicate media report sim 1.0")
+    twin = {d for members in groups.values() if len(members) > 1
+            for d in members}
+    rows = con.execute(
+        "SELECT media_id, kind, emb_sig, has_twin, dup_recall_ok, "
+        "le1_row, sound_ok FROM "
+        f"'{out_dir}/mm04_media_embed_knn/*.parquet'").fetchall()
+    if len(rows) != len(docs):
+        return fail(f"audit covers {len(rows)} media, corpus has {len(docs)}")
+    n_twin = 0
+    for mid, kind, sig, has_twin, dup_ok, le1, sound in rows:
+        if kinds.get(mid) != kind:
+            return fail(f"media {mid}: kind {kind} != {kinds.get(mid)}")
+        want = ":".join(str(int(v)) for v in embs[mid])
+        if sig != want:
+            return fail(f"media {mid}: engine emb_sig {sig} != numpy {want}")
+        if bool(has_twin) != (mid in twin):
+            return fail(f"media {mid}: has_twin {has_twin}, numpy says "
+                        f"{mid in twin}")
+        if not (dup_ok and le1 and sound):
+            return fail(f"media {mid}: contract booleans "
+                        f"dup={dup_ok} le1={le1} sound={sound}")
+        n_twin += bool(has_twin)
+    print(f"mm04 OK: {len(rows)} media audited; every codec-path "
+          f"embedding matches the numpy closed form bit-for-bit; "
+          f"{n_twin} twin media all report contract booleans TRUE")
     return 0
 
 

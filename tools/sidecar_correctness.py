@@ -35,8 +35,6 @@ SPECIAL = {
     # the infeasible all-pairs SQL for the blocked-numpy replica
     "sim08_knn_graph": ("numpy (tools/check_sim08.py)",
                         check_sim08.main),
-    "mm04_media_embed_knn": ("stub-encoder contract (tools/check_mm04.py)",
-                             check_mm04.main),
 }
 
 # dd04/tx05 gained FULL DuckDB oracles in r12 (XxhSql / winnow replay in
@@ -48,6 +46,11 @@ AUGMENT = {
                            check_dd04.main),
     "tx05_winnow_pairs": ("winnowing brute force (tools/check_tx05.py)",
                           check_tx05.main),
+    # mm04 gained a full audit oracle in r13 (closed-form embedding
+    # signature + twin census replayed in SQL); the numpy replica stays
+    # as the independent third arithmetic path
+    "mm04_media_embed_knn": ("stub-encoder contract (tools/check_mm04.py)",
+                             check_mm04.main),
 }
 
 
