@@ -491,7 +491,14 @@ object Similarity {
           val sel = Scale.topKPerGroupDistinct(edges, Seq("src"),
             K + RankSlack, Seq("dst"), col("c").desc, col("dst").asc)
           if (eager) {
-            val mat = sel.localCheckpoint(eager = true)
+            // DISK_ONLY: each slice's output is read exactly once by the
+            // rerank union, so memory-caching it buys nothing — and at
+            // 3.2M vectors the S accumulating MEMORY_AND_DISK checkpoint
+            // blocks plus the e cache squeezed 32 concurrent sort tasks
+            // into a measured 8 g OOM; on disk they cost ~rows x 30 B of
+            // sequential I/O instead of the execution pool's headroom.
+            val mat = sel.localCheckpoint(eager = true,
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
             // the slice plan just became unreachable; a prompt GC lets
             // ContextCleaner delete its shuffle files NOW, which is the
             // whole point of the per-slice job
