@@ -18,7 +18,8 @@ object Pp01Probe {
     s.sparkContext.setLogLevel("WARN")
     sys.props("graft.pp01.timing") = "true"
     val t0 = System.nanoTime()
-    val (lineage, frames) = operators.Pipeline.run(s, d, keepFrames = true)
+    val (lineage, frames, persisted) = operators.Pipeline.run(s, d, keepFrames = true)
+    val persistedByName = persisted.toMap
     val total = (System.nanoTime() - t0) / 1e9
     // cache-effectiveness check: repeated actions on a persisted frame
     // should be near-instant if the cache is actually hit
@@ -37,9 +38,13 @@ object Pp01Probe {
       println(f"PP01REFP    $name%-14s md5-agg ${(System.nanoTime() - a) / 1e9}%6.2fs")
       val fresh = df.groupBy().count()
       val ep = fresh.queryExecution.executedPlan.toString
+      // cache lookup must probe the persisted PRE-cut frame: the cut
+      // frame is a LogicalRDD leaf with no InMemoryRelation, so a lookup
+      // on it always misses regardless of cache state (r13 advisor)
       val hit = s.sharedState.cacheManager
         .lookupCachedData(
-          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+          persistedByName(name)
+            .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
         .isDefined
       println(s"PP01CACHE   $name lookupHit=$hit imr=${
         ep.split('\n').count(_.contains("InMemoryTableScan"))} fileScan=${

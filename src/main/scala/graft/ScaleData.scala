@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * `<table>.parquet` so the output dir is path-compatible with the driver
   * testdata layout consumed by Verify/Bench and tools/check.py.
   *
-  * Usage: runMain graft.ScaleData <sf> <outDir> [open]
+  * Usage: runMain graft.ScaleData <sf> <outDir> [open] [aniso] [nulls]
   * (sf=1.0 -> 6M lineitem; "open" switches the documents table to the
-  * open-vocabulary Zipf fixture — see [[documents]])
+  * open-vocabulary Zipf fixture — see [[documents]]; "nulls" injects
+  * ~2% NULLs into the group/join key columns — the null-key hardening
+  * fixture, see `nullify` in [[generate]])
   *
   * SPARK_GRAFT_TABLES (optional, comma-separated) restricts generation to
   * a subset — e.g. `embeddings` for a sim09 trend point, where writing
@@ -43,6 +45,7 @@ object ScaleData {
     val out = args(1)
     val openVocab = args.length > 2 && args(2) == "open"
     val anisoEmb = args.length > 2 && args.contains("aniso")
+    val nullKeys = args.length > 2 && args.contains("nulls")
     val spark = SparkSession.builder()
       .appName(s"graft-scaledata-sf$sf")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -50,12 +53,13 @@ object ScaleData {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, out, openVocab, anisoEmb)
+    generate(spark, sf, out, openVocab, anisoEmb, nullKeys)
     spark.stop()
   }
 
   def generate(spark: SparkSession, sf: Double, out: String,
-      openVocab: Boolean = false, anisoEmb: Boolean = false): Unit = {
+      openVocab: Boolean = false, anisoEmb: Boolean = false,
+      nullKeys: Boolean = false): Unit = {
     // Bounded parquet row groups (2 MB vs the 128 MB default): row
     // groups are the scan-parallelism unit — a single-row-group file
     // scans on ONE core no matter the split config (the r9 finding that
@@ -87,6 +91,21 @@ object ScaleData {
     val tableFilter = sys.env.get("SPARK_GRAFT_TABLES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // NULL-KEY variant (r14, VERDICT r13 next-#2): ~2% of the GROUP/JOIN
+    // key columns go NULL — the class the ev05/q26 `<=>` fixes belong
+    // to. The driver fixtures carry no NULL group keys, so any
+    // agg-then-self-join kernel that regroups with `=` instead of `<=>`
+    // silently drops the NULL group and no gate ever notices; this
+    // fixture makes the whole 129-query oracle suite exercise that path
+    // (tools/check.py sidecar). Injection is deterministic (id-hash) and
+    // AFTER the value columns derive, so non-key data is unchanged.
+    def nullify(df: DataFrame, idCol: String, cols: String*): DataFrame =
+      if (!nullKeys) df
+      else cols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, when(
+          pmod(xxhash64(col(idCol), lit(s"null:$c")), lit(50L)) === 0,
+          lit(null)).otherwise(col(c)))
+      }
     def write(out: String, name: String, df: => DataFrame): Unit =
       if (tableFilter.isEmpty || tableFilter(name))
         ScaleData.writeTable(out, name, df)
@@ -101,14 +120,15 @@ object ScaleData {
     def ids(n: Long, c: String): DataFrame =
       spark.range(0, n, 1, 32).toDF(c)
 
-    write(out, "customer", ids(nCust, "c_custkey")
+    write(out, "customer", nullify(ids(nCust, "c_custkey")
       .withColumn("c_name", format_string("Customer#%09d", $"c_custkey"))
       .withColumn("c_nationkey",
         pmod(xxhash64($"c_custkey", lit("cnat")), lit(25L)).cast("int"))
       .withColumn("c_acctbal",
         round(lit(-1000.0) + u(xxhash64($"c_custkey", lit("cbal"))) * 11000, 2))
       .withColumn("c_mktsegment", pick(xxhash64($"c_custkey", lit("cseg")),
-        Seq("MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"))))
+        Seq("MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"))),
+      "c_custkey", "c_mktsegment", "c_nationkey"))
 
     write(out, "supplier", ids(nSupp, "s_suppkey")
       .withColumn("s_name", format_string("Supplier#%09d", $"s_suppkey"))
@@ -146,7 +166,8 @@ object ScaleData {
       .withColumn("o_orderpriority",
         pick(xxhash64($"o_orderkey", lit("opr")), Seq("1-URGENT", "2-HIGH",
           "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
-    write(out, "orders", orders)
+    write(out, "orders", nullify(orders, "o_orderkey",
+      "o_orderpriority", "o_orderstatus"))
 
     // 1..7 lines per order (mean 4, matching the measured ratio).
     val li = orders.select($"o_orderkey", $"o_orderdate")
@@ -170,7 +191,8 @@ object ScaleData {
         (pmod(lh("sd"), lit(95L)) + 1).cast("int")).cast("timestamp"))
       .select($"o_orderkey".as("l_orderkey"), $"l_partkey", $"l_suppkey",
         $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount",
-        $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate"))
+        $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate")
+      .transform(nullify(_, "l_orderkey", "l_returnflag", "l_linestatus")))
 
     // events: 30 days of Jan 2024, exponential-ish value (mean ~50).
     // ts is written as raw epoch-NANOS int64: the driver files carry
@@ -192,9 +214,11 @@ object ScaleData {
       .withColumn("value", greatest(lit(0.01),
         round(-log(lit(1.0) - u(xxhash64($"event_id", lit("v")))) * 50, 2)))
       .withColumn("props", concat(lit("{\"k\": "),
-        pmod(xxhash64($"event_id", lit("p")), lit(100L)), lit("}"))))
+        pmod(xxhash64($"event_id", lit("p")), lit(100L)), lit("}")))
+      .transform(nullify(_, "event_id", "user_id", "event_type")))
 
-    write(out, "documents", documents(spark, nDocs, openVocab))
+    write(out, "documents",
+      nullify(documents(spark, nDocs, openVocab), "doc_id", "lang", "source"))
     write(out, "embeddings", embeddings(spark, nVecs, anisoEmb))
   }
 

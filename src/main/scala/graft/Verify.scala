@@ -13,8 +13,14 @@ object Verify {
       case Array(s, o, f) => (s, o, f.split(',').toSet)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // multi-executor validation runs this same gate under
+    // local-cluster[W,C,mem] (r14, VERDICT r13 next-#1): separate
+    // executor JVMs, real serialization on every broadcast/shuffle.
+    // SPARK_GRAFT_JARS must then carry the packaged graft jar (executors
+    // outside the driver JVM need the classes shipped).
+    val spark = graft.core.Topology(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -29,7 +35,7 @@ object Verify {
       // guard against), so a 512 KB floor — below ScaleData's 2 MB row
       // groups — lets mid-size tables scan at full width natively
       .config("spark.sql.files.openCostInBytes", "512k")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

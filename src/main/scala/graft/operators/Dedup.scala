@@ -71,11 +71,11 @@ object Dedup {
     * kernel chain as dd02 (word_shingles -> bounded inverted index ->
     * length-pruned pair counts), one code path, verified once. */
   private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
-    val idx = docs
+    val idx = graft.core.CacheScope.track(docs
       .select(col("doc_id"),
         org.apache.spark.sql.graftx.WordShinglesFunctions
           .word_shingles(col("text"), 3).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     jaccardFrom(pairCounts(explPostings(idx)), idx)
   }
 
@@ -465,7 +465,8 @@ object Dedup {
     * the inline path, so both produce identical members. */
   def clusterMembersFromPairs(pairsIn: DataFrame): DataFrame = {
     val s = pairsIn.sparkSession
-    val pairs = pairsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.core.CacheScope.track(
+      pairsIn.persist(StorageLevel.MEMORY_AND_DISK))
     val nPairs = pairs.count()
     if (nPairs <= 1_000_000L) {
       // driver union-find with min-root representatives (1M edges ≈ tens
@@ -488,12 +489,15 @@ object Dedup {
         if (a != b) { val (lo, hi) = (math.min(a, b), math.max(a, b))
           parent(hi) = lo }
       }
+      // pairs is dead the moment the collect lands (the result is a
+      // driver-created relation) — release it here, scope or no scope
+      pairs.unpersist(blocking = false)
       val members = parent.keys.toSeq.map(n => (n, find(n)))
       s.createDataFrame(members).toDF("node", "rep")
     } else {
-      val edges = pairs.unionByName(
+      val edges = graft.core.CacheScope.track(pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       var labels = edges.select(col("d1").as("node"))
         .distinct().withColumn("label", col("node"))
       var changed = 1L
@@ -517,6 +521,8 @@ object Dedup {
       // beyond the round cap must fail loudly, not fragment
       require(changed == 0,
         s"dedup clustering did not converge within $maxRounds rounds")
+      // the converged snapshot is scratch once the caller materializes
+      graft.core.CacheScope.track(labels)
       labels.select(col("node"), col("label").as("rep"))
     }
   }

@@ -130,9 +130,10 @@ object Pipeline {
       .select(explode(g.word_shingles(col("text"), 3)).as("sg"))
       .distinct()
     val corp = staged.filter(col("source") =!= "src0")
-    val sh = corp.select(col("doc_id"),
-        explode(g.word_shingles(col("text"), 3)).as("sg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.CacheScope.track(
+      corp.select(col("doc_id"),
+          explode(g.word_shingles(col("text"), 3)).as("sg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val bad = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .join(sh.join(broadcast(bench), Seq("sg"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit")),
@@ -220,7 +221,8 @@ object Pipeline {
     * parent, never re-scan parquet). */
   private[graft] def run(s: SparkSession, d: String,
       keepFrames: Boolean = false)
-      : (Seq[(Int, String, Long, Long, Long)], Seq[(String, DataFrame)]) = {
+      : (Seq[(Int, String, Long, Long, Long)], Seq[(String, DataFrame)],
+         Seq[(String, DataFrame)]) = {
     // THE one corpus read of the whole job (read-once contract)
     val base = Tables.wide(s, d, "documents",
         "doc_id", "text", "lang", "source")
@@ -228,6 +230,11 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lineage = ArrayBuffer.empty[(Int, String, Long, Long, Long)]
     val frames = ArrayBuffer.empty[(String, DataFrame)]
+    // the persisted PRE-cut handle per stage: unpersist must target this
+    // frame, never the cut one — CacheManager keys cache entries on the
+    // original persisted plan, so unpersisting the LogicalRDD-leaf cut
+    // frame is a silent no-op (r13 advisor: q6's blocks leaked that way)
+    val persisted = ArrayBuffer.empty[(String, DataFrame)]
     var prevN = base.count()
     // Stage-boundary PLAN CUT + persist LIFECYCLE (r13, VERDICT r12
     // "what's wrong" #1). Two defects shared one root:
@@ -249,8 +256,16 @@ object Pipeline {
     //    base survives until stage 4 (decontaminate probes it).
     // keepFrames=true (the spec's audit) retains every frame's blocks.
     var livePrev: DataFrame = null
-    def stage(ord: Int, name: String, df: DataFrame,
-        fpParts: Seq[Column]): DataFrame = {
+    // df is BY-NAME: the stage build runs inside a CacheScope, so every
+    // scratch persist a kernel makes (globalRank's ranged relation, the
+    // dedup shingle index, decontaminate's shingle explode, CC labels)
+    // is released the moment this stage's output materializes — without
+    // the scope they lived to the end of the run (r14; the q6 leak's
+    // unflagged siblings). The drain is safe under keepFrames too: the
+    // audit's fresh-action probes execute the stage's own cached-scan
+    // RDD, never the scratch it was built from.
+    def stage(ord: Int, name: String, df: => DataFrame,
+        fpParts: Seq[Column]): DataFrame = graft.core.CacheScope.scoped {
       val t0 = System.nanoTime()
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       val n = p.count()
@@ -261,6 +276,7 @@ object Pipeline {
         println(f"PP01TIME  $ord%2d $name%-14s mat=$tMat%7.2fs fp=${
           (System.nanoTime() - t0) / 1e9 - tMat}%6.2fs")
       frames += ((name, cut))
+      persisted += ((name, p))
       prevN = n
       // the child is materialized: its parent's blocks are now dead
       // (q6 = ord 6 is held past stage 7 for the BPE train; released
@@ -285,7 +301,11 @@ object Pipeline {
     val q7 = stage(7, "shuffle", shuffle(q6),
       Seq(col("doc_id"), col("pos")))
     val merges = Bpe.trainOnDocs(q6, Bpe.Merges).map(m => (m._1, m._2))
-    if (!keepFrames) q6.unpersist(blocking = false)
+    // release the PERSISTED stage-6 frame (the cut q6 is a LogicalRDD
+    // leaf CacheManager cannot match — unpersisting it did nothing)
+    if (!keepFrames)
+      persisted.find(_._1 == "split_train").foreach(
+        _._2.unpersist(blocking = false))
     val q8 = stage(8, "bpe_segment", segment(q7, merges),
       Seq(col("doc_id"), col("n_bpe")))
     stage(9, "pack", pack(q8),
@@ -293,7 +313,7 @@ object Pipeline {
     // every lineage row (counts + fingerprints) is already a driver-side
     // value; the last frame's blocks are dead weight too
     if (!keepFrames) livePrev.unpersist(blocking = false)
-    (lineage.toSeq, frames.toSeq)
+    (lineage.toSeq, frames.toSeq, persisted.toSeq)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,6 +321,8 @@ object Pipeline {
       import s.implicits._
       run(s, d)._1.toDF("ord", "stage", "rows_in", "rows_out", "out_fp")
     })
+  // (run's third element — the persisted pre-cut frames — exists for the
+  // probe/spec; queries only consume the lineage)
   )
 
   // ------------------------------------------------------------- oracle

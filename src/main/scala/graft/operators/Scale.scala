@@ -131,11 +131,11 @@ object Scale {
     * (tagged relation, offset column, grand total). */
   private def partitionOffsets(df: DataFrame, order: Seq[Column],
       value: Column): (DataFrame, Column, Long) = {
-    val ranged = df
+    val ranged = graft.core.CacheScope.track(df
       .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L

@@ -1019,9 +1019,13 @@ object TextAnalysis {
         |    list_transform(range(1, length(text) + 1),
         |      i -> unicode(text[i])::HUGEINT) AS cs,
         |    length(text) AS n
-        |  FROM documents WHERE length(text) >= 24
-        |    AND CASE WHEN octet_length(encode(text)) = length(text)
-        |      THEN TRUE
+        |  FROM documents WHERE
+        |    -- one CASE carries BOTH conditions: SQL guarantees no
+        |    -- conjunct order, so the length filter must gate the ASCII
+        |    -- assertion inside the CASE (a sub-24-char non-ASCII doc is
+        |    -- excluded from gram hashing and must NOT fire error())
+        |    CASE WHEN length(text) < 24 THEN FALSE
+        |      WHEN octet_length(encode(text)) = length(text) THEN TRUE
         |      ELSE error('tx05 oracle assumes ASCII text (char ops must '
         |        || 'equal the UTF-8 bytes the kernel hashes); doc_id='
         |        || doc_id) END),

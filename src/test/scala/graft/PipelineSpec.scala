@@ -12,7 +12,16 @@ class PipelineSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("pp01: lineage is complete, doc stages are monotone, counts chain") {
-    val (lineage, _) = operators.Pipeline.run(spark, sf)
+    spark.catalog.clearCache()
+    val (lineage, _, _) = operators.Pipeline.run(spark, sf)
+    // PERSIST-LIFECYCLE pin (r13 advisor: q6.unpersist targeted the cut
+    // LogicalRDD frame — a silent no-op that leaked stage 6's blocks for
+    // the rest of the run). unpersist removes the CacheManager entry
+    // synchronously even with blocking=false, so after a keepFrames=false
+    // run the SQL cache must be EMPTY.
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pp01 leaked persisted stage frames (unpersist must target the " +
+        "persisted pre-cut handle, never the PlanCut frame)")
     spark.catalog.clearCache()
     assert(lineage.map(_._2) == Seq("quality", "dedup", "span_dedup",
       "decontaminate", "mixture", "split_train", "shuffle", "bpe_segment",
@@ -50,7 +59,7 @@ class PipelineSpec extends AnyFunSuite {
     val before = fileBytesRead
     // keepFrames: every frame's blocks are retained for the fresh-action
     // probes below (the r13 eager-unpersist lifecycle is off here)
-    val (_, frames) = operators.Pipeline.run(spark, sf, keepFrames = true)
+    val (_, frames, _) = operators.Pipeline.run(spark, sf, keepFrames = true)
     val delta = fileBytesRead - before
     try {
       assert(delta <= (docBytes * 1.25).toLong + (1 << 20),

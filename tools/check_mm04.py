@@ -10,6 +10,13 @@ THIS script re-derives them independently in numpy (a third arithmetic
 path) and additionally requires every contract boolean to be TRUE —
 so a regression must fool three engines at once to pass.
 
+NOTE (r14): sound_ok is engine-evaluated with the same graftx
+dot_product/l2_norm kernels mediaKnn itself uses, so this script alone
+cannot catch a kernel regression. The engine-INDEPENDENT rescore of
+the raw top-1 relation (per-row sim vs true cosine, plain-Scala
+arithmetic over the closed-form embeddings) lives in
+src/test/scala/graft/Round14Spec.scala and runs in every sbt test.
+
 mm04's candidate generation is blocking-specific (mean-centered sign-LSH
 buckets + a sorted-neighborhood ring), so an exact SQL oracle does not
 exist; its documented CONTRACT, though, is independently checkable
