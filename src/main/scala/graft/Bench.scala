@@ -152,10 +152,10 @@ object Bench {
     val streamMode = sys.env.getOrElse("SPARK_GRAFT_STREAMING", "child")
 
     if (streamMode == "only") {
-      val streaming = streamingBestOf2(spark)
+      val streaming = streamingMedianOf3(spark)
       val streamJson = streaming.map { case (k, v) => s"\"$k\":${jnum(v)}" }
         .mkString("""{"metric":"streaming","streaming_rec_s":{""", ",",
-          s"""},"sf":"$sfDir"}""")
+          s"""},"streaming_protocol":"child-jvm;median-of-3;host-swing see BENCH_streaming_ab.json","sf":"$sfDir"}""")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_streaming.json"),
         (streamJson + "\n").getBytes("UTF-8"))
@@ -285,7 +285,7 @@ object Bench {
     // reference's two canonical 10k-row apps; reference: ~84 rec/s simple).
     val streaming = streamMode match {
       case "skip"   => Seq.empty
-      case "inline" => streamingBestOf2(spark)
+      case "inline" => streamingMedianOf3(spark)
       case _        => streamingInChild()
     }
 
@@ -296,7 +296,10 @@ object Bench {
     // Always emit the key — an empty {} marks "streaming section did not
     // run" (e.g. missing fixture checkout) as distinct from "removed".
     val streamJson = streaming.map { case (k, v) => s"\"$k\":${jnum(v)}" }
-      .mkString(""","streaming_rec_s":{""", ",", "}")
+      .mkString(""","streaming_rec_s":{""", ",", "}") +
+      (if (streaming.nonEmpty)
+        ""","streaming_protocol":"child-jvm;median-of-3;host-swing see BENCH_streaming_ab.json""""
+       else "")
     val passesJson = pass1.zip(pass2).map { case ((k, a), (_, b)) =>
       s""""$k":[${jnum(a)},${jnum(b)}]""" }.mkString("{", ",", "}")
     // Index build cost, split out per IndexBacked query: build_s is the
@@ -342,11 +345,26 @@ object Bench {
     * rate-metric mirror of the batch min-of-2: a host stall depresses a
     * throughput measurement, so the max discards the stalled pass instead
     * of reporting it as a regression on scale-invariant fixtures. */
-  private def streamingBestOf2(spark: SparkSession): Seq[(String, Double)] =
+  /** MEDIAN-of-3 (r14, VERDICT r13 "what's wrong" #1): the r13 artifact
+    * carried max-of-2 rates measured as the tail of the round's heaviest
+    * campaign — 2,925/720 rec/s where the same-HEAD quiet run read
+    * 3,380/1,126, with BENCH_streaming_ab.json documenting a 1.46x
+    * same-code host swing. Max-of-2 under sustained contention still
+    * reports a contended number; the median of three spaced passes
+    * rejects one bad pass outright and the protocol is stamped in the
+    * JSON so consumers can tell the eras apart. (The child JVM already
+    * isolates from the batch surface's heap; this addresses HOST-level
+    * co-running load.) */
+  private def streamingMedianOf3(spark: SparkSession): Seq[(String, Double)] =
     try {
-      val p1 = streamingRates(spark)
-      val p2 = streamingRates(spark)
-      p1.zip(p2).map { case ((k, a), (_, b)) => k -> math.max(a, b) }
+      val passes = (1 to 3).map { i =>
+        if (i > 1) Thread.sleep(2000) // let fs/page-cache effects settle
+        streamingRates(spark)
+      }
+      passes.head.indices.map { j =>
+        val k = passes.head(j)._1
+        k -> passes.map(_(j)._2).sorted.apply(1)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
       Seq.empty }
