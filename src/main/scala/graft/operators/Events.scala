@@ -134,7 +134,12 @@ object Events {
       // (no second exchange); count(col) counts non-nulls = stage
       // completions.
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // NULL user_id = unattributable events (r14 null-key hardening): a
+      // per-user funnel over them would FABRICATE one mega-user from the
+      // whole anonymous stream (the window's NULL partition). Excluded —
+      // the oracle pins the same rule.
       val e = Tables(s, d, "events")
+        .filter(col("user_id").isNotNull)
         .withColumn("run_signup",
           min(when(col("event_type") === "signup", col("ts"))).over(w))
         .withColumn("click_after",
@@ -237,7 +242,9 @@ object Events {
     "ev13_conversion_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      // NULL user_id excluded — same unattributable-events rule as ev08
       Tables(s, d, "events")
+        .filter(col("user_id").isNotNull)
         .filter(col("event_type").isin("view", "purchase"))
         .withColumn("fv",
           min(when(col("event_type") === "view", col("ts"))).over(w))
@@ -380,8 +387,15 @@ object Events {
       // datediff is INT in Spark — without the BIGINT cast the Morton
       // arithmetic runs in int, and u's bit 15 lands on int bit 31
       // (sign): any user_id >= 32768 (sf >= ~2.2) wraps zv negative
+      // NULL user_id -> sentinel -1 before masking: (-1) & 65535 = 65535
+      // in both engines (two's-complement &), so NULL-key rows land in a
+      // dedicated region at the TOP of the user dimension — the
+      // "nulls file" a real layout writer gives rows it cannot cluster.
+      // Without this, NULL u poisoned zv (NULL sort position differs
+      // across engines: Spark NULLS FIRST asc, DuckDB NULLS LAST) and
+      // the span arithmetic (r14 null-key hardening).
       val keyed = Tables(s, d, "events")
-        .selectExpr("event_id", "user_id & 65535 AS u",
+        .selectExpr("event_id", "coalesce(user_id, -1) & 65535 AS u",
           "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)" +
             " & 65535 AS t")
         .selectExpr("event_id", "u", "t", s"($z) AS zv")
@@ -498,7 +512,8 @@ object Events {
     "ev08_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t_signup FROM events
-        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |  WHERE event_type = 'signup' AND user_id IS NOT NULL
+        |  GROUP BY user_id),
         |s2 AS (
         |  SELECT e.user_id, MIN(e.ts) AS t_click
         |  FROM events e JOIN s1 ON e.user_id = s1.user_id
@@ -568,7 +583,8 @@ object Events {
     "ev13_conversion_lag" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS t_view FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |  GROUP BY user_id),
         |p AS (
         |  SELECT e.user_id, MIN(e.ts) AS t_conv
         |  FROM events e JOIN v ON e.user_id = v.user_id
@@ -627,19 +643,22 @@ object Events {
         |  FROM events),
         |t AS (SELECT event_type AS from_type, next_type AS to_type,
         |    COUNT(*) AS n
-        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
-        |tt AS (SELECT from_type, SUM(n) AS tot FROM t GROUP BY 1)
-        |SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
-        |  CAST((t.n * 2000000 + tt.tot) // (tt.tot * 2) AS BIGINT)
-        |    AS p_micro
-        |FROM t JOIN tt USING (from_type)""".stripMargin,
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |-- tot as a WINDOW, not a USING self-join: GROUP BY keeps the
+        |-- NULL from_type group (a NULL-typed event still transitions)
+        |-- and the engine's sum-over-partition keeps it too, but a USING
+        |-- join silently dropped it (r14 null-key hardening)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 2000000 + tot) // (tot * 2) AS BIGINT) AS p_micro
+        |FROM (SELECT from_type, to_type, n,
+        |    SUM(n) OVER (PARTITION BY from_type) AS tot FROM t)""".stripMargin,
 
     "ev19_zorder_layout" -> {
       val z = (0 until ZBits).map(i =>
         s"(((u >> $i) & 1) << ${2 * i + 1}) + (((t >> $i) & 1) << ${2 * i})")
         .mkString(" + ")
       s"""WITH k AS (
-         |  SELECT event_id, user_id & 65535 AS u,
+         |  SELECT event_id, coalesce(user_id, -1) & 65535 AS u,
          |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) & 65535
          |      AS t
          |  FROM events),

@@ -301,7 +301,14 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"),
           col("e.g").as("g"), col("e.cnt").as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lc = dc.groupBy(col("lang"), col("g")).agg(sum(col("cnt")).as("cnt"))
+      // NULL-lang docs are UNLABELED (r14 null-key hardening): they
+      // train no profile — a supervised profile keyed on the label
+      // cannot learn from unlabeled rows, and a NULL pseudo-language
+      // would anyway diverge engine-vs-oracle through the pivot (Spark)
+      // vs USING-join (DuckDB) NULL paths. They still get scored and
+      // appear in the confusion matrix under lang = NULL.
+      val lc = dc.filter(col("lang").isNotNull)
+        .groupBy(col("lang"), col("g")).agg(sum(col("cnt")).as("cnt"))
       val ltot = lc.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
       // The language set and per-language unseen-gram floors are tiny —
       // collect them (one small job over the persisted dc) and pivot the
@@ -1086,7 +1093,7 @@ object TextAnalysis {
         |dc AS (SELECT doc_id, lang, g, COUNT(*) AS cnt
         |       FROM tri GROUP BY 1, 2, 3),
         |lc AS (SELECT lang, g, CAST(SUM(cnt) AS BIGINT) AS cnt
-        |       FROM dc GROUP BY 1, 2),
+        |       FROM dc WHERE lang IS NOT NULL GROUP BY 1, 2),
         |ltot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
         |         FROM lc GROUP BY 1),
         |prof AS (SELECT lc.lang AS cand, g,
