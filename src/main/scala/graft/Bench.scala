@@ -135,6 +135,14 @@ object Bench {
       // split planning can use them and mid-size tables scan wide
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "512k")
+      // Multi-hour single-context campaigns (sf8): shuffle FILES are
+      // deleted by ContextCleaner only after their dependencies are
+      // GC'd, and the default periodicGC interval is 30 MIN — on a big
+      // heap that barely collects, hours of dead shuffle files pile up
+      // on local disk (r14: the sf8 pass filled the host's ~94 GB
+      // usable). 2 min caps the dead-file window; per-query System.gc()
+      // (below) handles the common case, this is the backstop.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -186,9 +194,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // Campaign-level exclusions, STAMPED in the JSON (a silent cap reads
+    // as "covered everything"): SPARK_GRAFT_BENCH_SKIP=q1,q2;reason.
+    // Exists for the closed-fixture sf8 point, where gx01/gx02's exact
+    // tau=0.5 pair mine is quadratic BY FIXTURE CONSTRUCTION (saturated
+    // 27k-shingle vocab -> per-key df grows with N; >37 GB of shuffle
+    // before dying at sf8) — the same class as the dd05/sim08 gate; the
+    // gx family's linearity evidence lives on the open-vocabulary
+    // fixture (BENCH_open_sf{1..8}_gx.json, alpha ~= 0.05).
+    val (skipSet, skipReason) = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map { v =>
+        val parts = v.split(';')
+        (parts(0).split(',').map(_.trim).filter(_.nonEmpty).toSet,
+          if (parts.length > 1) parts(1) else "unspecified")
+      }.getOrElse((Set.empty[String], ""))
     val benchQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .filterNot { case (n, _) => gateDd05 && ExactPairAnchors(n) }
+      .filterNot { case (n, _) => skipSet(n) }
 
     // Warm every query's codegen/scan path at the tiniest sf so timed
     // numbers measure the query, not one-time JVM/compile startup
@@ -311,9 +334,12 @@ object Bench {
         val build = if (a >= 0 && b >= 0) math.max(0.0, a - b) else -1.0
         s""""$k":{"first_pass_s":${jnum(a)},"steady_s":${jnum(b)},"build_s":${jnum(build)}}"""
       }.mkString(""","index_build":{""", ",", "}")
-    val gateJson = if (gateDd05)
+    val gateJson = (if (gateDd05)
       s""","dd05_gated":"excluded ${ExactPairAnchors.toSeq.sorted.mkString("+")}: O(N^2) recall anchors, corpus ${nVec} vectors > 60k sf1 bound (PLANS.md)""""
-      else ""
+      else "") +
+      (if (skipSet.nonEmpty)
+        s""","skipped":"${skipSet.toSeq.sorted.mkString("+")}: $skipReason""""
+       else "")
     val fixJson = try fixtureJson(spark, sfDir)
       catch { case e: Exception => s""""fixture":{"error":"${e.getClass.getSimpleName}"}""" }
     val wmJson = watermarks.map { case (k, (gc, st, hp)) =>
