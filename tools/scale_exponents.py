@@ -30,9 +30,15 @@ def main():
     thr = 1.3
     if "--threshold" in sys.argv:
         thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+    # sf8 joins the fit when its sidecar exists (r14: BENCH_sf8.json
+    # filled) -> 4-point fits; queries absent at a point (gated/skipped/
+    # failed, value <= 0) simply contribute fewer points
     sfs = [1.0, 2.0, 4.0]
+    import os
+    if os.path.exists("BENCH_sf8.json") and os.path.getsize("BENCH_sf8.json") > 0:
+        sfs = [1.0, 2.0, 4.0, 8.0]
     tables = [load(f"BENCH_sf{int(s)}.json") for s in sfs]
-    names = sorted(set(tables[0]) | set(tables[1]) | set(tables[2]))
+    names = sorted(set().union(*[set(t) for t in tables]))
     rows = {}
     flags = []
     for q in names:
@@ -49,14 +55,14 @@ def main():
         alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
         t1 = pts[0][1]
         rows[q] = {"alpha": round(alpha, 3), "t_sf1": t1,
-                   "t_sf4": pts[-1][1] if pts[-1][0] == 4.0 else None,
+                   "t_max_sf": pts[-1][1], "max_sf": pts[-1][0],
                    "points": n}
         # flag real superlinearity: slope over threshold AND the sf1
         # point is above the ~1 s fixed-cost floor (sub-second queries'
         # slopes are session noise, not data cost)
         if alpha > thr and t1 >= 1.0:
             flags.append({"query": q, "alpha": round(alpha, 3),
-                          "t_sf1": t1, "t_sf4": rows[q]["t_sf4"]})
+                          "t_sf1": t1, "t_max_sf": rows[q]["t_max_sf"]})
     fam = {}
     for q, r in rows.items():
         if r.get("alpha") is None:
@@ -67,9 +73,9 @@ def main():
     doc = {
         "metric": "scale_exponents",
         "protocol": "alpha = least-squares log2-slope of min-of-2 seconds "
-                    "over sf1/2/4 full-surface sidecars (same HEAD, same "
-                    "host, same protocol); flag = alpha > %.2f AND "
-                    "t_sf1 >= 1 s (fixed-cost floor)" % thr,
+                    "over the sf%s full-surface sidecars (same host, same "
+                    "protocol); flag = alpha > %.2f AND "
+                    "t_sf1 >= 1 s (fixed-cost floor)" % ("/".join(str(int(s)) for s in sfs), thr),
         "family_median_alpha": dict(sorted(fam_med.items())),
         "flags_superlinear": sorted(flags, key=lambda x: -x["alpha"]),
         "queries": dict(sorted(rows.items())),
