@@ -43,6 +43,28 @@ object Bench {
 
   private def jnum(v: Double): String = f"$v%.3f"
 
+  /** JSON string escape for free-text fields interpolated into the
+    * sidecars (r14 advisor: a quote/backslash in SPARK_GRAFT_BENCH_SKIP's
+    * reason produced an unparseable BENCH file). */
+  private def jesc(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
+  /** The measurement window, stamped into every sidecar (VERDICT r14
+    * "what's wrong" #1: two rounds of officials were collected in the
+    * end-of-round contended window and nothing in the artifact said so —
+    * with the window stamped, a consumer can line a run up against the
+    * host's campaign schedule instead of guessing). */
+  private def windowJson(startMs: Long): String = {
+    val endMs = System.currentTimeMillis()
+    val iso = (ms: Long) => java.time.Instant.ofEpochMilli(ms)
+      .toString.takeWhile(_ != '.') + "Z"
+    s""""run_window":"${iso(startMs)}..${iso(endMs)}""""
+  }
+
   /** Run the streaming section in a fresh child JVM (same classpath and
     * JVM flags as this one, SPARK_GRAFT_STREAMING=only) and read its
     * bench_streaming.json. Launched AFTER the batch passes, so the
@@ -120,6 +142,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val runStartMs = System.currentTimeMillis()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER / SPARK_GRAFT_JARS: see graft.core.Topology —
@@ -163,7 +186,7 @@ object Bench {
       val streaming = streamingMedianOf3(spark)
       val streamJson = streaming.map { case (k, v) => s"\"$k\":${jnum(v)}" }
         .mkString("""{"metric":"streaming","streaming_rec_s":{""", ",",
-          s"""},"streaming_protocol":"child-jvm;median-of-3;host-swing see BENCH_streaming_ab.json","sf":"$sfDir"}""")
+          s"""},"streaming_protocol":"child-jvm;median-of-3;host-swing see BENCH_streaming_ab.json",${windowJson(runStartMs)},"sf":"$sfDir"}""")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_streaming.json"),
         (streamJson + "\n").getBytes("UTF-8"))
@@ -202,6 +225,12 @@ object Bench {
     // before dying at sf8) — the same class as the dd05/sim08 gate; the
     // gx family's linearity evidence lives on the open-vocabulary
     // fixture (BENCH_open_sf{1..8}_gx.json, alpha ~= 0.05).
+    // PairBudget degradation stamps (degrade_<query>.json, written by
+    // the kernels when a pair-volume budget lowers a df cap): clear
+    // stale ones up front, collect fresh ones into the sidecar after
+    // the passes — a budget-bounded run must say so in the artifact.
+    Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("degrade_.*\\.json")).foreach(_.delete())
     val (skipSet, skipReason) = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map { v =>
         val parts = v.split(';')
@@ -318,10 +347,15 @@ object Bench {
       .mkString("{", ",", "}")
     // Always emit the key — an empty {} marks "streaming section did not
     // run" (e.g. missing fixture checkout) as distinct from "removed".
+    // protocol head tracks the MODE actually used (r14 advisor: the
+    // stamp hardcoded "child-jvm" even under SPARK_GRAFT_STREAMING=inline,
+    // where the section runs in the loaded batch JVM)
+    val streamProtoHead =
+      if (streamMode == "inline") "inline-jvm" else "child-jvm"
     val streamJson = streaming.map { case (k, v) => s"\"$k\":${jnum(v)}" }
       .mkString(""","streaming_rec_s":{""", ",", "}") +
       (if (streaming.nonEmpty)
-        ""","streaming_protocol":"child-jvm;median-of-3;host-swing see BENCH_streaming_ab.json""""
+        s""","streaming_protocol":"$streamProtoHead;median-of-3;host-swing see BENCH_streaming_ab.json""""
        else "")
     val passesJson = pass1.zip(pass2).map { case ((k, a), (_, b)) =>
       s""""$k":[${jnum(a)},${jnum(b)}]""" }.mkString("{", ",", "}")
@@ -334,11 +368,23 @@ object Bench {
         val build = if (a >= 0 && b >= 0) math.max(0.0, a - b) else -1.0
         s""""$k":{"first_pass_s":${jnum(a)},"steady_s":${jnum(b)},"build_s":${jnum(build)}}"""
       }.mkString(""","index_build":{""", ",", "}")
-    val gateJson = (if (gateDd05)
+    // fold any degradation stamps written during the passes into the
+    // sidecar (each file is one JSON object emitted by PairBudget)
+    val degradeJson = {
+      val files = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.matches("degrade_.*\\.json")).sortBy(_.getName)
+      if (files.isEmpty) "" else files.map { f =>
+        val obj = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8").trim
+        s""""${f.getName.stripPrefix("degrade_").stripSuffix(".json")}":$obj"""
+      }.mkString(""","degraded":{""", ",", "}")
+    }
+    val gateJson = degradeJson + (if (gateDd05)
       s""","dd05_gated":"excluded ${ExactPairAnchors.toSeq.sorted.mkString("+")}: O(N^2) recall anchors, corpus ${nVec} vectors > 60k sf1 bound (PLANS.md)""""
       else "") +
       (if (skipSet.nonEmpty)
-        s""","skipped":"${skipSet.toSeq.sorted.mkString("+")}: $skipReason""""
+        s""","skipped":"${skipSet.toSeq.sorted.mkString("+")}: ${jesc(skipReason)}""""
        else "")
     val fixJson = try fixtureJson(spark, sfDir)
       catch { case e: Exception => s""""fixture":{"error":"${e.getClass.getSimpleName}"}""" }
@@ -346,8 +392,9 @@ object Bench {
       s""""$k":[$gc,$st,$hp]""" }.mkString(
       """"watermarks_pass2":{""", ",",
       """},"watermarks_layout":"[gc_ms,storage_bytes_after,heap_bytes_after]"""")
+    val winJson = windowJson(runStartMs)
     val fullJson =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,$fixJson,$wmJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,$fixJson,$wmJson,$winJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     println(s"BENCH_DETAIL $fullJson")
@@ -363,7 +410,7 @@ object Bench {
         val build = if (a >= 0 && b >= 0) math.max(0.0, a - b) else -1.0
         s""""$k":{"build_s":${jnum(build)},"steady_s":${jnum(b)}}"""
       }.mkString(""","index_build":{""", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$headQs$headIdx$streamJson$gateJson,$fixJson,"detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$headQs$headIdx$streamJson$gateJson,$fixJson,$winJson,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 

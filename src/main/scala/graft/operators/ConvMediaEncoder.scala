@@ -45,11 +45,16 @@ final class ConvMediaEncoder(seed: Long = 0x5EED5EEDL)
     // hit the cache) — the iterator below closes over the loaded net
     val net = netFor(seed)
     rows.map { case (mediaId, kind, bytes) =>
-      val stream: Array[Int] =
+      // per-kind input normalization into the conv's ~[-0.5, 0.5] live
+      // range (r14 advisor: pixels are 0..255 but WAV samples are SIGNED
+      // 16-bit, ±32768 — scaling both by /255-0.5 put audio activations
+      // ~128x outside the nonlinearity's range, saturating the net and
+      // collapsing audio embedding diversity)
+      val (stream: Array[Int], inv: Double, shift: Double) =
         if (kind == "image")
-          MediaCodec.pixels(MediaCodec.decode(bytes))
+          (MediaCodec.pixels(MediaCodec.decode(bytes)), 1.0 / 255.0, 0.5)
         else if (kind == "audio")
-          MediaCodec.decodeWav(bytes).map(_.toInt)
+          (MediaCodec.decodeWav(bytes).map(_.toInt), 1.0 / 65536.0, 0.0)
         else {
           val v = MediaCodec.decodeAvi(bytes)
           val out = new Array[Int](v.frames.map(_.length).sum)
@@ -57,9 +62,9 @@ final class ConvMediaEncoder(seed: Long = 0x5EED5EEDL)
           v.frames.foreach { f =>
             System.arraycopy(f, 0, out, o, f.length); o += f.length
           }
-          out
+          (out, 1.0 / 255.0, 0.5)
         }
-      MediaEmb(mediaId, kind, net.forward(stream))
+      MediaEmb(mediaId, kind, net.forward(stream, inv, shift))
     }
   }
 }
@@ -86,6 +91,15 @@ object ConvMediaEncoder {
   private val cache = scala.collection.mutable.HashMap.empty[Long, Net]
   private def netFor(seed: Long): Net = cache.synchronized {
     cache.getOrElseUpdate(seed, load(seed))
+  }
+
+  /** Test hook: drop the per-JVM parameter cache and zero the load
+    * counter, so a `loads == 1` assertion measures THIS run's loading
+    * behavior regardless of what ran earlier in the same JVM (r14
+    * advisor: sbt without fork/reload re-enters a warm cache and a
+    * bare counter assert flakes). */
+  private[graft] def resetForTest(): Unit = cache.synchronized {
+    cache.clear(); loads.set(0)
   }
 
   private def splitmix(state: Long): (Long, Long) = {
@@ -132,10 +146,14 @@ object ConvMediaEncoder {
     new Net(conv, bias, dense, dbias)
   }
 
-  /** The forward pass. Pure double arithmetic, deterministic. */
+  /** The forward pass. Pure double arithmetic, deterministic.
+    * `inv`/`shift` map the raw integer stream into ~[-0.5, 0.5]
+    * (x*inv - shift): 1/255, 0.5 for 0..255 pixel rasters; 1/65536, 0
+    * for signed 16-bit audio samples. */
   final class Net(conv: Array[Array[Double]], bias: Array[Double],
       dense: Array[Array[Double]], dbias: Array[Double]) {
-    def forward(stream: Array[Int]): Array[Float] = {
+    def forward(stream: Array[Int], inv: Double, shift: Double)
+        : Array[Float] = {
       val pooled = new Array[Double](Filters)
       val n = stream.length
       if (n >= KW) {
@@ -147,9 +165,9 @@ object ConvMediaEncoder {
             var acc = bias(f)
             val w = conv(f)
             var k = 0
-            // inputs scaled to ~[-0.5, 0.5] (pixels 0..255) so the
-            // activations sit in the nonlinearity's live range
-            while (k < KW) { acc += w(k) * (stream(p + k) / 255.0 - 0.5); k += 1 }
+            // inputs scaled to ~[-0.5, 0.5] per kind (see inv/shift) so
+            // the activations sit in the nonlinearity's live range
+            while (k < KW) { acc += w(k) * (stream(p + k) * inv - shift); k += 1 }
             if (acc > 0) pooled(f) += acc // ReLU
             f += 1
           }
@@ -170,9 +188,9 @@ object ConvMediaEncoder {
         nrm += a * a
         dI += 1
       }
-      val inv = if (nrm > 0) (1.0 / math.sqrt(nrm)).toFloat else 0f
+      val invNrm = if (nrm > 0) (1.0 / math.sqrt(nrm)).toFloat else 0f
       var j = 0
-      while (j < Dim) { out(j) *= inv; j += 1 }
+      while (j < Dim) { out(j) *= invNrm; j += 1 }
       out
     }
   }

@@ -530,6 +530,58 @@ object Multimodal {
         .select(col("media_id"), col("meta.n_frames").as("n_frames"))
         .select(col("media_id"),
           explode(expr("sequence(0, n_frames - 1, 2)")).as("frame_idx"))
+    }),
+
+    // r15: the REAL-WEIGHTS encoder behind the driver gate (VERDICT r14
+    // next-#4 — ConvMediaEncoder was reachable only from a spec, so the
+    // one tier whose correctness rested entirely on sbt test). Shape:
+    // catalog → real conv+MLP forward pass over the decoded streams →
+    // per-media contract stats the oracle can pin. The closed-form stub
+    // signature `emb_sig` certifies CONTENT identity bit-exactly (the
+    // mm04 recipe — DuckDB recomputes it from the pixel/sample/frame
+    // formulas), and the contract booleans ride as engine-evaluated
+    // columns asserted TRUE by the oracle:
+    //  - dim_ok       — the real embedding has ConvMediaEncoder.Dim dims;
+    //  - unit_norm_ok — it is L2-normalized (|nrm-1| < 1e-4);
+    //  - twin_ok      — content-twins (same kind+emb_sig, the planted
+    //    duplicate clusters) embed IDENTICALLY (determinism across rows
+    //    and partitions, the checkpoint-restore contract);
+    //  - discrim_ok   — distinct content embeds DISTINCTLY: the
+    //    (kind, real-embedding) group has exactly the membership of the
+    //    (kind, emb_sig) group. This is the behavioral pin of the r14
+    //    advisor's audio-scaling fix: signed 16-bit samples fed through
+    //    the 0..255 pixel normalization saturated the net and collapsed
+    //    audio embeddings — collapsed vectors merge emb_sig groups and
+    //    turn this column FALSE.
+    // Load amortization (parameters materialize ONCE per JVM) is pinned
+    // by Round15Spec running THIS entry with the counter asserted.
+    "mm06_media_embed_real" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.functions.l2_norm
+      import org.apache.spark.sql.expressions.Window
+      val em = mediaEmb(s, d)
+        .withColumn("emb_sig", expr("array_join(transform(emb, " +
+          "x -> CAST(CAST(x AS BIGINT) AS STRING)), ':')"))
+        .select(col("media_id"), col("kind"), col("emb_sig"))
+      val conv = mediaEmb(s, d, new ConvMediaEncoder())
+        .select(col("media_id").as("cid"), col("emb").as("cemb"))
+      // per-row join of the two encoder outputs: both sides are
+      // corpus-sized (one row per media), so shuffle-hash, never a
+      // corpus broadcast (PlanAuditSpec's unreduced-broadcast rule)
+      val j = em.join(conv.hint("shuffle_hash"),
+          col("media_id") === col("cid"))
+        .select(col("media_id"), col("kind"), col("emb_sig"),
+          xxhash64(col("cemb")).as("csig"),
+          l2_norm(col("cemb")).as("cnrm"),
+          size(col("cemb")).as("cdim"))
+      val bySig = Window.partitionBy(col("kind"), col("emb_sig"))
+      val byEmb = Window.partitionBy(col("kind"), col("csig"))
+      j.select(col("media_id"), col("kind"), col("emb_sig"),
+        (col("cdim") === lit(ConvMediaEncoder.Dim)).as("dim_ok"),
+        (abs(col("cnrm") - 1.0) < 1e-4).as("unit_norm_ok"),
+        (min(col("csig")).over(bySig) === max(col("csig")).over(bySig))
+          .as("twin_ok"),
+        (count(lit(1)).over(byEmb) === count(lit(1)).over(bySig))
+          .as("discrim_ok"))
     })
   )
 
@@ -630,6 +682,46 @@ object Multimodal {
          |  TRUE AS sound_ok
          |FROM sig s LEFT JOIN twin t
          |  ON s.doc_id % 3 = t.tk AND s.emb_sig = t.tsig""".stripMargin,
+
+    // mm06 (r15): the real-weights encoder's contract oracle — DuckDB
+    // recomputes the closed-form content signature (the decode-path pin,
+    // same CTEs as mm04) for the count-exact media domain and asserts
+    // the engine's contract booleans as TRUE literals: real-embedding
+    // dimension, unit norm, twin determinism, and distinct-content
+    // discrimination (the audio-normalization behavioral pin).
+    "mm06_media_embed_real" ->
+      s"""WITH $GridSql,
+         |islot AS (
+         |  SELECT img.doc_id, ((y * w + x) * 3 + c) % 8 AS r,
+         |    SUM($PixelSql) AS sv
+         |  FROM img JOIN g ON x < w AND y < h
+         |  GROUP BY 1, 2),
+         |$AudioGridSql,
+         |aslot AS (
+         |  SELECT aud.doc_id, i % 8 AS r, SUM($SampleSql) AS sv
+         |  FROM aud JOIN ga ON i < n
+         |  GROUP BY 1, 2),
+         |$VideoGridSql,
+         |vslot AS (
+         |  SELECT vid.doc_id, (((f * h + y) * w + x) * 3 + c) % 8 AS r,
+         |    SUM($VPixelSql) AS sv
+         |  FROM vid JOIN gv ON f < nf AND x < w AND y < h
+         |  GROUP BY 1, 2),
+         |slots AS (SELECT * FROM islot UNION ALL SELECT * FROM aslot
+         |  UNION ALL SELECT * FROM vslot),
+         |sig AS (
+         |  SELECT doc_id,
+         |    string_agg(CAST(CAST(sv AS BIGINT) AS VARCHAR), ':' ORDER BY r)
+         |      AS emb_sig
+         |  FROM slots GROUP BY doc_id)
+         |SELECT doc_id AS media_id,
+         |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         |  emb_sig,
+         |  TRUE AS dim_ok,
+         |  TRUE AS unit_norm_ok,
+         |  TRUE AS twin_ok,
+         |  TRUE AS discrim_ok
+         |FROM sig""".stripMargin,
 
     // width/height: the payload's true dims — the doc's own for image,
     // the GROUP SEED's for video (duplicate runs share one payload),

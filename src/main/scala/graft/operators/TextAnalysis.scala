@@ -188,88 +188,8 @@ object TextAnalysis {
     // norm ratio >= 0.8999995, and the quantized ratio is then
     // >= 0.8899995 > 0.88. Scoring still uses EXACT norms via the
     // shuffle join — the packed value prunes, it never scores.
-    "tx08_tfidf_pairs" -> ((s, d) => {
-      import org.apache.spark.sql.graftx.PairsWithinRatio
-      val NormScale = 100
-      val sh = Tables.wide(s, d, "documents", "doc_id", "text")
-        .select(col("doc_id"),
-          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
-            .word_shingles(col("text"), 3)).as("t"))
-      val n = Tables(s, d, "documents")
-        .agg(count(lit(1)).cast("double").as("nd"))
-      // df via a COUNT aggregate, not a bounded_collect grouping: the
-      // partial aggregate collapses each map partition to at most |vocab|
-      // rows before the wire, so the exchange carries ~partitions x vocab
-      // counts where the old first grouping shuffled every posting into
-      // full collect_list state — and then rebuilt the SAME state a second
-      // time after the norm attach. The stop-key cap (df <= StopKeyCap)
-      // keeps its old semantics: capped terms drop from norms AND pairs,
-      // exactly as the oracle's HAVING clause prescribes. `tw` is
-      // vocabulary-sized (an aggregate, so broadcast-legal by the audit
-      // rule) but shingle vocabulary grows with the corpus — the join
-      // below stays a shuffle join on t, never a broadcast build.
-      val tw = sh.groupBy(col("t"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= graft.core.InvertedIndex.StopKeyCap)
-        .crossJoin(broadcast(n))
-        .select(col("t"),
-          (log(col("nd") / col("df")) * log(col("nd") / col("df"))).as("w2"))
-      // Postings restricted to surviving terms with the per-term weight
-      // attached — one t-keyed shuffle join. minDf = 1 semantics are
-      // preserved: singleton terms survive tw (df = 1) and count toward
-      // norms; pair generation drops them naturally (a 1-element list
-      // emits no pairs). Persisted: norms and the packed rebuild both
-      // read it.
-      val shw = sh.join(tw.hint("shuffle_hash"), Seq("t"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val norms = shw
-        .groupBy("doc_id").agg(sqrt(sum(col("w2"))).as("nrm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Pack the quantized norm into the doc id (len << 48 | id). Both
-      // sides of the norm attach are postings- or doc-sized —
-      // co-partitioned shuffle join on doc_id, never a broadcast (norms
-      // is one row per DOCUMENT).
-      val qn = when(col("nrm") * NormScale < 100, lit(PairsWithinRatio.LenCap))
-        .otherwise(least(floor(col("nrm") * NormScale).cast("long"),
-          lit(PairsWithinRatio.LenCap)))
-      val packed = shw
-        .join(norms.select(col("doc_id"), qn.as("qn")).hint("shuffle_hash"),
-          Seq("doc_id"))
-        .select(col("t"),
-          (shiftleft(col("qn"), 48) + col("doc_id")).as("pd"))
-      // The ONE postings grouping in the query (the old shape ran two):
-      // state-capped per-term lists of packed (norm, id) longs. w is
-      // recomputed from the list size — identical to tw's by
-      // construction, since every posting of a surviving term reaches
-      // here.
-      val repacked = graft.core.InvertedIndex
-        .groupedPostings(packed, col("t"), col("pd"))
-        .crossJoin(broadcast(n))
-        .select(col("ds"),
-          (log(col("nd") / size(col("ds"))) *
-            log(col("nd") / size(col("ds")))).as("ww"))
-      val dots = repacked
-        .select(col("ww"), PairsWithinRatio
-          .pairs_within_ratio(col("ds"), 0.88).as(Seq("d1p", "d2p")))
-        .groupBy(col("d1p"), col("d2p"))
-        .agg(sum(col("ww")).as("dot"))
-        .select(col("d1p").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("d1"),
-          col("d2p").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("d2"),
-          col("dot"))
-      // Norm join-back is a co-partitioned SHUFFLE join on doc_id, never a
-      // broadcast: `norms` is one row per DOCUMENT (~16+ GB at 1e9 docs,
-      // over the broadcast hard cap — the query would fail at target
-      // scale). The >=0.9 pair side is tiny; the hint pins SHJ so AQE
-      // cannot re-broadcast the per-doc relation at test scale
-      // (PlanAuditSpec asserts the shape).
-      val normsJ = norms.hint("shuffle_hash")
-      dots
-        .join(normsJ.as("n1"), col("d1") === col("n1.doc_id"))
-        .join(normsJ.as("n2"), col("d2") === col("n2.doc_id"))
-        .select(col("d1"), col("d2"),
-          round(col("dot") / (col("n1.nrm") * col("n2.nrm")), 6).as("sim"))
-        .filter(col("sim") >= 0.9)
-    }),
+    "tx08_tfidf_pairs" -> ((s, d) => tfidfPairs(s, d)),
+
 
     // Profile-based language ID via character trigrams — the real n-gram
     // method (tx03 is the compressed marker-word heuristic). Classifier:
@@ -942,6 +862,102 @@ object TextAnalysis {
           coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
     })
   )
+
+  /** tx08's body, df-cap parameterized (r15). `capOverride` pins the
+    * cap explicitly (spec replay tier); otherwise the cap is
+    * [[graft.core.InvertedIndex.StopKeyCap]] unless the
+    * [[graft.core.PairBudget]] disk-budget hook (OFF by default) lowers
+    * it with a stamped loss — the closed-sf8 degradation mode. The df
+    * relation handed to the hook is only evaluated when a budget is
+    * set; the unbudgeted plan is unchanged. */
+  private[graft] def tfidfPairs(s: SparkSession, d: String,
+      capOverride: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graftx.PairsWithinRatio
+    val NormScale = 100
+    val sh = Tables.wide(s, d, "documents", "doc_id", "text")
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graftx.WordShinglesFunctions
+          .word_shingles(col("text"), 3)).as("t"))
+    val n = Tables(s, d, "documents")
+      .agg(count(lit(1)).cast("double").as("nd"))
+    // ~24 bytes per generated pair row (two packed longs + the weight)
+    // in the explode's shuffle — the volume the budget bounds
+    val cap = capOverride.getOrElse(graft.core.PairBudget.dfCap(
+      sh.groupBy(col("t")).agg(count(lit(1)).as("df")),
+      graft.core.InvertedIndex.StopKeyCap, 24.0, "tx08_tfidf_pairs"))
+    // df via a COUNT aggregate, not a bounded_collect grouping: the
+    // partial aggregate collapses each map partition to at most |vocab|
+    // rows before the wire, so the exchange carries ~partitions x vocab
+    // counts where the old first grouping shuffled every posting into
+    // full collect_list state — and then rebuilt the SAME state a second
+    // time after the norm attach. The stop-key cap (df <= StopKeyCap)
+    // keeps its old semantics: capped terms drop from norms AND pairs,
+    // exactly as the oracle's HAVING clause prescribes. `tw` is
+    // vocabulary-sized (an aggregate, so broadcast-legal by the audit
+    // rule) but shingle vocabulary grows with the corpus — the join
+    // below stays a shuffle join on t, never a broadcast build.
+    val tw = sh.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .crossJoin(broadcast(n))
+      .select(col("t"),
+        (log(col("nd") / col("df")) * log(col("nd") / col("df"))).as("w2"))
+    // Postings restricted to surviving terms with the per-term weight
+    // attached — one t-keyed shuffle join. minDf = 1 semantics are
+    // preserved: singleton terms survive tw (df = 1) and count toward
+    // norms; pair generation drops them naturally (a 1-element list
+    // emits no pairs). Persisted: norms and the packed rebuild both
+    // read it.
+    val shw = sh.join(tw.hint("shuffle_hash"), Seq("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = shw
+      .groupBy("doc_id").agg(sqrt(sum(col("w2"))).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pack the quantized norm into the doc id (len << 48 | id). Both
+    // sides of the norm attach are postings- or doc-sized —
+    // co-partitioned shuffle join on doc_id, never a broadcast (norms
+    // is one row per DOCUMENT).
+    val qn = when(col("nrm") * NormScale < 100, lit(PairsWithinRatio.LenCap))
+      .otherwise(least(floor(col("nrm") * NormScale).cast("long"),
+        lit(PairsWithinRatio.LenCap)))
+    val packed = shw
+      .join(norms.select(col("doc_id"), qn.as("qn")).hint("shuffle_hash"),
+        Seq("doc_id"))
+      .select(col("t"),
+        (shiftleft(col("qn"), 48) + col("doc_id")).as("pd"))
+    // The ONE postings grouping in the query (the old shape ran two):
+    // state-capped per-term lists of packed (norm, id) longs. w is
+    // recomputed from the list size — identical to tw's by
+    // construction, since every posting of a surviving term reaches
+    // here.
+    val repacked = graft.core.InvertedIndex
+      .groupedPostings(packed, col("t"), col("pd"))
+      .crossJoin(broadcast(n))
+      .select(col("ds"),
+        (log(col("nd") / size(col("ds"))) *
+          log(col("nd") / size(col("ds")))).as("ww"))
+    val dots = repacked
+      .select(col("ww"), PairsWithinRatio
+        .pairs_within_ratio(col("ds"), 0.88).as(Seq("d1p", "d2p")))
+      .groupBy(col("d1p"), col("d2p"))
+      .agg(sum(col("ww")).as("dot"))
+      .select(col("d1p").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("d1"),
+        col("d2p").bitwiseAND(lit(PairsWithinRatio.IdMask)).as("d2"),
+        col("dot"))
+    // Norm join-back is a co-partitioned SHUFFLE join on doc_id, never a
+    // broadcast: `norms` is one row per DOCUMENT (~16+ GB at 1e9 docs,
+    // over the broadcast hard cap — the query would fail at target
+    // scale). The >=0.9 pair side is tiny; the hint pins SHJ so AQE
+    // cannot re-broadcast the per-doc relation at test scale
+    // (PlanAuditSpec asserts the shape).
+    val normsJ = norms.hint("shuffle_hash")
+    dots
+      .join(normsJ.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(normsJ.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("dot") / (col("n1.nrm") * col("n2.nrm")), 6).as("sim"))
+      .filter(col("sim") >= 0.9)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "tx01_token_stats" ->

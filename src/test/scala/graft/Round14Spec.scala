@@ -109,7 +109,9 @@ class Round14Spec extends AnyFunSuite {
       "domain-identical to the stub's and vector-distinct from it") {
     import org.apache.spark.sql.functions.col
     val enc = new graft.operators.ConvMediaEncoder()
-    graft.operators.ConvMediaEncoder.loads.set(0)
+    // drop any net cached by an earlier suite in this JVM (sbt without
+    // fork/reload): the loads == 1 assert below measures THIS run
+    graft.operators.ConvMediaEncoder.resetForTest()
     def run() = graft.operators.Multimodal
       .mediaEmb(spark, sf, enc)
       .collect()

@@ -53,16 +53,22 @@ def main():
         mx, my = sum(xs) / n, sum(ys) / n
         denom = sum((x - mx) ** 2 for x in xs)
         alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
-        t1 = pts[0][1]
-        rows[q] = {"alpha": round(alpha, 3), "t_sf1": t1,
+        # pts[0] is the smallest AVAILABLE point, not necessarily sf1
+        # (a query can be gated/skipped/failed at sf1): record its
+        # actual scale and key the fixed-cost floor on it instead of
+        # mislabeling an sf2+ time as t_sf1 (r14 advisor)
+        t_min, min_sf = pts[0][1], pts[0][0]
+        rows[q] = {"alpha": round(alpha, 3),
+                   "t_min_sf": t_min, "min_sf": min_sf,
                    "t_max_sf": pts[-1][1], "max_sf": pts[-1][0],
                    "points": n}
-        # flag real superlinearity: slope over threshold AND the sf1
-        # point is above the ~1 s fixed-cost floor (sub-second queries'
-        # slopes are session noise, not data cost)
-        if alpha > thr and t1 >= 1.0:
+        # flag real superlinearity: slope over threshold AND the
+        # smallest point is above the ~1 s fixed-cost floor (sub-second
+        # queries' slopes are session noise, not data cost)
+        if alpha > thr and t_min >= 1.0:
             flags.append({"query": q, "alpha": round(alpha, 3),
-                          "t_sf1": t1, "t_max_sf": rows[q]["t_max_sf"]})
+                          "t_min_sf": t_min, "min_sf": min_sf,
+                          "t_max_sf": rows[q]["t_max_sf"]})
     fam = {}
     for q, r in rows.items():
         if r.get("alpha") is None:
@@ -75,7 +81,8 @@ def main():
         "protocol": "alpha = least-squares log2-slope of min-of-2 seconds "
                     "over the sf%s full-surface sidecars (same host, same "
                     "protocol); flag = alpha > %.2f AND "
-                    "t_sf1 >= 1 s (fixed-cost floor)" % ("/".join(str(int(s)) for s in sfs), thr),
+                    "t_min_sf >= 1 s (fixed-cost floor at the smallest "
+                    "available point, min_sf)" % ("/".join(str(int(s)) for s in sfs), thr),
         "family_median_alpha": dict(sorted(fam_med.items())),
         "flags_superlinear": sorted(flags, key=lambda x: -x["alpha"]),
         "queries": dict(sorted(rows.items())),
