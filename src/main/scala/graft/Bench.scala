@@ -327,8 +327,12 @@ object Bench {
     // carries a protocol tag) so consumers can tell min-of-2 results from
     // the single-pass protocol of rounds <= 5 — the metric definitions
     // differ and cross-round comparisons must not conflate them.
-    val pass1 = timedPass()
-    val pass2 = timedPass(record = true)
+    // SPARK_GRAFT_BENCH_PASSES=1: single timed pass (A/B-indicator
+    // protocol — compare pass1-vs-pass1 across arms; the official
+    // sidecars stay min2). Any other value = the min2 default.
+    val singlePass = sys.env.get("SPARK_GRAFT_BENCH_PASSES").contains("1")
+    val pass1 = timedPass(record = singlePass)
+    val pass2 = if (singlePass) pass1 else timedPass(record = true)
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
@@ -392,9 +396,10 @@ object Bench {
       s""""$k":[$gc,$st,$hp]""" }.mkString(
       """"watermarks_pass2":{""", ",",
       """},"watermarks_layout":"[gc_ms,storage_bytes_after,heap_bytes_after]"""")
+    val proto = if (singlePass) "single-pass" else "min2"
     val winJson = windowJson(runStartMs)
     val fullJson =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,$fixJson,$wmJson,$winJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"$proto","failures":$failures,"n_queries":${results.size},"queries":$fullQs,"passes":$passesJson$indexJson$streamJson$gateJson,$fixJson,$wmJson,$winJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     println(s"BENCH_DETAIL $fullJson")
@@ -410,7 +415,7 @@ object Bench {
         val build = if (a >= 0 && b >= 0) math.max(0.0, a - b) else -1.0
         s""""$k":{"build_s":${jnum(build)},"steady_s":${jnum(b)}}"""
       }.mkString(""","index_build":{""", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"min2","failures":$failures,"n_queries":${results.size},"queries":$headQs$headIdx$streamJson$gateJson,$fixJson,$winJson,"detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"$proto","failures":$failures,"n_queries":${results.size},"queries":$headQs$headIdx$streamJson$gateJson,$fixJson,$winJson,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 
