@@ -141,6 +141,24 @@ object Tables {
       cols: String*): DataFrame =
     wideMin(spark, dir, name, WideMinRows, cols: _*)
 
+  /** Force a just-persisted FAN-OUT relation to materialize NOW (r15).
+    *
+    * AQE submits the independent exchange jobs of one action
+    * CONCURRENTLY, and the RDD block store has no cross-task compute
+    * lock: on a COLD cache every concurrent first-touch job recomputes
+    * the expensive upstream per partition, so a persist alone does not
+    * prevent N-fold duplicated work on the first action — measured at
+    * sf0.1 as 3 concurrent ~1.4 s minhash-signature builds in dd03
+    * (the self-join's two sides plus the verify branch) and up to 9
+    * concurrent ~1-2.5 s media-decode jobs in mm04. One count() pays
+    * the single build pass up front; every downstream exchange then
+    * reads the warm cache. Apply ONLY where the upstream is expensive
+    * AND consumed by 2+ exchanges of one action — for cheap upstreams
+    * the extra job is pure overhead. Results are unchanged by
+    * construction (same relation, materialized once instead of
+    * N times). */
+  def mat(df: DataFrame): DataFrame = { df.count(); df }
+
   /** [[wide]] with a caller-chosen row floor — for map sides whose
     * per-row cost is far above shingle grade (dd03's 128-perm minhash
     * signatures are ~100x a plain shingle pass), where the exchange

@@ -274,6 +274,11 @@ object Dedup {
       .select(col("pd"), col("tk").getField("sid").as("csh"),
         slice(col("tk").getField("sid"), lit(1), kCol).as("pref"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // mat(): docIdx feeds the probe side, the postings rebuild, and both
+    // verify join sides of one action — cold-cache concurrent first-touch
+    // re-ran the per-doc grouping per branch (Tables.mat). `grouped` is
+    // already warm: the hashOk injectivity probe above materialized it.
+    Tables.mat(docIdx)
     // candidates: prefix sids probe the full capped postings (rebuilt
     // from the encoded arrays — one narrow explode, no second string
     // exchange); the packed comparison orients probe = (n, id)-min
@@ -685,11 +690,14 @@ object Dedup {
           l2(col("embedding"), col("cvec")).as("cdist"))
         .filter(col("nrm") > 0)
       val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
-      val pos = a
+      // mat(): pos feeds the probe explode and BOTH join sides of one
+      // action — cold-cache concurrent first-touch re-ran the window +
+      // centroid join per branch (Tables.mat)
+      val pos = Tables.mat(a
         .withColumn("pos", row_number().over(
           bw.orderBy(col("cdist").asc, col("vec_id").asc)))
         .withColumn("m", count(lit(1)).over(bw))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       // forward-only: (p, p+j), j = 1..min(m - p, W(m)) — each unordered
       // candidate pair generated exactly once, no distinct needed. The
       // probe side drops its embedding before the explode (joined back
@@ -820,10 +828,10 @@ object Dedup {
       val idx = shingleIndex(s, d)
       // postings exploded once, for the verify step only (global df cap +
       // candidate postings) — signatures no longer need them
-      val expl = idx.filter(size(col("sh")) > 0)
+      val expl = Tables.mat(idx.filter(size(col("sh")) > 0)
         .select(col("doc_id"), size(col("sh")).as("n"),
           explode(col("sh")).as("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       // Per-row single-pass signature via the native MinHashSig kernel —
       // bit-identical to the old 128-column min(xxhash64) aggregate (same
       // hash chain) and to the streaming formulation (DocPipeline), but
@@ -845,8 +853,13 @@ object Dedup {
         .select(col("doc_id"), col("k.band"), col("k.bh"))
         // persisted: exchange reuse does NOT cover the self-join here
         // (AQE + the explode break identical-subtree matching; measured
-        // 2.5s -> 3.5s without it, the minhash kernel running twice)
+        // 2.5s -> 3.5s without it, the minhash kernel running twice).
+        // mat(): the persist alone still let AQE's CONCURRENT first-
+        // touch jobs (both self-join sides) each run the minhash build
+        // on the cold cache — measured as 2-3 parallel ~1.4 s jobs
+        // (see Tables.mat); one forced pass removes the duplication
         .persist(StorageLevel.MEMORY_AND_DISK)
+      Tables.mat(buckets)
       // band-bucket collisions; no distinct — the downstream left-semi
       // joins dedupe, and a distinct here is one more shuffle. The self
       // join is pinned to sort-merge: `buckets` is PER-DOCUMENT x 32
@@ -854,11 +867,16 @@ object Dedup {
       // that is 3.2e10 rows — far over the 8 GB broadcast cap); SMJ
       // co-partitions both sides on (band, bh) and spills per-key groups
       // (PlanAuditSpec asserts no per-row broadcast anywhere).
-      val cand = buckets.as("x").join(buckets.hint("merge").as("y"),
+      // mat(): cand feeds candDocs' two-scan union AND the final
+      // left-semi — unpersisted-materialized, the band-collision SMJ ran
+      // once per consumer, concurrently (the residual ~2 s twin jobs
+      // after the buckets fix; Tables.mat)
+      val cand = Tables.mat(buckets.as("x")
+        .join(buckets.hint("merge").as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       // Exact verify on the candidate set only, and through the SAME
       // capped-postings kernel as dd02 (postings of candidate docs only,
       // stop-shingles pruned identically), so the MaxPostings df-cap can
@@ -1056,10 +1074,13 @@ object Dedup {
           }
           struct(lit(t).as("band"), key.as("bh"))
       }
-      val bands = sig.select(col("doc_id"), col("sim"),
+      // mat(): both self-join sides cold-touch bands concurrently —
+      // without it each re-ran the 64-bit-sum signature aggregate
+      // (Tables.mat; two parallel ~0.8 s jobs at sf0.1)
+      val bands = Tables.mat(sig.select(col("doc_id"), col("sim"),
           explode(array(tables: _*)).as("k"))
         .select(col("doc_id"), col("sim"), col("k.band"), col("k.bh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       // bands is per-DOCUMENT x 20 tables — pin the collision self-join to
       // sort-merge so neither per-row side is ever a broadcast build
       bands.as("x").join(bands.hint("merge").as("y"),
@@ -1338,13 +1359,19 @@ object Dedup {
     // plan shape.
     "dd18_exact_substring_spans" -> ((s, d) => {
       val L = SpanSeedLen
-      val grams = Tables.wide(s, d, "documents", "doc_id", "text")
+      // persisted + mat(): grams feeds the dup census AND the semi-join
+      // probe side of one action — unpersisted, the L-token gram
+      // generation ran twice, concurrently (two ~1.2 s jobs at sf0.1;
+      // Tables.mat). CacheScope.track keeps composition callers leak-free.
+      val grams = Tables.mat(graft.core.CacheScope.track(
+        Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(w) - $L), " +
             s"p -> array_join(slice(w, p + 1, $L), ' '))")))
         .toDF("doc_id", "p", "gram")
+        .persist(StorageLevel.MEMORY_AND_DISK)))
       val dup = grams.select(col("gram"), col("doc_id")).distinct()
         .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
@@ -1382,12 +1409,15 @@ object Dedup {
       val L = SpanSeedLen
       val base = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val grams = base
+      // persisted + mat(): same two-consumer fan-out as dd18 (census +
+      // join probe) — one gram-generation pass instead of two concurrent
+      val grams = Tables.mat(graft.core.CacheScope.track(base
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(w) - $L), " +
             s"p -> array_join(slice(w, p + 1, $L), ' '))")))
         .toDF("doc_id", "p", "gram")
+        .persist(StorageLevel.MEMORY_AND_DISK)))
       val st = grams.select(col("gram"), col("doc_id")).distinct()
         .groupBy(col("gram"))
         .agg(min(col("doc_id")).as("md"), count(lit(1)).as("nd"))

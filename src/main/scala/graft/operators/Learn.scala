@@ -581,7 +581,15 @@ object Learn {
     "tx28_quality_classifier" -> ((s, d) => {
       val feats = featuresDf(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       val w = trainOn(feats)
-      feats.unpersist(blocking = false)
+      // r15: the persist now stays live through the returned scoring
+      // relation, so the final pass reads the cached features instead of
+      // re-running the token/feature projection over the corpus (the old
+      // pre-return unpersist recomputed it — one full extra corpus pass,
+      // ~25 corpus-scan-equivalents -> 24+cache-read). Same lifecycle as
+      // every other per-query persist here (tx09's dc, dd03's postings):
+      // Verify/Bench clearCache() after each query releases it; library
+      // callers who only want weights use trainWeights, which still
+      // unpersists.
       feats
         .select(col("doc_id"), scoreColumn(w).as("score_micro"), col("y"))
         .selectExpr("doc_id", "score_micro",

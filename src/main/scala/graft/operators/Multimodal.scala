@@ -290,9 +290,15 @@ object Multimodal {
       val B = 8; val L = 2
       import s.implicits._
       val emb = if (embIn != null) embIn else mediaEmb(s, d)
-      val e = emb.withColumn("nrm", l2_norm(col("emb")))
+      // mat(): e fans out into the mean aggregate, the bucket exchange,
+      // and BOTH rescore join sides of one action — on a cold cache
+      // AQE's concurrent exchange jobs each re-ran the decode+embed
+      // upstream (Tables.mat; measured as ~9 parallel 1-2.5 s jobs at
+      // sf0.1). One forced pass, then every branch reads warm cache.
+      val e = graft.core.Tables.mat(emb
+        .withColumn("nrm", l2_norm(col("emb")))
         .filter(col("nrm") > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // Chunked-sum embeddings are tightly clustered in direction within
       // a kind (image/video slot sums are all-positive; audio's signed
       // sums cluster around the sample-mean direction), which collapses
@@ -359,10 +365,16 @@ object Multimodal {
       // W successors could all be foreign — caught at sf1 by
       // tools/check_mm04.py: an exact twin > W positions away reported
       // top-1 sim 0.9994 instead of 1.0.
-      val pos = own
+      // persisted + mat(): pos feeds the probe explode AND the position-
+      // join build side of one action — unpersisted, the bucket window
+      // (sort + row_number + count over N x L rows) ran once per
+      // concurrent consumer (profiled as the residual ~1.5-2 s twin jobs
+      // after the e/em materialization fix; Tables.mat)
+      val pos = graft.core.Tables.mat(own
         .withColumn("pos", row_number().over(
           bw.orderBy(col("ehash"), col("media_id"))))
         .withColumn("m", count(lit(1)).over(bw))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // j = 1..min(W, m-1) cyclic steps; m = 1 buckets have no pairs.
       // tpos != pos by construction (j mod m is never 0), so no
       // self-pairs and no `=!=` residual predicate on the join.
@@ -376,12 +388,16 @@ object Multimodal {
       // media); the rescore joins co-partition the per-media `e` against
       // the candidate set on media_id via shuffle-hash for the same
       // reason (PlanAuditSpec).
-      val candDir = probes.as("x").join(pos.hint("merge").as("y"),
+      // persisted + mat(): the both-directions union below scans candDir
+      // twice — unpersisted, the position join ran once per direction
+      val candDir = graft.core.Tables.mat(
+        probes.as("x").join(pos.hint("merge").as("y"),
           col("x.kind") === col("y.kind") && col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.tpos") === col("y.pos"))
         .select(col("x.media_id").as("media_id"),
           col("y.media_id").as("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // score BOTH directions: the last member of a contiguous duplicate
       // run probes only forward (outside its run), but it is probed BY
       // its predecessor — the reverse rows close the exact-duplicate
@@ -424,11 +440,14 @@ object Multimodal {
   private[graft] def mediaKnnAudit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftx.functions.{dot_product, l2_norm}
     val tol = 5e-7 + 1e-12
-    val em = mediaEmb(s, d)
+    // mat(): em fans out into twins, the kNN (via embIn), both audit
+    // join sides, and the final left joins — cold-cache concurrent
+    // first-touch would re-run the media decode per branch (Tables.mat)
+    val em = graft.core.Tables.mat(mediaEmb(s, d)
       .withColumn("emb_sig", expr("array_join(transform(emb, " +
         "x -> CAST(CAST(x AS BIGINT) AS STRING)), ':')"))
       .withColumn("nrm", l2_norm(col("emb")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // identical-embedding twin groups (nonzero-norm, within a kind):
     // group identity IS the pinned signature, so engine twins and
     // oracle twins coincide by construction once emb_sig matches

@@ -86,11 +86,16 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
       split(col("text"), " ").as("w"))
-    val grams = base.filter(size(col("w")) >= L)
+    // persisted + mat() inside the stage's CacheScope: grams feeds the
+    // seed census and the join probe side concurrently (dd19's shape —
+    // see Tables.mat); one generation pass instead of two
+    val grams = Tables.mat(graft.core.CacheScope.track(
+      base.filter(size(col("w")) >= L)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(w) - $L), " +
           s"p -> array_join(slice(w, p + 1, $L), ' '))")))
       .toDF("doc_id", "p", "gram")
+      .persist(StorageLevel.MEMORY_AND_DISK)))
     val st = grams.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram"))
       .agg(min(col("doc_id")).as("md"), count(lit(1)).as("nd"))
@@ -208,12 +213,24 @@ object Pipeline {
   /** Order-independent 60-bit relation fingerprint: bit_xor over rows of
     * the md5-prefix integer of the canonical ':'-joined row string.
     * 15 hex chars keep the value inside a signed 64-bit lane in BOTH
-    * engines; xor is the one exact aggregate that needs no row order. */
-  private def fpOf(df: DataFrame, parts: Column*): Long =
-    df.select(conv(substring(md5(concat_ws(":", parts: _*)), 1, 15),
+    * engines; xor is the one exact aggregate that needs no row order.
+    *
+    * Returned WITH the row count from ONE aggregate action (r15, guide
+    * §1.2 "remove passes"): the lineage needs both per stage, and the
+    * old count()-then-fingerprint pair cost a second full pass over the
+    * just-persisted stage output — 9 extra cache scans per run (~0.15-
+    * 0.25 s each at sf0.1, and a full cached-corpus re-read per stage at
+    * scale). The aggregate materializes the persist exactly like count()
+    * did (caching is plan-level: the scan materializes whole rows, the
+    * projection runs above the cache), and both values are identical to
+    * the two-action form by construction (same rows, same expressions). */
+  private def countAndFp(df: DataFrame, parts: Seq[Column]): (Long, Long) = {
+    val r = df.select(conv(substring(md5(concat_ws(":", parts: _*)), 1, 15),
         16, 10).cast("long").as("fp"))
-      .agg(coalesce(expr("bit_xor(fp)"), lit(0L)))
-      .head.getLong(0)
+      .agg(count(lit(1)), coalesce(expr("bit_xor(fp)"), lit(0L)))
+      .head
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Runs the nine stages, materializing each; returns the lineage rows
     * and the staged frames (for the read-once plan audit in the spec —
@@ -268,13 +285,15 @@ object Pipeline {
         fpParts: Seq[Column]): DataFrame = graft.core.CacheScope.scoped {
       val t0 = System.nanoTime()
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val n = p.count()
+      // one action: materializes the persist AND returns (count, fp) —
+      // see countAndFp (the old count-then-fingerprint pair re-read the
+      // fresh cache once per stage for nothing)
+      val (n, fp) = countAndFp(p, fpParts)
       val cut = org.apache.spark.sql.graftx.PlanCut.cut(p)
-      val tMat = (System.nanoTime() - t0) / 1e9
-      lineage += ((ord, name, prevN, n, fpOf(cut, fpParts: _*)))
+      lineage += ((ord, name, prevN, n, fp))
       if (sys.props.get("graft.pp01.timing").contains("true"))
-        println(f"PP01TIME  $ord%2d $name%-14s mat=$tMat%7.2fs fp=${
-          (System.nanoTime() - t0) / 1e9 - tMat}%6.2fs")
+        println(f"PP01TIME  $ord%2d $name%-14s mat+fp=${
+          (System.nanoTime() - t0) / 1e9}%7.2fs")
       frames += ((name, cut))
       persisted += ((name, p))
       prevN = n

@@ -439,10 +439,13 @@ object Similarity {
             org.apache.spark.storage.StorageLevel.DISK_ONLY
           else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       }
-      val e = Tables.wide(s, d, "embeddings", "vec_id", "embedding")
+      // mat(): e feeds the own-side bucket exchange and (through it) both
+      // collision-join sides of one action — cold-cache concurrent
+      // first-touch re-ran the scan+norm per branch (Tables.mat)
+      val e = Tables.mat(Tables.wide(s, d, "embeddings", "vec_id", "embedding")
         .select(col("vec_id"), col("embedding"),
           l2_norm(col("embedding")).as("nrm"))
-        .persist(eLevel)
+        .persist(eLevel))
       val B = Scale.lshPlanes(n)
       // per-corpus whitened HASHING view (default off — see Whitening):
       // bucket ids may move, the rescore stays on the raw vectors

@@ -26,16 +26,28 @@ object TextAnalysis {
     * vocabulary at every SF). */
   val BmTerms = Seq("spark", "table", "query")
 
+  /** The (doc_id, source, sg) word-trigram shingle relation tx13/tx17
+    * share — persisted and force-materialized (Tables.mat) because every
+    * consumer fans out into 2+ concurrent exchanges of one action. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.mat(Tables.wide(s, d, "documents", "doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        explode(org.apache.spark.sql.graftx.WordShinglesFunctions
+          .word_shingles(col("text"), 3)).as("sg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Raw Bloom-decontamination relation (doc_id, n_sh, n_hits,
     * contamination, contaminated) — the sketch path a user runs; the
     * driver-gated tx17 entry wraps it with the one-sidedness audit. */
-  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame =
+    bloomFrom(docShingles(s, d))
+
+  /** [[bloomDecontaminate]] over an already-persisted shingle relation —
+    * tx17 shares ONE relation between the exact (tx13) and sketch sides
+    * instead of shingling the corpus twice into two identical persists
+    * (r15; guide §1.2 "don't compute things twice"). */
+  private def bloomFrom(sh: DataFrame): DataFrame = {
       import org.apache.spark.sql.graftx.BloomFunctions._
-      val sh = Tables.wide(s, d, "documents", "doc_id", "source", "text")
-        .select(col("doc_id"), col("source"),
-          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
-            .word_shingles(col("text"), 3)).as("sg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 1M expected items / 9.6M bits = 1% fpp at capacity, ~1.2 MB on
       // the wire regardless of how the benchmark set grows toward it.
       // The merged sketch is collected and embedded as a BINARY LITERAL
@@ -56,6 +68,23 @@ object TextAnalysis {
       val frac = round(col("n_hits").cast("double") / col("n_sh"), 6)
       hits.select(col("doc_id"), col("n_sh"), col("n_hits"),
         frac.as("contamination"), (frac >= 0.5).as("contaminated"))
+  }
+
+  /** tx13's exact decontamination over an already-persisted shingle
+    * relation — shared with tx17 (one shingle pass, one persist). */
+  private def decontaminateFrom(sh: DataFrame): DataFrame = {
+      val bench = sh.filter(col("source") === "src0")
+        .select(col("sg")).distinct()
+      val corp = sh.filter(col("source") =!= "src0")
+      val tot = corp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val shr = corp.join(broadcast(bench), Seq("sg"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared0"))
+      val frac = round(coalesce(col("n_shared0"), lit(0L)).cast("double")
+        / col("n_sh"), 6)
+      tot.join(shr, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_shared0"), lit(0L)).as("n_shared"),
+          frac.as("contamination"), (frac >= 0.5).as("contaminated"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -483,8 +512,13 @@ object TextAnalysis {
     // exact-contaminated doc is always sketch-flagged). The doc domain
     // and exact distinct-shingle counts are DuckDB-pinned.
     "tx17_bloom_decontaminate" -> ((s, d) => {
-      val bloom = bloomDecontaminate(s, d)
-      val exact = queries("tx13_decontaminate")(s, d)
+      // ONE shared shingle relation for both sides (r15): the old form
+      // called bloomDecontaminate + tx13 back-to-back, each shingling
+      // the corpus into its own identical persist — two full passes and
+      // double the cache footprint for the same rows
+      val sh = docShingles(s, d)
+      val bloom = bloomFrom(sh)
+      val exact = decontaminateFrom(sh)
       exact.as("e").join(bloom.as("b"),
           col("e.doc_id") === col("b.doc_id"), "full_outer")
         .select(
@@ -590,11 +624,15 @@ object TextAnalysis {
     // broadcast-legal at any corpus scale.
     "tx21_source_overlap" -> ((s, d) => {
       val g = org.apache.spark.sql.graftx.WordShinglesFunctions
-      val ss = Tables.wide(s, d, "documents", "source", "text")
+      // mat(): ss feeds the sizes aggregate and BOTH self-join sides of
+      // one action — cold-cache concurrent first-touch re-ran the
+      // shingle+distinct upstream per branch (Tables.mat; measured as
+      // 3 parallel ~0.8 s jobs at sf0.1)
+      val ss = Tables.mat(Tables.wide(s, d, "documents", "source", "text")
         .select(col("source"),
           explode(g.word_shingles(col("text"), 3)).as("sh"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val inter = ss.select(col("sh"), col("source").as("s1"))
         .join(ss.select(col("sh"), col("source").as("s2")), "sh")
@@ -610,27 +648,12 @@ object TextAnalysis {
             (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
     }),
 
-    "tx13_decontaminate" -> ((s, d) => {
-      // persisted: three consumers (benchmark distinct, per-doc totals,
-      // shared counts) would otherwise each re-run the shingle scan
-      val sh = Tables.wide(s, d, "documents", "doc_id", "source", "text")
-        .select(col("doc_id"), col("source"),
-          explode(org.apache.spark.sql.graftx.WordShinglesFunctions
-            .word_shingles(col("text"), 3)).as("sg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bench = sh.filter(col("source") === "src0")
-        .select(col("sg")).distinct()
-      val corp = sh.filter(col("source") =!= "src0")
-      val tot = corp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val shr = corp.join(broadcast(bench), Seq("sg"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared0"))
-      val frac = round(coalesce(col("n_shared0"), lit(0L)).cast("double")
-        / col("n_sh"), 6)
-      tot.join(shr, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("n_sh"),
-          coalesce(col("n_shared0"), lit(0L)).as("n_shared"),
-          frac.as("contamination"), (frac >= 0.5).as("contaminated"))
-    }),
+    "tx13_decontaminate" -> ((s, d) =>
+      // persisted + force-materialized (docShingles): three consumers
+      // (benchmark distinct, per-doc totals, shared counts) would
+      // otherwise each re-run the shingle scan — concurrently, on the
+      // cold cache (Tables.mat)
+      decontaminateFrom(docShingles(s, d))),
 
     // Intra-document repetition signals (the Gopher/MassiveText repetition
     // filters, Rae et al. 2021 §A1.1): fraction of duplicate word
@@ -908,11 +931,16 @@ object TextAnalysis {
     // norms; pair generation drops them naturally (a 1-element list
     // emits no pairs). Persisted: norms and the packed rebuild both
     // read it.
-    val shw = sh.join(tw.hint("shuffle_hash"), Seq("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val norms = shw
+    // mat() on both fan-out persists (Tables.mat): shw feeds norms AND
+    // the packed rebuild; norms feeds the qn attach AND both final
+    // join-backs — cold-cache concurrent first-touch re-ran the
+    // shingle+weight join per branch (profiled as 6 parallel ~0.5-0.65 s
+    // jobs at sf0.1)
+    val shw = Tables.mat(sh.join(tw.hint("shuffle_hash"), Seq("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val norms = Tables.mat(shw
       .groupBy("doc_id").agg(sqrt(sum(col("w2"))).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Pack the quantized norm into the doc id (len << 48 | id). Both
     // sides of the norm attach are postings- or doc-sized —
     // co-partitioned shuffle join on doc_id, never a broadcast (norms
