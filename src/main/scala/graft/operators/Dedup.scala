@@ -890,8 +890,14 @@ object Dedup {
         .select(col("s"))
       val candPost = expl.join(candDocs, Seq("doc_id"), "left_semi")
         .join(dfOk, "s")
+      // shuffle-hash pinned (r15): with cand now materialized up front
+      // (Tables.mat above), its InMemoryRelation carries EXACT size
+      // stats and AQE broadcast it at test scale — but cand is the LSH
+      // candidate PAIR relation, per-row-scaled (near-dup-rate x N),
+      // far over the 8 GB broadcast cap at 1e9 docs (PlanAuditSpec's
+      // unreduced-broadcast guard caught exactly this)
       val candCounts = pairCounts(candPost)
-        .join(cand, Seq("d1", "d2"), "left_semi")
+        .join(cand.hint("shuffle_hash"), Seq("d1", "d2"), "left_semi")
       jaccardFrom(candCounts, idx)
     }),
 

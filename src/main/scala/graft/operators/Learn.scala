@@ -457,13 +457,18 @@ object Learn {
     val w = Array.fill(FeatDim)(0L)
     if (n > 0) {
       for (_ <- 1 to GdIters) {
-        // err = σ(z) − y·1e6; per-row gradient g_j = err·x_j div 1e6
+        // err = σ(z) − y·1e6; per-row gradient g_j = err·x_j div 1e6.
+        // err is factored into ONE projection below the aggregate (r15):
+        // inlining it into all 6 gradient sums made the analyzer/codegen
+        // chew 6 copies of the sigmoid tree per step x 24 steps — same
+        // integers, ~6x smaller expression tree per iteration.
         val errExpr =
           s"(${sigmaMicroExpr(zExpr(w))}) - y * ${Scale}L"
         val gradCols = (0 until FeatDim).map(j =>
-          sum(expr(s"(($errExpr) * x$j) div ${Scale}L")
+          sum(expr(s"(__err * x$j) div ${Scale}L")
             .cast(DecimalType(38, 0))).as(s"g$j"))
-        val g = feats.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+        val g = feats.withColumn("__err", expr(errExpr))
+          .agg(gradCols.head, gradCols.tail: _*).collect()(0)
         var j = 0
         while (j < FeatDim) {
           val gj = BigInt(g.getDecimal(j).toBigInteger)

@@ -156,22 +156,20 @@ object Pipeline {
       s"AS BIGINT) % $mod")
 
   /** Stage 5 — tx19's deterministic mixture sampling, weights from the
-    * staged corpus's own source census. */
-  private def mixture(docs: DataFrame): DataFrame = {
-    val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .withColumn("w",
-        expr("CAST(conv(substring(md5(source), 1, 8), 16, 10) " +
-          "AS BIGINT) % 3 + 1"))
-    val tw = stats.agg(sum(col("w")).as("tw"))
-    val withTw = stats.crossJoin(broadcast(tw))
-    val m = withTw.agg(min(expr("(n * tw) DIV w")).as("m"))
-    val th = withTw.crossJoin(broadcast(m))
-      .select(col("source"),
-        expr("(((m * w) DIV tw) * 1048576) DIV n").as("thresh"))
-    docs.join(broadcast(th), Seq("source"))
-      .filter(md5Bucket(1048576L) < col("thresh"))
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
-  }
+    * staged corpus's own source census. The thresholds come from tx19's
+    * shared [[TextAnalysis.mixtureThresholds]] (r15): the census is
+    * |sources|-bounded, so the old tw -> m -> th chain of three
+    * dependent one-row aggregates (three sequential broadcast
+    * materializations per run) is now exact driver arithmetic over one
+    * collected census — identical integers, one job instead of four. */
+  private def mixture(docs: DataFrame): DataFrame =
+    TextAnalysis.mixtureThresholds(docs) match {
+      case None => docs.filter(lit(false))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      case Some(th) =>
+        docs.filter(md5Bucket(1048576L) < element_at(th, col("source")))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    }
 
   /** Stage 7 — tx20's seeded permutation as an exact distributed rank. */
   private def shuffle(docs: DataFrame): DataFrame = {

@@ -26,6 +26,42 @@ object TextAnalysis {
     * vocabulary at every SF). */
   val BmTerms = Seq("spark", "table", "query")
 
+  /** The per-source mixture thresholds of tx19 (shared by pp01's stage
+    * 5) as a LITERAL MAP column: source -> (((m*w) DIV tw) * 2^20) DIV n
+    * with w = md5-derived weight, tw = sum w, m = min (n*tw) DIV w.
+    *
+    * r15: the old formulation built tw -> m -> th as a chain of three
+    * dependent one-row aggregates crossJoined back — three SEQUENTIAL
+    * broadcast materializations per run for arithmetic on a
+    * |sources|-row relation. The census is aggregation-bounded (recipe
+    * sources, the broadcast-legality argument the old chain already
+    * relied on), so it is COLLECTED once (the tx09 langTots precedent)
+    * and the exact integer chain runs on the driver: identical values —
+    * Spark's BIGINT DIV and Scala's Long `/` agree on these nonnegative
+    * operands, and `w` still comes from the Spark md5 expression
+    * (collected, never re-derived driver-side). A NULL source carries
+    * w = NULL and never survived the equi-join; it is excluded here,
+    * and element_at(map, NULL) = NULL keeps dropping those docs.
+    * Returns None on an empty census (no documents). */
+  private[graft] def mixtureThresholds(docs: DataFrame): Option[Column] = {
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        expr("CAST(conv(substring(md5(source), 1, 8), 16, 10) " +
+          "AS BIGINT) % 3 + 1"))
+      .collect()
+      .flatMap(r => Option(r.get(0)).map(src =>
+        (src.asInstanceOf[String], r.getLong(1), r.getLong(2))))
+    if (stats.isEmpty) None
+    else {
+      val tw = stats.map(_._3).sum
+      val m = stats.map { case (_, n, w) => (n * tw) / w }.min
+      Some(map(stats.flatMap { case (src, n, w) =>
+        Seq(lit(src), lit((((m * w) / tw) * 1048576L) / n))
+      }: _*))
+    }
+  }
+
   /** The (doc_id, source, sg) word-trigram shingle relation tx13/tx17
     * share — persisted and force-materialized (Tables.mat) because every
     * consumer fans out into 2+ concurrent exchanges of one action. */
@@ -575,23 +611,16 @@ object TextAnalysis {
     // Spark (silently skewing the mixture) but raise in DuckDB.
     "tx19_mixture_sample" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val stats = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("w",
-          expr("CAST(conv(substring(md5(source), 1, 8), 16, 10) " +
-            "AS BIGINT) % 3 + 1"))
-      val tw = stats.agg(sum(col("w")).as("tw"))
-      val withTw = stats.crossJoin(broadcast(tw))
-      val m = withTw.agg(min(expr("(n * tw) DIV w")).as("m"))
-      val th = withTw.crossJoin(broadcast(m))
-        .select(col("source"),
-          expr("(((m * w) DIV tw) * 1048576) DIV n").as("thresh"))
       val bucket = expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
           "AS BIGINT) % 1048576")
-      docs.join(broadcast(th), Seq("source"))
-        .filter(bucket < col("thresh"))
-        .select(col("doc_id"), col("source"))
+      mixtureThresholds(docs) match {
+        case None => docs.filter(lit(false))
+          .select(col("doc_id"), col("source"))
+        case Some(th) =>
+          docs.filter(bucket < element_at(th, col("source")))
+            .select(col("doc_id"), col("source"))
+      }
     }),
 
     // Deterministic training-order shuffle: the last shaping step before
