@@ -828,10 +828,10 @@ object Dedup {
       val idx = shingleIndex(s, d)
       // postings exploded once, for the verify step only (global df cap +
       // candidate postings) — signatures no longer need them
-      val expl = Tables.mat(idx.filter(size(col("sh")) > 0)
+      val expl = idx.filter(size(col("sh")) > 0)
         .select(col("doc_id"), size(col("sh")).as("n"),
           explode(col("sh")).as("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // Per-row single-pass signature via the native MinHashSig kernel —
       // bit-identical to the old 128-column min(xxhash64) aggregate (same
       // hash chain) and to the streaming formulation (DocPipeline), but
@@ -854,12 +854,15 @@ object Dedup {
         // persisted: exchange reuse does NOT cover the self-join here
         // (AQE + the explode break identical-subtree matching; measured
         // 2.5s -> 3.5s without it, the minhash kernel running twice).
-        // mat(): the persist alone still let AQE's CONCURRENT first-
-        // touch jobs (both self-join sides) each run the minhash build
-        // on the cold cache — measured as 2-3 parallel ~1.4 s jobs
-        // (see Tables.mat); one forced pass removes the duplication
+        // NOTE (r15): the persist alone still lets AQE's CONCURRENT
+        // first-touch jobs (both self-join sides) each run the minhash
+        // build on the cold cache — a Tables.mat barrier here removes
+        // that CPU duplication but was MEASURED SLOWER on wall at sf0.1
+        // (3 serial barrier passes vs duplicated-but-overlapped work:
+        // quiet full run 3.65 -> 4.58 s, 8-core subset 3.51 -> 4.37 s)
+        // and reverted; revisit on a saturated cluster where the
+        // duplicated passes displace real work.
         .persist(StorageLevel.MEMORY_AND_DISK)
-      Tables.mat(buckets)
       // band-bucket collisions; no distinct — the downstream left-semi
       // joins dedupe, and a distinct here is one more shuffle. The self
       // join is pinned to sort-merge: `buckets` is PER-DOCUMENT x 32
@@ -867,16 +870,12 @@ object Dedup {
       // that is 3.2e10 rows — far over the 8 GB broadcast cap); SMJ
       // co-partitions both sides on (band, bh) and spills per-key groups
       // (PlanAuditSpec asserts no per-row broadcast anywhere).
-      // mat(): cand feeds candDocs' two-scan union AND the final
-      // left-semi — unpersisted-materialized, the band-collision SMJ ran
-      // once per consumer, concurrently (the residual ~2 s twin jobs
-      // after the buckets fix; Tables.mat)
-      val cand = Tables.mat(buckets.as("x")
+      val cand = buckets.as("x")
         .join(buckets.hint("merge").as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // Exact verify on the candidate set only, and through the SAME
       // capped-postings kernel as dd02 (postings of candidate docs only,
       // stop-shingles pruned identically), so the MaxPostings df-cap can
@@ -890,12 +889,12 @@ object Dedup {
         .select(col("s"))
       val candPost = expl.join(candDocs, Seq("doc_id"), "left_semi")
         .join(dfOk, "s")
-      // shuffle-hash pinned (r15): with cand now materialized up front
-      // (Tables.mat above), its InMemoryRelation carries EXACT size
-      // stats and AQE broadcast it at test scale — but cand is the LSH
-      // candidate PAIR relation, per-row-scaled (near-dup-rate x N),
-      // far over the 8 GB broadcast cap at 1e9 docs (PlanAuditSpec's
-      // unreduced-broadcast guard caught exactly this)
+      // shuffle-hash pinned (r15): once cand's cache is materialized its
+      // InMemoryRelation carries EXACT size stats and AQE broadcast it
+      // at test scale — but cand is the LSH candidate PAIR relation,
+      // per-row-scaled (near-dup-rate x N), far over the 8 GB broadcast
+      // cap at 1e9 docs (PlanAuditSpec's unreduced-broadcast guard
+      // caught exactly this)
       val candCounts = pairCounts(candPost)
         .join(cand.hint("shuffle_hash"), Seq("d1", "d2"), "left_semi")
       jaccardFrom(candCounts, idx)
@@ -1365,19 +1364,20 @@ object Dedup {
     // plan shape.
     "dd18_exact_substring_spans" -> ((s, d) => {
       val L = SpanSeedLen
-      // persisted + mat(): grams feeds the dup census AND the semi-join
-      // probe side of one action — unpersisted, the L-token gram
-      // generation ran twice, concurrently (two ~1.2 s jobs at sf0.1;
-      // Tables.mat). CacheScope.track keeps composition callers leak-free.
-      val grams = Tables.mat(graft.core.CacheScope.track(
-        Tables.wide(s, d, "documents", "doc_id", "text")
+      // NOTE (r15): grams feeds the dup census AND the semi-join probe
+      // side of one action, so the L-token gram generation runs twice,
+      // concurrently (two ~1.2 s jobs at sf0.1). A persist + Tables.mat
+      // barrier removes the CPU duplication but was MEASURED SLOWER on
+      // wall (quiet full run 2.34 -> 2.91 s; 8-core subset 2.40 ->
+      // 3.00 s — the serial barrier costs more than the overlapped
+      // duplicate) and reverted; revisit on a saturated cluster.
+      val grams = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(w) - $L), " +
             s"p -> array_join(slice(w, p + 1, $L), ' '))")))
         .toDF("doc_id", "p", "gram")
-        .persist(StorageLevel.MEMORY_AND_DISK)))
       val dup = grams.select(col("gram"), col("doc_id")).distinct()
         .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
@@ -1415,15 +1415,15 @@ object Dedup {
       val L = SpanSeedLen
       val base = Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-      // persisted + mat(): same two-consumer fan-out as dd18 (census +
-      // join probe) — one gram-generation pass instead of two concurrent
-      val grams = Tables.mat(graft.core.CacheScope.track(base
+      // same two-consumer fan-out as dd18 (census + join probe): the
+      // persist+mat variant was measured slower on wall at sf0.1 and
+      // reverted — see dd18's note
+      val grams = base
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(w) - $L), " +
             s"p -> array_join(slice(w, p + 1, $L), ' '))")))
         .toDF("doc_id", "p", "gram")
-        .persist(StorageLevel.MEMORY_AND_DISK)))
       val st = grams.select(col("gram"), col("doc_id")).distinct()
         .groupBy(col("gram"))
         .agg(min(col("doc_id")).as("md"), count(lit(1)).as("nd"))

@@ -113,22 +113,22 @@ object Graphs {
       // (measured pre-IndexStore: 3 full pair-kernel runs, 6.8 -> 2.6 s
       // at sf0.1 for the persist; the same re-execution class as sim05's
       // CollapseProject find)
-      // mat() on all three fan-out persists (Tables.mat): deg feeds the
-      // ew build, rank0, AND the final join; ew feeds all 5 iteration
-      // joins — cold-cache concurrent first-touch re-ran each build per
-      // branch inside the one final action
-      val jp = graft.core.Tables.mat(
-        edgeTable(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+      // NOTE (r15): deg/ew fan out into concurrent first-touch jobs
+      // (duplicated upstream compute, see Tables.mat), but the upstream
+      // here is a CHEAP parquet read of the persisted mine + one small
+      // aggregate — a mat() barrier on jp/deg/ew was measured slower on
+      // wall at sf0.1 (quiet full run 2.18 -> 2.48 s) and reverted: the
+      // barrier only pays where the duplicated upstream is expensive.
+      val jp = edgeTable(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       val e = edges(jp)
-      val deg = graft.core.Tables.mat(
-        e.groupBy("u").agg(count(lit(1)).as("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // degree pre-joined so each iteration reads (u, v, deg) straight
       // off the persisted partition-aligned probe; shuffle-hash, never
       // broadcast (deg is node-sized)
-      val ew = graft.core.Tables.mat(e.join(deg.hint("shuffle_hash"), "u")
+      val ew = e.join(deg.hint("shuffle_hash"), "u")
         .repartition(col("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       var r = deg.select(col("u").as("node"), lit(Scale).as("r"))
       for (_ <- 1 to Iters) {
         r = ew.join(r.hint("shuffle_hash"), col("u") === col("node"))
@@ -148,10 +148,8 @@ object Graphs {
     // semi-joined against the closing (a,c) edge. LCC in micro-units:
     // (2T * 1e6) div (deg*(deg-1)) — integer in both engines.
     "gx02_triangles" -> ((s, d) => {
-      // read 3x (wedge x2 + close) — mat() so the three concurrent
-      // first-touch jobs of the one action don't each re-scan the mine
-      val jp = graft.core.Tables.mat(edgeTable(s, d)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      val jp = edgeTable(s, d)
+        .persist(StorageLevel.MEMORY_AND_DISK) // read 3x (wedge x2 + close)
       val tri = jp.as("ab")
         .join(jp.as("bc").hint("shuffle_hash"),
           col("ab.d2") === col("bc.d1"))
