@@ -147,7 +147,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER / SPARK_GRAFT_JARS: see graft.core.Topology —
     // the multi-executor validation path (local-cluster[W,C,mem])
-    val spark = graft.core.Topology(SparkSession.builder()
+    val spark = graft.core.Topology(graft.core.EngineConf(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

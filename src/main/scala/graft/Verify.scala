@@ -19,7 +19,7 @@ object Verify {
     // executor JVMs, real serialization on every broadcast/shuffle.
     // SPARK_GRAFT_JARS must then carry the packaged graft jar (executors
     // outside the driver JVM need the classes shipped).
-    val spark = graft.core.Topology(SparkSession.builder()
+    val spark = graft.core.Topology(graft.core.EngineConf(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

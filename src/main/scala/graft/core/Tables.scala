@@ -157,7 +157,46 @@ object Tables {
     * the extra job is pure overhead. Results are unchanged by
     * construction (same relation, materialized once instead of
     * N times). */
-  def mat(df: DataFrame): DataFrame = { df.count(); df }
+  def mat(df: DataFrame): DataFrame = mat(df, "")
+
+  /** A/B-measurement plumbing for the barrier tradeoff (r16, VERDICT
+    * r15 next-#1/#3: the mat() class trades overlapped duplicate CPU
+    * for a serial barrier pass, and the keep/revert call was made on an
+    * IDLE box — the saturated-cluster arm needs the same binary to run
+    * both forms). `SPARK_GRAFT_MAT_OFF=all` disables every barrier;
+    * `SPARK_GRAFT_MAT_OFF=tag1,tag2` disables the named sites. Default
+    * (env unset) is byte-identical to the r15 behavior — this is a
+    * measurement switch, never a tuning knob: results are unchanged in
+    * either arm by mat()'s own construction. */
+  private lazy val matOff: Set[String] = sys.env.get("SPARK_GRAFT_MAT_OFF")
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    .getOrElse(Set.empty)
+
+  def mat(df: DataFrame, tag: String): DataFrame =
+    if (matOff("all") || (tag.nonEmpty && matOff(tag))) df
+    else { df.count(); df }
+
+  /** Opt-IN barrier for the r15 measured-and-reverted candidate sites
+    * (dd03's expl/buckets/cand, gx01's jp/deg/ew): fires only when the
+    * tag (or `all`) is named in `SPARK_GRAFT_MAT_ON` — the contention
+    * campaign's second arm. Default (env unset) is a no-op, keeping the
+    * reverted sites exactly as r15 measured them. */
+  private lazy val matOn: Set[String] = sys.env.get("SPARK_GRAFT_MAT_ON")
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    .getOrElse(Set.empty)
+
+  def matCand(df: DataFrame, tag: String): DataFrame =
+    if (matOn("all") || matOn(tag)) { df.count(); df } else df
+
+  /** [[matCand]] for candidate sites whose reverted form dropped the
+    * persist too (dd18/dd19's gram relation): arms persist+barrier
+    * together. Default (env unset) returns `df` untouched. */
+  def matCandPersist(df: DataFrame, tag: String): DataFrame =
+    if (matOn("all") || matOn(tag)) {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    } else df
 
   /** [[wide]] with a caller-chosen row floor — for map sides whose
     * per-row cost is far above shingle grade (dd03's 128-perm minhash
@@ -186,9 +225,44 @@ object Tables {
         math.max(openCost, totalBytes / par))
       val splits = math.max(1L, (totalBytes + maxSplit - 1) / maxSplit)
       if (math.min(st.rowGroups.toLong, splits) >= desired) base
-      else base.repartition(par.toInt)
+      // Repartition to DESIRED, not full parallelism (r16): desired is
+      // the gate's own occupancy bound — min(parallelism, rows/
+      // RowsPerTask) — and saturates to full parallelism on any real
+      // input (>= 1k rows/core), so this only changes the small-input
+      // regime, where repartition(par) spread e.g. 2000 embeddings over
+      // 32 partitions (62 rows/task) and every downstream pass over the
+      // persisted relation paid 32 task launches for sub-ms of work per
+      // task (em03's five k-means passes: measured 32-task 0.33-0.42 s
+      // jobs over a 1.1 MB cache; the r15 verdict's sf0.1 floor).
+      else base.repartition(desired.toInt)
     }
   }
+
+  /** Occupancy gate for a derived relation's partition count (r16,
+    * VERDICT r15 next-#2 — the sf0.1 floor is 32-task passes over
+    * MB-scale persisted relations, ~10 ms of task launch per sub-ms of
+    * work). `rows` is a MEASURED bound on the relation's row count
+    * (parquet footers via [[layout]], or a driver-known census):
+    * returns Some(n), n = ceil(rows / [[RowsPerTask]]), only in the
+    * small-input regime n < defaultParallelism; None means "leave the
+    * plan alone" — on any real input (>= 1k rows/core) the gate is off
+    * and the default shuffle.partitions + AQE shape is untouched, so
+    * this can never under-partition at scale. */
+  def gatedParts(spark: SparkSession, rows: Long): Option[Int] = {
+    val par = spark.sparkContext.defaultParallelism.toLong
+    val n = math.max(1L, (rows + RowsPerTask - 1) / RowsPerTask)
+    if (n < par) Some(n.toInt) else None
+  }
+
+  /** [[gatedParts]] keyed-exchange form: repartition `df` by `keys` at
+    * the gated width, so the keyed aggregation/join built on it reuses
+    * the one exchange and everything persisted downstream carries n
+    * partitions (every later pass over the cache schedules n tasks
+    * instead of shuffle.partitions). Identity when the gate is off. */
+  def keyedAt(spark: SparkSession, rows: Long, df: DataFrame,
+      keys: Column*): DataFrame =
+    gatedParts(spark, rows).map(n => df.repartition(n, keys: _*))
+      .getOrElse(df)
 
   /** events.ts arrives in one of three physical forms depending on which
     * generator wrote the file: raw epoch-nanos int64 (TIMESTAMP(NANOS)

@@ -216,15 +216,27 @@ object Dedup {
   private[graft] def containmentPairs(idx: DataFrame,
       cap: Int = MaxPostings): DataFrame = {
     import org.apache.spark.sql.graftx.PairsWithinRatio
-    val maxN = idx.agg(max(size(col("sh")))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // one aggregate action returns BOTH the LenCap guard and the doc
+    // count for the occupancy gates below (r16 — was max() alone; the
+    // count is free in the same pass)
+    val hdr = idx.agg(max(size(col("sh"))), count(lit(1))).head(1).headOption
+    val maxN = hdr.map(r => if (r.isNullAt(0)) 0 else r.getInt(0)).getOrElse(0)
+    val nDocs = hdr.map(_.getLong(1)).getOrElse(0L)
     if (maxN >= PairsWithinRatio.LenCap.toInt)
       return containmentPairsUnpruned(idx, cap)
+    val spark = idx.sparkSession
     val post = explPostings(idx).select(col("s"),
       PairsWithinRatio.pack(col("doc_id"), col("n")).as("pd"))
-    // (s, ds) — df-capped per-shingle doc lists, the candidate index side
+    // (s, ds) — df-capped per-shingle doc lists, the candidate index side.
+    // Occupancy-gated exchange width (r16, Tables.keyedAt): this persist
+    // and docIdx's below were 32-partition caches whose every downstream
+    // pass scheduled shuffle.partitions tasks for MB-scale data — the
+    // r15-verdict sf0.1 floor. Gate bound = the measured doc count from
+    // the header aggregate; at >= 1k docs/core the gate is off and the
+    // plan is byte-identical to r15's.
     val grouped = graft.core.InvertedIndex
-      .groupedPostings(post, col("s"), col("pd"), cap)
+      .groupedPostings(Tables.keyedAt(spark, nDocs, post, col("s")),
+        col("s"), col("pd"), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Relabel shingles as 8-byte sids = xxhash64(s): every downstream
     // stage — the probe join key, and above all the verify arrays
@@ -266,9 +278,9 @@ object Dedup {
     // candidates -> the m = 3 count filter admits orders of magnitude
     // fewer, collapsing the verify join that dominated the kernel.
     val kCol = (nCol - tmin + lit(PrefixSlack.toLong)).cast("int")
-    val docIdx = grouped
+    val docIdx = Tables.keyedAt(spark, nDocs, grouped
       .select(xxhash64(col("s")).as("sid"), size(col("ds")).as("df"),
-        explode(col("ds")).as("pd"))
+        explode(col("ds")).as("pd")), col("pd"))
       .groupBy(col("pd"))
       .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("tk"))
       .select(col("pd"), col("tk").getField("sid").as("csh"),
@@ -278,7 +290,7 @@ object Dedup {
     // verify join sides of one action — cold-cache concurrent first-touch
     // re-ran the per-doc grouping per branch (Tables.mat). `grouped` is
     // already warm: the hashOk injectivity probe above materialized it.
-    Tables.mat(docIdx)
+    Tables.mat(docIdx, "dd15")
     // candidates: prefix sids probe the full capped postings (rebuilt
     // from the encoded arrays — one narrow explode, no second string
     // exchange); the packed comparison orients probe = (n, id)-min
@@ -675,7 +687,8 @@ object Dedup {
       val TargetM = 512
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val k = math.min(math.max(8, (e.count() / TargetM).toInt), 65536)
+      val nVec = e.count()
+      val k = math.min(math.max(8, (nVec / TargetM).toInt), 65536)
       // adaptive quantizer: flat Lloyd's below k ~ 2e3 (each pass is
       // scan-bound there — see Clustering.TwoLevelMinK), two-level
       // above, where the flat N x k assignment is the N^2/512 cliff
@@ -692,8 +705,12 @@ object Dedup {
       val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
       // mat(): pos feeds the probe explode and BOTH join sides of one
       // action — cold-cache concurrent first-touch re-ran the window +
-      // centroid join per branch (Tables.mat)
-      val pos = Tables.mat(a
+      // centroid join per branch (Tables.mat). Occupancy-gated cl-
+      // exchange width (r16, Tables.keyedAt, bound = the vector count
+      // already collected above): the window reuses the gated
+      // partitioning and the pos cache stops being a 32-partition
+      // relation whose every pass schedules 32 tasks at MB scale.
+      val pos = Tables.mat(Tables.keyedAt(s, nVec, a, col("cl"))
         .withColumn("pos", row_number().over(
           bw.orderBy(col("cdist").asc, col("vec_id").asc)))
         .withColumn("m", count(lit(1)).over(bw))
@@ -828,10 +845,12 @@ object Dedup {
       val idx = shingleIndex(s, d)
       // postings exploded once, for the verify step only (global df cap +
       // candidate postings) — signatures no longer need them
-      val expl = idx.filter(size(col("sh")) > 0)
+      // matCand (r16): the reverted barrier, re-armable by env for the
+      // saturated-topology A/B (VERDICT r15 next-#1); default no-op
+      val expl = Tables.matCand(idx.filter(size(col("sh")) > 0)
         .select(col("doc_id"), size(col("sh")).as("n"),
           explode(col("sh")).as("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK), "dd03")
       // Per-row single-pass signature via the native MinHashSig kernel —
       // bit-identical to the old 128-column min(xxhash64) aggregate (same
       // hash chain) and to the streaming formulation (DocPipeline), but
@@ -848,7 +867,7 @@ object Dedup {
               element_at(col("sig"), b * rowsPerBand + i + 1)) :+ lit(b): _*)
             .as("bh"))
       }
-      val buckets = sig.select(col("doc_id"),
+      val buckets = Tables.matCand(sig.select(col("doc_id"),
           explode(array(bandStructs: _*)).as("k"))
         .select(col("doc_id"), col("k.band"), col("k.bh"))
         // persisted: exchange reuse does NOT cover the self-join here
@@ -861,8 +880,9 @@ object Dedup {
         // (3 serial barrier passes vs duplicated-but-overlapped work:
         // quiet full run 3.65 -> 4.58 s, 8-core subset 3.51 -> 4.37 s)
         // and reverted; revisit on a saturated cluster where the
-        // duplicated passes displace real work.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // duplicated passes displace real work. (r16: re-armable via
+        // SPARK_GRAFT_MAT_ON=dd03 for exactly that A/B — matCand.)
+        .persist(StorageLevel.MEMORY_AND_DISK), "dd03")
       // band-bucket collisions; no distinct — the downstream left-semi
       // joins dedupe, and a distinct here is one more shuffle. The self
       // join is pinned to sort-merge: `buckets` is PER-DOCUMENT x 32
@@ -876,6 +896,7 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      Tables.matCand(cand, "dd03")
       // Exact verify on the candidate set only, and through the SAME
       // capped-postings kernel as dd02 (postings of candidate docs only,
       // stop-shingles pruned identically), so the MaxPostings df-cap can
@@ -1061,7 +1082,14 @@ object Dedup {
         .withColumn("h", xxhash64(col("t")))
       val bitSums = (0 until 64).map(b =>
         sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
-      val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      // occupancy-gated doc_id exchange (r16, Tables.keyedAt): the bands
+      // persist inherits this width, so its self-join-side passes stop
+      // scheduling shuffle.partitions tasks at MB scale; gate bound =
+      // documents footer rows, off at >= 1k docs/core
+      val sig = Tables.keyedAt(s,
+          Tables.layout(s, s"$d/documents.parquet").rows, toks,
+          col("doc_id"))
+        .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .withColumn("sim", (0 until 64).map(b =>
           when(col(s"s$b") > 0, expr(s"CAST(1 AS BIGINT) << $b"))
             .otherwise(lit(0L))).reduce(_ bitwiseOR _))
@@ -1371,13 +1399,15 @@ object Dedup {
       // wall (quiet full run 2.34 -> 2.91 s; 8-core subset 2.40 ->
       // 3.00 s — the serial barrier costs more than the overlapped
       // duplicate) and reverted; revisit on a saturated cluster.
-      val grams = Tables.wide(s, d, "documents", "doc_id", "text")
+      // (r16: re-armable via SPARK_GRAFT_MAT_ON=dd18 — matCandPersist.)
+      val grams = Tables.matCandPersist(
+        Tables.wide(s, d, "documents", "doc_id", "text")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(w) - $L), " +
             s"p -> array_join(slice(w, p + 1, $L), ' '))")))
-        .toDF("doc_id", "p", "gram")
+        .toDF("doc_id", "p", "gram"), "dd18")
       val dup = grams.select(col("gram"), col("doc_id")).distinct()
         .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
@@ -1417,13 +1447,13 @@ object Dedup {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       // same two-consumer fan-out as dd18 (census + join probe): the
       // persist+mat variant was measured slower on wall at sf0.1 and
-      // reverted — see dd18's note
-      val grams = base
+      // reverted — see dd18's note (r16: SPARK_GRAFT_MAT_ON=dd19 re-arms)
+      val grams = Tables.matCandPersist(base
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(w) - $L), " +
             s"p -> array_join(slice(w, p + 1, $L), ' '))")))
-        .toDF("doc_id", "p", "gram")
+        .toDF("doc_id", "p", "gram"), "dd19")
       val st = grams.select(col("gram"), col("doc_id")).distinct()
         .groupBy(col("gram"))
         .agg(min(col("doc_id")).as("md"), count(lit(1)).as("nd"))

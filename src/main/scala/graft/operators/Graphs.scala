@@ -119,16 +119,21 @@ object Graphs {
       // aggregate — a mat() barrier on jp/deg/ew was measured slower on
       // wall at sf0.1 (quiet full run 2.18 -> 2.48 s) and reverted: the
       // barrier only pays where the duplicated upstream is expensive.
-      val jp = edgeTable(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      // (r16: re-armable via SPARK_GRAFT_MAT_ON=gx01 for the saturated-
+      // topology A/B, VERDICT r15 next-#1 — default is a no-op.)
+      val jp = graft.core.Tables.matCand(
+        edgeTable(s, d).persist(StorageLevel.MEMORY_AND_DISK), "gx01")
       val e = edges(jp)
-      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = graft.core.Tables.matCand(
+        e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK), "gx01")
       // degree pre-joined so each iteration reads (u, v, deg) straight
       // off the persisted partition-aligned probe; shuffle-hash, never
       // broadcast (deg is node-sized)
-      val ew = e.join(deg.hint("shuffle_hash"), "u")
+      val ew = graft.core.Tables.matCand(
+        e.join(deg.hint("shuffle_hash"), "u")
         .repartition(col("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK), "gx01")
       var r = deg.select(col("u").as("node"), lit(Scale).as("r"))
       for (_ <- 1 to Iters) {
         r = ew.join(r.hint("shuffle_hash"), col("u") === col("node"))

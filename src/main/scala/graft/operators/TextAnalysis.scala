@@ -930,6 +930,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(org.apache.spark.sql.graftx.WordShinglesFunctions
           .word_shingles(col("text"), 3)).as("t"))
+    // Occupancy-gated t-exchange (r16, Tables.keyedAt/gatedParts): tw's
+    // aggregate, the shw join, and through them the shw/norms persists
+    // were 32-partition relations re-scanned by 2-3 branches each — the
+    // sf0.1 per-pass task-launch floor. Gate bound = the documents
+    // footer row count; off (plan byte-identical) at >= 1k docs/core.
+    val docRows = Tables.layout(s, s"$d/documents.parquet").rows
+    val shg = Tables.keyedAt(s, docRows, sh, col("t"))
     val n = Tables(s, d, "documents")
       .agg(count(lit(1)).cast("double").as("nd"))
     // ~24 bytes per generated pair row (two packed longs + the weight)
@@ -948,7 +955,7 @@ object TextAnalysis {
     // vocabulary-sized (an aggregate, so broadcast-legal by the audit
     // rule) but shingle vocabulary grows with the corpus — the join
     // below stays a shuffle join on t, never a broadcast build.
-    val tw = sh.groupBy(col("t"))
+    val tw = shg.groupBy(col("t"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
       .crossJoin(broadcast(n))
@@ -965,9 +972,9 @@ object TextAnalysis {
     // join-backs — cold-cache concurrent first-touch re-ran the
     // shingle+weight join per branch (profiled as 6 parallel ~0.5-0.65 s
     // jobs at sf0.1)
-    val shw = Tables.mat(sh.join(tw.hint("shuffle_hash"), Seq("t"))
+    val shw = Tables.mat(shg.join(tw.hint("shuffle_hash"), Seq("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val norms = Tables.mat(shw
+    val norms = Tables.mat(Tables.keyedAt(s, docRows, shw, col("doc_id"))
       .groupBy("doc_id").agg(sqrt(sum(col("w2"))).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Pack the quantized norm into the doc id (len << 48 | id). Both

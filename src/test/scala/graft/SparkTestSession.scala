@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * carries the spark.jars + executor add-opens plumbing. */
 object SparkTestSession {
   def apply(): SparkSession = {
-    val s = graft.core.Topology(SparkSession.builder()
+    val s = graft.core.Topology(graft.core.EngineConf(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
