@@ -105,7 +105,7 @@ object Bpe {
       batch: Int = 100,
       onStep: (Int, Double) => Unit = (_, _) => ()): Seq[(String, String, Long)] =
     trainOnDocs(Tables.wide(s, d, "documents", "text"), nMerges, batch,
-      onStep)
+      onStep, rowsHint = Tables.layout(s, s"$d/documents.parquet").rows)
 
   /** [[trainN]] over an ARBITRARY docs relation carrying `text` — the
     * pipeline capstone trains its vocabulary on the staged (filtered,
@@ -113,11 +113,23 @@ object Bpe {
     * corpus, which is what a real tokenizer run sees. */
   private[graft] def trainOnDocs(docs: DataFrame, nMerges: Int,
       batch: Int = 100,
-      onStep: (Int, Double) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
-    var wf = docs
+      onStep: (Int, Double) => Unit = (_, _) => (),
+      rowsHint: Long = -1L): Seq[(String, String, Long)] = {
+    // Occupancy-gated width for the persisted vocab relation (r16,
+    // Tables.gatedParts; rowsHint = the caller's measured doc count):
+    // every merge step re-scans wf, and at shuffle.partitions width the
+    // 10-step train paid 10x CPUS task launches over a KB-scale vocab
+    // cache (profiled 0.1-0.33 s per step at sf0.1/32c). coalesce keeps
+    // the count aggregate's map-side combine and adds no exchange; gate
+    // off (>= 1k docs/core) leaves the plan byte-identical.
+    val gate = if (rowsHint >= 0L)
+      graft.core.Tables.gatedParts(docs.sparkSession, rowsHint) else None
+    def gatedC(df: DataFrame): DataFrame =
+      gate.map(df.coalesce).getOrElse(df)
+    var wf = gatedC(docs
       .select(explode(expr(TextAnalysis.tokensExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), expr(encExpr).as("enc"))
+      .select(col("freq"), expr(encExpr).as("enc")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = ArrayBuffer.empty[(String, String, Long)]
     val pending = ArrayBuffer.empty[(String, String)]

@@ -45,8 +45,14 @@ object Clustering {
         cents.map(_._2.toArray).toArray,
         cents.map(_._1).toArray).as("cl"))
 
-  /** Returns (assignments: vec_id -> (embedding, cluster), centroids). */
-  def kmeansFull(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+  /** Returns (assignments: vec_id -> (embedding, cluster), centroids).
+    * `rowsHint` >= 0 occupancy-gates the cached corpus width (r16,
+    * Tables.gatedParts): at small inputs the full-parallelism
+    * repartition spread KB-scale vectors over CPUS partitions and every
+    * Lloyd pass paid CPUS task launches; the gate is off (full width,
+    * the sf8-measured shape) at >= 1k vectors/core. */
+  def kmeansFull(e: DataFrame, k: Int, iters: Int,
+      rowsHint: Long = -1L): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
     val s = e.sparkSession
     // The corpus is scanned iters+2 times (init, one mean pass per
@@ -66,7 +72,9 @@ object Clustering {
     // independent by construction (order-independent scaled-long means,
     // row-wise assignment, deterministic init).
     val ein = e.select(col("vec_id"), col("embedding"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition((if (rowsHint >= 0L)
+          graft.core.Tables.gatedParts(s, rowsHint) else None)
+        .getOrElse(s.sparkContext.defaultParallelism))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: the k lowest vec_ids (no RNG), re-keyed 0..k-1; float widens
     // to double exactly
@@ -144,9 +152,10 @@ object Clustering {
   val TwoLevelMinK = 2048
 
   def kmeansTwoLevelFull(e: DataFrame, k: Int, iters: Int,
-      minK: Int = TwoLevelMinK): (DataFrame, DataFrame) = {
+      minK: Int = TwoLevelMinK,
+      rowsHint: Long = -1L): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
-    if (k <= minK) return kmeansFull(e, k, iters)
+    if (k <= minK) return kmeansFull(e, k, iters, rowsHint)
     val s = e.sparkSession
     val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
@@ -154,7 +163,7 @@ object Clustering {
     // returned assignment is a projection over the internally-persisted
     // corpus, so re-evaluating it per sub-pass costs one N*k1 scan, not
     // a second cached copy of the corpus
-    val (coarse, _) = kmeansFull(e, k1, iters)
+    val (coarse, _) = kmeansFull(e, k1, iters, rowsHint)
     val ca = coarse.withColumnRenamed("cl", "g")
     // per-cell init: the k2 lowest vec_ids of each coarse cell (k rows
     // collected — same driver-size class as the flat init)

@@ -695,7 +695,7 @@ object Dedup {
       // (at 1e9 vectors, k ~ 2M: flat is ~2e15 distance evals; the
       // two-level N * 2*sqrt(k) path is ~5e4x less).
       val (assigned, centroids) = Clustering.kmeansTwoLevelFull(e, k,
-        iters = 2)
+        iters = 2, rowsHint = nVec)
       val a = assigned
         .join(broadcast(centroids), "cl")
         .select(col("cl"), col("vec_id"), col("embedding"),
@@ -890,11 +890,19 @@ object Dedup {
       // that is 3.2e10 rows — far over the 8 GB broadcast cap); SMJ
       // co-partitions both sides on (band, bh) and spills per-key groups
       // (PlanAuditSpec asserts no per-row broadcast anywhere).
-      val cand = buckets.as("x")
+      // gated coalesce (r16): cand is scanned by candDocs (twice, via
+      // the union) and the verify left-semi — at small inputs the SMJ's
+      // shuffle.partitions-wide cache paid CPUS task launches per pass;
+      // coalesce narrows the reduce stage without an exchange, gate off
+      // at >= 1k docs/core
+      val candJ = buckets.as("x")
         .join(buckets.hint("merge").as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      val cand = Tables.gatedParts(s,
+          Tables.layout(s, s"$d/documents.parquet").rows)
+        .map(candJ.coalesce).getOrElse(candJ)
         .persist(StorageLevel.MEMORY_AND_DISK)
       Tables.matCand(cand, "dd03")
       // Exact verify on the candidate set only, and through the SAME
@@ -1400,8 +1408,11 @@ object Dedup {
       // 3.00 s — the serial barrier costs more than the overlapped
       // duplicate) and reverted; revisit on a saturated cluster.
       // (r16: re-armable via SPARK_GRAFT_MAT_ON=dd18 — matCandPersist.)
+      // wideMin(1000) (r16): the L-token gram transform is a heavy
+      // per-row pass run twice concurrently; occupancy width instead of
+      // the 2-task scan width
       val grams = Tables.matCandPersist(
-        Tables.wide(s, d, "documents", "doc_id", "text")
+        Tables.wideMin(s, d, "documents", 1000, "doc_id", "text")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), posexplode(expr(
@@ -1443,7 +1454,8 @@ object Dedup {
     // one interval array per affected doc.
     "dd19_substring_dedup_corpus" -> ((s, d) => {
       val L = SpanSeedLen
-      val base = Tables.wide(s, d, "documents", "doc_id", "text")
+      // wideMin(1000) (r16): same rationale as dd18's gram build
+      val base = Tables.wideMin(s, d, "documents", 1000, "doc_id", "text")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       // same two-consumer fan-out as dd18 (census + join probe): the
       // persist+mat variant was measured slower on wall at sf0.1 and

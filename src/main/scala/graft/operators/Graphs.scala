@@ -123,16 +123,27 @@ object Graphs {
       // topology A/B, VERDICT r15 next-#1 — default is a no-op.)
       val jp = graft.core.Tables.matCand(
         edgeTable(s, d).persist(StorageLevel.MEMORY_AND_DISK), "gx01")
+      // occupancy-gated exchange widths (r16, Tables.keyedAt): deg and
+      // ew are persisted relations consumed by every pagerank iteration
+      // — at shuffle.partitions width each of the 5 iterations paid
+      // 32-task launches over KB-scale caches (profiled 0.07-0.35 s per
+      // pass). Gate bound = the mined edge table's own parquet footer
+      // (2x pairs = directed edge count); off at >= 1k edges/core.
+      val edgeRows = 2 * graft.core.Tables.layout(s,
+        graft.core.IndexStore.root(d) +
+          s"/jp_tau${math.round(GxTau * 100)}").rows
       val e = edges(jp)
       val deg = graft.core.Tables.matCand(
-        e.groupBy("u").agg(count(lit(1)).as("deg"))
+        graft.core.Tables.keyedAt(s, edgeRows, e, col("u"))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK), "gx01")
       // degree pre-joined so each iteration reads (u, v, deg) straight
       // off the persisted partition-aligned probe; shuffle-hash, never
       // broadcast (deg is node-sized)
       val ew = graft.core.Tables.matCand(
         e.join(deg.hint("shuffle_hash"), "u")
-        .repartition(col("u"))
+        .repartition(graft.core.Tables.gatedParts(s, edgeRows)
+          .getOrElse(s.sessionState.conf.numShufflePartitions), col("u"))
         .persist(StorageLevel.MEMORY_AND_DISK), "gx01")
       var r = deg.select(col("u").as("node"), lit(Scale).as("r"))
       for (_ <- 1 to Iters) {

@@ -295,9 +295,21 @@ object Multimodal {
       // AQE's concurrent exchange jobs each re-ran the decode+embed
       // upstream (Tables.mat; measured as ~9 parallel 1-2.5 s jobs at
       // sf0.1). One forced pass, then every branch reads warm cache.
-      val e = graft.core.Tables.mat(emb
+      // Occupancy-gated cache width (r16, Tables.keyedAt): the decode
+      // itself stays at codecCatalog's full width (it is the real
+      // per-row work), but the persisted embedding relation it feeds is
+      // KB-scale at small inputs, and every downstream pass (mean agg,
+      // bucket exchange, both rescore joins) re-scanned a CPUS-wide
+      // cache. The keyed exchange also hands both rescore joins a
+      // reusable hashpartitioning(media_id) — they previously exchanged
+      // e separately per side. Gate bound = documents footer rows (the
+      // media catalog is doc-derived); off at >= 1k media/core.
+      val docRows = graft.core.Tables.layout(
+        s, s"$d/documents.parquet").rows
+      val e = graft.core.Tables.mat(graft.core.Tables.keyedAt(s, docRows,
+        emb
         .withColumn("nrm", l2_norm(col("emb")))
-        .filter(col("nrm") > 0)
+        .filter(col("nrm") > 0), col("media_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // Chunked-sum embeddings are tightly clustered in direction within
       // a kind (image/video slot sums are all-positive; audio's signed
@@ -370,7 +382,11 @@ object Multimodal {
       // (sort + row_number + count over N x L rows) ran once per
       // concurrent consumer (profiled as the residual ~1.5-2 s twin jobs
       // after the e/em materialization fix; Tables.mat)
-      val pos = graft.core.Tables.mat(own
+      // occupancy-gated bucket-window exchange (r16, same gate): the
+      // window reuses the keyed repartition, so the pos cache carries n
+      // partitions instead of shuffle.partitions
+      val pos = graft.core.Tables.mat(graft.core.Tables.keyedAt(s,
+          docRows, own, col("kind"), col("tbl"), col("bucket"))
         .withColumn("pos", row_number().over(
           bw.orderBy(col("ehash"), col("media_id"))))
         .withColumn("m", count(lit(1)).over(bw))
@@ -390,13 +406,19 @@ object Multimodal {
       // reason (PlanAuditSpec).
       // persisted + mat(): the both-directions union below scans candDir
       // twice — unpersisted, the position join ran once per direction
-      val candDir = graft.core.Tables.mat(
-        probes.as("x").join(pos.hint("merge").as("y"),
+      // gated coalesce (r16): candDir is scanned twice by the union and
+      // joined twice downstream — at small inputs the SMJ's
+      // shuffle.partitions-wide output cache cost 2x CPUS task launches
+      // per pass; coalesce narrows the reduce stage without an exchange
+      val candJoin = probes.as("x").join(pos.hint("merge").as("y"),
           col("x.kind") === col("y.kind") && col("x.tbl") === col("y.tbl") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.tpos") === col("y.pos"))
         .select(col("x.media_id").as("media_id"),
           col("y.media_id").as("neighbor_id"))
+      val candDir = graft.core.Tables.mat(
+        graft.core.Tables.gatedParts(s, docRows)
+          .map(candJoin.coalesce).getOrElse(candJoin)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // score BOTH directions: the last member of a contiguous duplicate
       // run probes only forward (outside its run), but it is probed BY

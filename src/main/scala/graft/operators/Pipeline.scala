@@ -171,12 +171,14 @@ object Pipeline {
           .select(col("doc_id"), col("text"), col("lang"), col("source"))
     }
 
-  /** Stage 7 — tx20's seeded permutation as an exact distributed rank. */
-  private def shuffle(docs: DataFrame): DataFrame = {
+  /** Stage 7 — tx20's seeded permutation as an exact distributed rank.
+    * `rows` = the materialized input stage's count (driver-known), the
+    * occupancy-gate bound for the rank kernel's ranged persist (r16). */
+  private def shuffle(docs: DataFrame, rows: Long): DataFrame = {
     val key = md5(concat(lit("42:"), col("doc_id").cast("string"))
       .cast("binary"))
     Scale.globalRank(docs.withColumn("skey", key),
-        Seq(col("skey"), col("doc_id")))
+        Seq(col("skey"), col("doc_id")), rowsHint = rows)
       .withColumnRenamed("__rank", "pos")
       .drop("__n")
   }
@@ -195,12 +197,13 @@ object Pipeline {
       .drop("__t", "__em")
   }
 
-  /** Stage 9 — tx18's windows over the cumsum in SHUFFLE order. */
-  private def pack(seg: DataFrame): DataFrame =
+  /** Stage 9 — tx18's windows over the cumsum in SHUFFLE order.
+    * `rows` = the input stage's driver-known count (gate bound, r16). */
+  private def pack(seg: DataFrame, rows: Long): DataFrame =
     Scale.globalCumsum(
         seg.filter(col("n_bpe") > 0)
           .select(col("doc_id"), col("pos"), col("n_bpe")),
-        Seq(col("pos")), col("n_bpe"))
+        Seq(col("pos")), col("n_bpe"), rowsHint = rows)
       .withColumn("window_id", explode(expr(
         s"sequence((__cum - n_bpe) DIV $PackC, (__cum - 1) DIV $PackC)")))
       .select(col("doc_id"), col("window_id"),
@@ -282,7 +285,20 @@ object Pipeline {
     def stage(ord: Int, name: String, df: => DataFrame,
         fpParts: Seq[Column]): DataFrame = graft.core.CacheScope.scoped {
       val t0 = System.nanoTime()
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      // Occupancy-gated stage-cache width (r16, Tables.gatedParts): the
+      // bound is the PARENT stage's materialized count (prevN, driver-
+      // known — rows only shrink through stages 1-8), so each persisted
+      // stage output stops being a shuffle.partitions-wide cache whose
+      // every later pass (the fused count+fp, the child kernel's map
+      // side) schedules CPUS tasks over KB-scale partitions. coalesce,
+      // not repartition: no exchange — the kernel's last stage just
+      // lands in n tasks. Gate off (>= 1k rows/core) leaves the plan
+      // byte-identical.
+      val gated = graft.core.Tables.gatedParts(s, prevN) match {
+        case Some(n) => df.coalesce(n)
+        case None    => df
+      }
+      val p = gated.persist(StorageLevel.MEMORY_AND_DISK)
       // one action: materializes the persist AND returns (count, fp) —
       // see countAndFp (the old count-then-fingerprint pair re-read the
       // fresh cache once per stage for nothing)
@@ -315,9 +331,10 @@ object Pipeline {
     val q5 = stage(5, "mixture", mixture(q4), docFp)
     val q6 = stage(6, "split_train",
       q5.filter(md5Bucket(100L) < 90), docFp)
-    val q7 = stage(7, "shuffle", shuffle(q6),
+    val q7 = stage(7, "shuffle", shuffle(q6, prevN),
       Seq(col("doc_id"), col("pos")))
-    val merges = Bpe.trainOnDocs(q6, Bpe.Merges).map(m => (m._1, m._2))
+    val merges = Bpe.trainOnDocs(q6, Bpe.Merges, rowsHint = prevN)
+      .map(m => (m._1, m._2))
     // release the PERSISTED stage-6 frame (the cut q6 is a LogicalRDD
     // leaf CacheManager cannot match — unpersisting it did nothing)
     if (!keepFrames)
@@ -325,7 +342,7 @@ object Pipeline {
         _._2.unpersist(blocking = false))
     val q8 = stage(8, "bpe_segment", segment(q7, merges),
       Seq(col("doc_id"), col("n_bpe")))
-    stage(9, "pack", pack(q8),
+    stage(9, "pack", pack(q8, prevN),
       Seq(col("doc_id"), col("window_id"), col("win_tokens")))
     // every lineage row (counts + fingerprints) is already a driver-side
     // value; the last frame's blocks are dead weight too

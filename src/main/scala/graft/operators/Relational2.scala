@@ -223,7 +223,11 @@ object Relational2 {
         .groupBy(col("o_custkey"))
         .agg(dsum(col("o_totalprice")).as("spend"))
       Scale.globalRank(spend,
-          Seq(col("spend").desc, col("o_custkey").asc))
+          Seq(col("spend").desc, col("o_custkey").asc),
+          // rowsHint (r16): spend is custkey-bounded; the gate sizes the
+          // rank kernel's ranged persist from the customer footer rows
+          rowsHint = graft.core.Tables.layout(
+            s, s"$d/customer.parquet").rows)
         .withColumn("quartile", Scale.ntileFromRank(4))
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n_customers"),

@@ -90,8 +90,10 @@ object Scale {
     * partition boundaries. Output adds `__rank` (long) and `__n` (long,
     * the relation size, for quantile arithmetic); `__pid` is dropped.
     */
-  def globalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val (ranged, offExpr, total) = partitionOffsets(df, order, lit(1L))
+  def globalRank(df: DataFrame, order: Seq[Column],
+      rowsHint: Long = -1L): DataFrame = {
+    val (ranged, offExpr, total) = partitionOffsets(df, order, lit(1L),
+      rowsHint)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(order: _*)
     ranged
@@ -109,8 +111,8 @@ object Scale {
     * Output adds `__cum` (long, inclusive running sum) and keeps every
     * input column. */
   def globalCumsum(df: DataFrame, order: Seq[Column],
-      value: Column): DataFrame = {
-    val (ranged, offExpr, _) = partitionOffsets(df, order, value)
+      value: Column, rowsHint: Long = -1L): DataFrame = {
+    val (ranged, offExpr, _) = partitionOffsets(df, order, value, rowsHint)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -130,10 +132,26 @@ object Scale {
     * `catalog.clearCache()` after each query releases it. Returns
     * (tagged relation, offset column, grand total). */
   private def partitionOffsets(df: DataFrame, order: Seq[Column],
-      value: Column): (DataFrame, Column, Long) = {
-    val ranged = graft.core.CacheScope.track(df
-      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
-      .repartitionByRange(order: _*)
+      value: Column, rowsHint: Long = -1L): (DataFrame, Column, Long) = {
+    // rowsHint >= 0 enables the occupancy gate (r16, Tables.gatedParts):
+    // the ranged relation is persisted and consumed by BOTH the offset
+    // job and the caller's window pass, so at small inputs its
+    // shuffle.partitions width charged 2x CPUS task launches per call;
+    // the gate derives the range-partition count from the caller's
+    // measured row bound and is off (default plan) at >= 1k rows/core.
+    val tagged = df.withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+    // floor 2: a gated width of 1 would plan as Exchange
+    // singlepartition — structurally the no-partition window funnel
+    // this kernel exists to refuse (and what TopKPlanSpec's q28 audit
+    // asserts against); two range partitions keep the distributed
+    // shape at identical cost for the sub-2k-row inputs the floor hits
+    val byRange = (if (rowsHint >= 0L)
+        graft.core.Tables.gatedParts(df.sparkSession, rowsHint)
+      else None) match {
+      case Some(n) => tagged.repartitionByRange(math.max(2, n), order: _*)
+      case None    => tagged.repartitionByRange(order: _*)
+    }
+    val ranged = graft.core.CacheScope.track(byRange
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))

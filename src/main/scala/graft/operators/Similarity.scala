@@ -866,6 +866,12 @@ object Similarity {
   private def ensureIvfIndex(s: SparkSession, d: String): String = {
     val root = indexRoot(d) + s"/ivf_k$IvfK"
     if (!indexReady(s, root + "/centroids")) {
+      // NO rowsHint here (r16): unlike the in-session kernels, this
+      // build WRITES a durable artifact — gating the corpus width to
+      // occupancy also gates the cells parquet to ~2 files, capping
+      // every future probe's scan parallelism (measured: sim03 steady
+      // 0.89 -> 1.54 s at sf0.1/32c). The build stays full-width so the
+      // artifact keeps its multi-file layout.
       val (assigned, centroids) = Clustering.kmeansFull(
         Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         k = IvfK, iters = 3)

@@ -66,7 +66,13 @@ object TextAnalysis {
     * share — persisted and force-materialized (Tables.mat) because every
     * consumer fans out into 2+ concurrent exchanges of one action. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.mat(Tables.wide(s, d, "documents", "doc_id", "source", "text")
+    // wideMin(1000), not wide (r16): this persisted relation is built
+    // once and re-scanned by 3 consumers; below wide's 10k gate the
+    // shingle pass ran at the 2-task scan width on every core count —
+    // the occupancy width (rows/1k) parallelizes the build without
+    // r9's full-parallelism exchange regression
+    Tables.mat(Tables.wideMin(s, d, "documents", 1000,
+        "doc_id", "source", "text")
       .select(col("doc_id"), col("source"),
         explode(org.apache.spark.sql.graftx.WordShinglesFunctions
           .word_shingles(col("text"), 3)).as("sg"))
@@ -272,7 +278,15 @@ object TextAnalysis {
     // explode + one grouped count, and everything downstream runs on the
     // (doc, trigram) aggregate — the shape holds at corpus scale.
     "tx09_charngram_langid" -> ((s, d) => {
-      val docs = Tables.wide(s, d, "documents", "doc_id", "lang", "text")
+      // wideMin(1000), not wide (r16): the char-ngram count kernel is a
+      // full byte pass per document (~6x word-shingle grade), and below
+      // wide's 10k-row gate the whole dc build ran at the 2-task scan
+      // width (profiled as the 0.4-0.5 s 2-task jobs dominating tx09 at
+      // every core count); the occupancy width (rows/1k) parallelizes
+      // it without the full-parallelism exchange r9 measured as a
+      // regression at this size.
+      val docs = Tables.wideMin(s, d, "documents", 1000,
+          "doc_id", "lang", "text")
         .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       // (doc, lang, trigram) counts via the native CharNGramCounts kernel:
       // the per-doc aggregate is computed inside the scan (one byte pass,
@@ -583,7 +597,10 @@ object TextAnalysis {
         .select(col("doc_id"),
           expr(s"CAST(size($tokensExpr) AS BIGINT)").as("n_tok"))
         .filter(col("n_tok") > 0)
-      Scale.globalCumsum(toks, Seq(col("doc_id")), col("n_tok"))
+      // rowsHint (r16): the ranged persist gets an occupancy-gated width
+      // from the documents footer rows; no-op at >= 1k docs/core
+      Scale.globalCumsum(toks, Seq(col("doc_id")), col("n_tok"),
+          rowsHint = Tables.layout(s, s"$d/documents.parquet").rows)
         .withColumn("window_id", explode(
           expr(s"sequence((__cum - n_tok) DIV $C, (__cum - 1) DIV $C)")))
         .select(col("doc_id"), col("window_id"),
@@ -638,7 +655,8 @@ object TextAnalysis {
         .cast("binary"))
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), key.as("shuffle_key"))
-      Scale.globalRank(docs, Seq(col("shuffle_key"), col("doc_id")))
+      Scale.globalRank(docs, Seq(col("shuffle_key"), col("doc_id")),
+          rowsHint = Tables.layout(s, s"$d/documents.parquet").rows)
         .select(col("doc_id"), col("shuffle_key"), col("__rank").as("pos"))
     }),
 
@@ -657,7 +675,10 @@ object TextAnalysis {
       // one action — cold-cache concurrent first-touch re-ran the
       // shingle+distinct upstream per branch (Tables.mat; measured as
       // 3 parallel ~0.8 s jobs at sf0.1)
-      val ss = Tables.mat(Tables.wide(s, d, "documents", "source", "text")
+      // wideMin(1000) as in docShingles (r16): occupancy-width shingle
+      // build instead of the 2-task scan width
+      val ss = Tables.mat(Tables.wideMin(s, d, "documents", 1000,
+          "source", "text")
         .select(col("source"),
           explode(g.word_shingles(col("text"), 3)).as("sh"))
         .distinct()
